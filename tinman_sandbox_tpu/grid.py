@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import jax
 import numpy as np
 
 from .config import NP, Config
@@ -46,6 +47,7 @@ GLL_WEIGHTS_NP4 = np.array(
 )
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Geometry:
     """Per-element metric terms (element_mod.F90:244-268) + the Dvv operator."""
@@ -59,6 +61,8 @@ class Geometry:
     d: Any            # [nelem, 2, 2, np, np]  map covariant->latlon
     dinv: Any         # [nelem, 2, 2, np, np]  inverse map
     mp: Any           # [nelem, np, np] reference-element mass (GLL weight products)
+    metinv: Any       # [nelem, 2, 2, np, np] inverse covariant metric (D^T D)^-1
+    vec_sph2cart: Any  # [nelem, 2, 3, np, np] latlon->cartesian map
 
     @property
     def nelem(self) -> int:
@@ -71,6 +75,7 @@ class Geometry:
         })
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class HybridVCoord:
     """Hybrid vertical coordinate (hybvcoord_mod.F90:17-29).
@@ -91,6 +96,38 @@ class HybridVCoord:
             hyam=self.hyam.astype(dtype),
             hybm=self.hybm.astype(dtype),
         )
+
+
+def _metinv_from_d(d: np.ndarray) -> np.ndarray:
+    """Inverse covariant metric (met = D^T D, metinv = met^-1), consistent with
+    HOMME's element metric terms (element_mod.F90:244-250)."""
+    m00 = d[:, 0, 0] * d[:, 0, 0] + d[:, 1, 0] * d[:, 1, 0]
+    m01 = d[:, 0, 0] * d[:, 0, 1] + d[:, 1, 0] * d[:, 1, 1]
+    m11 = d[:, 0, 1] * d[:, 0, 1] + d[:, 1, 1] * d[:, 1, 1]
+    det = m00 * m11 - m01 * m01
+    metinv = np.empty_like(d)
+    metinv[:, 0, 0] = m11 / det
+    metinv[:, 1, 1] = m00 / det
+    metinv[:, 0, 1] = -m01 / det
+    metinv[:, 1, 0] = -m01 / det
+    return metinv
+
+
+def _analytic_vec_sph2cart(nelem: int) -> np.ndarray:
+    """Deterministic latlon->cartesian map for operator tests; the reference
+    never initializes vec_sphere2cart (element_mod.F90:268 is unused), so any
+    smooth nondegenerate choice is valid for parity testing."""
+    i = np.arange(1, NP + 1, dtype=np.float64)
+    ii = i[:, None] * np.ones((1, NP))
+    jj = np.ones((NP, 1)) * i[None, :]
+    v = np.empty((nelem, 2, 3, NP, NP), dtype=np.float64)
+    v[:, 0, 0] = np.cos(ii)
+    v[:, 0, 1] = np.sin(ii + jj)
+    v[:, 0, 2] = 0.25 * jj
+    v[:, 1, 0] = -np.sin(jj)
+    v[:, 1, 1] = np.cos(ii - jj)
+    v[:, 1, 2] = 0.5 * ii
+    return v
 
 
 def analytic_geometry(cfg: Config, dtype=np.float64) -> Geometry:
@@ -127,6 +164,8 @@ def analytic_geometry(cfg: Config, dtype=np.float64) -> Geometry:
         d=d,
         dinv=dinv,
         mp=mp,
+        metinv=_metinv_from_d(d).astype(dtype),
+        vec_sph2cart=_analytic_vec_sph2cart(nelem).astype(dtype),
     )
 
 
@@ -184,4 +223,6 @@ def random_geometry(cfg: Config, seed: int = 0, dtype=np.float64) -> Geometry:
         d=d,
         dinv=dinv,
         mp=mp,
+        metinv=_metinv_from_d(d),
+        vec_sph2cart=rng.uniform(-1.0, 1.0, (nelem, 2, 3, NP, NP)),
     ).astype(dtype)

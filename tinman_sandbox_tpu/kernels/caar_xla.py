@@ -1,0 +1,108 @@
+"""compute_and_apply_rhs as one jittable XLA function.
+
+The XLA-fusion path of the CAAR kernel (behavior of routine_mod.F90:7-193 /
+CaarFunctor.hpp:40-562): batched over [nelem, nlev, np, np], built from the
+ops/ layer so the whole pipeline is a single fused HLO program. Works in any
+dtype (f64 for the oracle gate on CPU, f32/bf16 on TPU). The Pallas fast path
+(kernels/caar_pallas.py) implements the same contract.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..constants import CONSTANTS
+from ..grid import Geometry, HybridVCoord
+from ..ops import (
+    divergence_sphere,
+    gradient_sphere,
+    midpoint_pressure,
+    preq_hydrostatic,
+    preq_omega_ps,
+    virtual_temperature,
+    vorticity_sphere,
+)
+from ..state import Derived, State
+
+
+@partial(jax.jit, static_argnames=("cfg", "moist"))
+def caar_xla(
+    state: State,
+    derived: Derived,
+    geom: Geometry,
+    hv: HybridVCoord,
+    cfg: Config,
+    dt2,
+    eta_ave_w,
+    moist: bool = True,
+):
+    """One CAAR evaluation + leapfrog/RK-substep update.
+
+    Returns (new_state, new_derived). Matches ref/caar_ref.py to fp tolerance.
+    """
+    c = CONSTANTS
+    n0, np1, nm1, qn0 = cfg.n0, cfg.np1, cfg.nm1, cfg.qn0
+    dvv = geom.dvv
+    # add a broadcast level axis to per-element geometry
+    dinv = geom.dinv[:, None]
+    d = geom.d[:, None]
+    metdet = geom.metdet[:, None]
+    rmetdet = geom.rmetdet[:, None]
+    fcor = geom.fcor[:, None]
+    sph = geom.spheremp[:, None]
+    rr = jnp.asarray(c.rrearth, state.u.dtype)
+
+    u, v = state.u[n0], state.v[n0]
+    t, dp = state.t[n0], state.dp3d[n0]
+
+    # pressure + its gradient (routine_mod.F90:72-91)
+    p = midpoint_pressure(hv.hyai[0] * hv.ps0, dp)
+    grad_p1, grad_p2 = gradient_sphere(p, dvv, dinv, rr)
+    vgrad_p = u * grad_p1 + v * grad_p2
+    vdp1, vdp2 = u * dp, v * dp
+
+    # mass-flux divergence + vorticity (routine_mod.F90:92-93)
+    divdp = divergence_sphere(vdp1, vdp2, dvv, dinv, metdet, rmetdet, rr)
+    vort = vorticity_sphere(u, v, dvv, d, rmetdet, rr)
+
+    # virtual temperature (routine_mod.F90:95-118)
+    if moist:
+        t_v = virtual_temperature(t, state.qdp[qn0, :, 0], dp, c.rgas_over_rvap_m1)
+    else:
+        t_v = t
+
+    # vertical scans (routine_mod.F90:119-120)
+    phi = preq_hydrostatic(state.phis, t_v, p, dp, c.Rgas)
+    omega_p = preq_omega_ps(p, vgrad_p, divdp)
+
+    # tendencies (routine_mod.F90:140-177)
+    ephi = 0.5 * (u * u + v * v) + phi + derived.pecnd
+    grad_t1, grad_t2 = gradient_sphere(t, dvv, dinv, rr)
+    vgrad_t = u * grad_t1 + v * grad_t2
+    gephi1, gephi2 = gradient_sphere(ephi, dvv, dinv, rr)
+    gpterm = c.Rgas * (t_v / p)
+    fcor_vort = fcor + vort
+    vtens1 = v * fcor_vort - gephi1 - gpterm * grad_p1
+    vtens2 = -(u * fcor_vort) - gephi2 - gpterm * grad_p2
+    ttens = -vgrad_t + c.kappa * t_v * omega_p
+
+    # apply (routine_mod.F90:182-190); vertically-Lagrangian: no eta term
+    new_state = dataclasses.replace(
+        state,
+        u=state.u.at[np1].set(sph * (state.u[nm1] + dt2 * vtens1)),
+        v=state.v.at[np1].set(sph * (state.v[nm1] + dt2 * vtens2)),
+        t=state.t.at[np1].set(sph * (state.t[nm1] + dt2 * ttens)),
+        dp3d=state.dp3d.at[np1].set(sph * (state.dp3d[nm1] - dt2 * divdp)),
+    )
+    new_derived = dataclasses.replace(
+        derived,
+        vn0_u=derived.vn0_u + eta_ave_w * vdp1,
+        vn0_v=derived.vn0_v + eta_ave_w * vdp2,
+        phi=phi,
+        omega_p=derived.omega_p + eta_ave_w * omega_p,
+    )
+    return new_state, new_derived
