@@ -1,12 +1,14 @@
 """Test harness config: force CPU backend with 8 virtual devices and f64.
 
 Multi-chip sharding is validated on a virtual CPU mesh
-(XLA_FLAGS=--xla_force_host_platform_device_count=8); the f64 oracle path
-needs jax_enable_x64. Must run before jax is imported anywhere.
+(--xla_force_host_platform_device_count=8); the f64 oracle path needs
+jax_enable_x64. The axon TPU plugin's sitecustomize imports jax at interpreter
+startup with JAX_PLATFORMS=axon already read, so env-var overrides are too
+late — the platform must be switched through jax.config before any backend
+client is created (XLA_FLAGS is still read lazily at CPU-client creation).
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +17,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "tests need 8 virtual CPU devices"

@@ -1,0 +1,17 @@
+"""Time integration: benchmark/leapfrog drivers, tracer Euler step, checkpointing."""
+
+from .checkpoint import load_checkpoint, save_checkpoint
+from .driver import benchmark_loop, check_dp3d, leapfrog_step, rotated, run_leapfrog
+from .tracer import advance_qdp, euler_step
+
+__all__ = [
+    "benchmark_loop",
+    "check_dp3d",
+    "leapfrog_step",
+    "rotated",
+    "run_leapfrog",
+    "advance_qdp",
+    "euler_step",
+    "save_checkpoint",
+    "load_checkpoint",
+]
