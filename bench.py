@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Headline benchmark: CAAR throughput in gridpoint-updates/s on one chip.
+
+Mirrors the reference's benchmark discipline (kokkos_init.cpp:108-134):
+warm-up call excluded, fence -> time -> fence around the measured loop, the
+canonical batched workload (1024 elements x 72 levels x 16 GLL, f32 fast
+path), wall seconds for num_exec CAAR evaluations. The loop runs as one XLA
+program (lax.fori_loop), the framework's real time-loop path.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is measured against the reference's own cxx/basic benchmark
+compiled -O3 on this container's host CPU (BASELINE_MEASURED.json).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nelem", type=int, default=1024)
+    ap.add_argument("--nlev", type=int, default=72)
+    ap.add_argument("--nexec", type=int, default=720)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--pallas", action="store_true", default=None,
+                    help="force the fused Pallas CAAR kernel")
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false")
+    args = ap.parse_args()
+
+    import jax
+
+    from tinman_sandbox_tpu import (
+        Config,
+        analytic_hvcoord,
+        random_geometry,
+        random_state,
+        zero_derived,
+    )
+    from tinman_sandbox_tpu.timeloop import benchmark_loop
+
+    dtype = np.dtype(args.dtype)
+    cfg = Config(nelem=args.nelem, nlev=args.nlev, dtype=args.dtype)
+    cast = lambda tree: jax.tree.map(lambda x: np.asarray(x, dtype), tree)
+    state = cast(random_state(cfg, seed=7))
+    derived = cast(zero_derived(cfg))
+    geom = cast(random_geometry(cfg, seed=8))
+    hv = analytic_hvcoord(cfg).astype(dtype)
+
+    kernel = "xla"
+    use_pallas = args.pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        try:
+            from tinman_sandbox_tpu.kernels import caar_pallas_available
+
+            if caar_pallas_available():
+                kernel = "pallas"
+        except ImportError:
+            pass
+
+    if kernel == "pallas":
+        from tinman_sandbox_tpu.kernels import benchmark_loop_pallas as loop_fn
+    else:
+        loop_fn = benchmark_loop
+
+    dt2, eta = dtype.type(0.1), dtype.type(1.0)
+
+    def run(nsteps):
+        out = loop_fn(state, derived, geom, hv, cfg, dt2, eta, nsteps=nsteps)
+        jax.block_until_ready(out)
+        return out
+
+    run(2)  # warm-up + compile (excluded, kokkos_init.cpp:108 analog)
+
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        run(args.nexec)
+        best = min(best, time.perf_counter() - t0)
+
+    points = args.nelem * args.nlev * 16 * args.nexec
+    gps = points / best
+
+    baseline = None
+    bp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BASELINE_MEASURED.json")
+    if os.path.exists(bp):
+        with open(bp) as f:
+            baseline = json.load(f).get("baseline_gridpoints_per_s")
+
+    print(json.dumps({
+        "metric": "caar_gridpoint_updates_per_s_per_chip",
+        "value": round(gps, 1),
+        "unit": "gridpoints/s",
+        "vs_baseline": round(gps / baseline, 2) if baseline else None,
+        "config": f"{args.nelem}x{args.nlev}x16 {args.dtype} nexec={args.nexec} kernel={kernel}",
+        "seconds": round(best, 4),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,4 +53,5 @@ def advance_qdp(state: State, geom: Geometry, cfg: Config, dt):
     new_qdp = euler_step(
         state.qdp[cfg.qn0], state.u[cfg.n0], state.v[cfg.n0], geom, cfg, dt
     )
-    return dataclasses.replace(state, qdp=state.qdp.at[np1_qdp].set(new_qdp))
+    qdp = jnp.asarray(state.qdp).at[np1_qdp].set(new_qdp)
+    return dataclasses.replace(state, qdp=qdp)
