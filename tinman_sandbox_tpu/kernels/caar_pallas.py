@@ -1,0 +1,297 @@
+"""Fused Pallas CAAR kernel — the TPU fast path.
+
+One kernel evaluates the whole compute_and_apply_rhs pipeline
+(routine_mod.F90:7-193 / CaarFunctor.hpp:40-562) for a block of ``eb``
+elements entirely in VMEM:
+
+  * packed layout ``[eb*16, nlev]`` (kernels/layout.py): GLL points on
+    sublanes (eb=8 -> exactly 128), levels on lanes;
+  * all Dvv contractions are 128x128 block-diagonal MXU matmuls;
+  * all three vertical recurrences are triangular-matrix matmuls on the
+    lane axis (the cumsum algebra of routine_st_fused.F90:206,251-272);
+  * everything between (metric transforms, virtual temperature, tendencies,
+    the RK-substep apply) is VPU element-wise work on the same tiles.
+
+This replaces the reference's six layout/scratch/vectorization variants
+(SURVEY §2.2-2.6) with one kernel whose only tiling parameter is ``eb``
+(Config.elem_block).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import NPSQ, Config
+from ..constants import CONSTANTS
+from ..grid import Geometry, HybridVCoord
+from ..state import Derived, State
+from .layout import (
+    META_COLS,
+    block_derivative_ops,
+    pack_field,
+    pack_meta,
+    scan_matrices,
+    unpack_field,
+)
+
+__all__ = ["caar_pallas", "caar_pallas_packed", "benchmark_loop_pallas", "pack_problem"]
+
+_MC = {name: i for i, name in enumerate(META_COLS)}
+
+
+def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth,
+                 scal_ref, dxb_ref, dyb_ref, ainc_ref, astr_ref, bstr_ref,
+                 meta_ref,
+                 u0_ref, v0_ref, t0_ref, dp0_ref,
+                 um1_ref, vm1_ref, tm1_ref, dpm1_ref,
+                 qdp_ref, pecnd_ref,
+                 vn0u_ref, vn0v_ref, omg_ref,
+                 u1_ref, v1_ref, t1_ref, dp1_ref, phi_ref,
+                 vn0u_out, vn0v_out, omg_out):
+    f32 = jnp.float32
+    dt2 = scal_ref[0, 0]
+    eta = scal_ref[0, 1]
+    hyai0ps0 = scal_ref[0, 2]
+
+    dxb = dxb_ref[:]
+    dyb = dyb_ref[:]
+
+    def dot(a, b):
+        return jax.lax.dot(a, b, preferred_element_type=f32)
+
+    def col(name):
+        return meta_ref[:, _MC[name]][:, None]       # [EB16, 1]
+
+    dinv00, dinv01 = col("dinv00"), col("dinv01")
+    dinv10, dinv11 = col("dinv10"), col("dinv11")
+    metdet, rmetdet = col("metdet"), col("rmetdet")
+    rr = f32(rrearth)
+
+    def grad(s):
+        v1 = dot(dxb, s) * rr
+        v2 = dot(dyb, s) * rr
+        return dinv00 * v1 + dinv10 * v2, dinv01 * v1 + dinv11 * v2
+
+    def div(a, b):
+        gv1 = metdet * (dinv00 * a + dinv01 * b)
+        gv2 = metdet * (dinv10 * a + dinv11 * b)
+        return (dot(dxb, gv1) + dot(dyb, gv2)) * (rmetdet * rr)
+
+    u, v = u0_ref[:], v0_ref[:]
+    t, dp = t0_ref[:], dp0_ref[:]
+
+    # 1. midpoint pressure: p = hyai0*ps0 + cumsum(dp) - dp/2
+    p = hyai0ps0 + dot(dp, ainc_ref[:]) - 0.5 * dp
+
+    # 2. grad p / v.grad p / mass flux
+    gp1, gp2 = grad(p)
+    vgrad_p = u * gp1 + v * gp2
+    vdp1, vdp2 = u * dp, v * dp
+
+    # 3. div(v*dp) + vorticity
+    divdp = div(vdp1, vdp2)
+    vco1 = col("d00") * u + col("d10") * v
+    vco2 = col("d01") * u + col("d11") * v
+    vort = (dot(dxb, vco2) - dot(dyb, vco1)) * (rmetdet * rr)
+
+    # 4. virtual temperature
+    if moist:
+        t_v = t * (1.0 + f32(rv_factor) * (qdp_ref[:] / dp))
+    else:
+        t_v = t
+
+    # 5. hydrostatic: phi = phis + revcumsum_strict(q) + q/2, q = Rgas*T_v*dp/p
+    q = f32(rgas) * t_v * (dp / p)
+    phi = col("phis") + dot(q, bstr_ref[:]) + 0.5 * q
+
+    # 6. omega/p: (vgrad_p - cumsum_strict(divdp) - divdp/2) / p
+    omega_p = (vgrad_p - dot(divdp, astr_ref[:]) - 0.5 * divdp) / p
+
+    # 8. tendencies
+    ephi = 0.5 * (u * u + v * v) + phi + pecnd_ref[:]
+    gt1, gt2 = grad(t)
+    ge1, ge2 = grad(ephi)
+    gpterm = f32(rgas) * (t_v / p)
+    fcor_vort = col("fcor") + vort
+    vtens1 = v * fcor_vort - ge1 - gpterm * gp1
+    vtens2 = -(u * fcor_vort) - ge2 - gpterm * gp2
+    ttens = -(u * gt1 + v * gt2) + f32(kappa) * t_v * omega_p
+
+    # 9. apply + accumulate
+    sph = col("spheremp")
+    u1_ref[:] = sph * (um1_ref[:] + dt2 * vtens1)
+    v1_ref[:] = sph * (vm1_ref[:] + dt2 * vtens2)
+    t1_ref[:] = sph * (tm1_ref[:] + dt2 * ttens)
+    dp1_ref[:] = sph * (dpm1_ref[:] - dt2 * divdp)
+    phi_ref[:] = phi
+    vn0u_out[:] = vn0u_ref[:] + eta * vdp1
+    vn0v_out[:] = vn0v_ref[:] + eta * vdp2
+    omg_out[:] = omg_ref[:] + eta * omega_p
+
+
+@partial(jax.jit, static_argnames=("eb", "nlev", "moist", "interpret"))
+def caar_pallas_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
+                       u0, v0, t0, dp0, um1, vm1, tm1, dpm1,
+                       qdp, pecnd, vn0u, vn0v, omg,
+                       eb: int, nlev: int, moist: bool = True,
+                       interpret: bool = False):
+    """Run the fused kernel on packed [E16, nlev] arrays.
+
+    Returns (u1, v1, t1, dp1, phi, vn0u', vn0v', omega_p').
+    """
+    e16 = u0.shape[0]
+    eb16 = eb * NPSQ
+    assert e16 % eb16 == 0, (e16, eb16)
+    nblocks = e16 // eb16
+    k = nlev
+    f = jnp.float32
+
+    fld = lambda: pl.BlockSpec((eb16, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((e16, k), f) for _ in range(8)]
+
+    kernel = partial(
+        _caar_kernel, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
+        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
+    )
+    flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            rep((eb16, eb16)), rep((eb16, eb16)),
+            rep((k, k)), rep((k, k)), rep((k, k)),
+            pl.BlockSpec((eb16, len(META_COLS)), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            fld(), fld(), fld(), fld(),          # n0
+            fld(), fld(), fld(), fld(),          # nm1
+            fld(), fld(),                        # qdp, pecnd
+            fld(), fld(), fld(),                 # accumulators
+        ],
+        out_specs=[fld() for _ in range(8)],
+        out_shape=out_shape,
+        input_output_aliases={17: 5, 18: 6, 19: 7},
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * flops_per_block,
+            bytes_accessed=(14 + 8) * e16 * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scal, dxb, dyb, ainc, astr, bstr, meta,
+      u0, v0, t0, dp0, um1, vm1, tm1, dpm1, qdp, pecnd, vn0u, vn0v, omg)
+
+
+def pack_problem(state: State, derived: Derived, geom: Geometry,
+                 hv: HybridVCoord, cfg: Config, dtype=jnp.float32):
+    """Pack state/derived/geometry into the kernel layout. Returns a dict."""
+    eb = cfg.elem_block
+    f = lambda x: jnp.asarray(x, dtype)
+    dxb, dyb = block_derivative_ops(eb, geom.dvv, np.float32)
+    ainc, astr, bstr = scan_matrices(cfg.nlev, np.float32)
+    meta = pack_meta(geom, state.phis, dtype)
+    n0, nm1, qn0 = cfg.n0, cfg.nm1, cfg.qn0
+    return dict(
+        dxb=f(dxb), dyb=f(dyb), ainc=f(ainc), astr=f(astr), bstr=f(bstr),
+        meta=f(meta),
+        u0=pack_field(f(state.u[n0])), v0=pack_field(f(state.v[n0])),
+        t0=pack_field(f(state.t[n0])), dp0=pack_field(f(state.dp3d[n0])),
+        um1=pack_field(f(state.u[nm1])), vm1=pack_field(f(state.v[nm1])),
+        tm1=pack_field(f(state.t[nm1])), dpm1=pack_field(f(state.dp3d[nm1])),
+        qdp=pack_field(f(state.qdp[qn0, :, 0])),
+        pecnd=pack_field(f(derived.pecnd)),
+        vn0u=pack_field(f(derived.vn0_u)), vn0v=pack_field(f(derived.vn0_v)),
+        omg=pack_field(f(derived.omega_p)),
+    )
+
+
+def _scalars(dt2, eta_ave_w, hv, dtype=jnp.float32):
+    return jnp.stack([
+        jnp.asarray(dt2, dtype), jnp.asarray(eta_ave_w, dtype),
+        jnp.asarray(hv.hyai[0] * hv.ps0, dtype), jnp.zeros((), dtype),
+    ]).reshape(1, 4)
+
+
+def caar_pallas(state: State, derived: Derived, geom: Geometry,
+                hv: HybridVCoord, cfg: Config, dt2, eta_ave_w,
+                moist: bool = True, interpret: bool = False):
+    """Full-state wrapper with the same contract as kernels.caar_xla
+    (pack -> fused kernel -> unpack). f32 fast path."""
+    p = pack_problem(state, derived, geom, hv, cfg)
+    scal = _scalars(dt2, eta_ave_w, hv)
+    u1, v1, t1, dp1, phi, vn0u, vn0v, omg = caar_pallas_packed(
+        scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"], p["meta"],
+        p["u0"], p["v0"], p["t0"], p["dp0"],
+        p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+        p["qdp"], p["pecnd"], p["vn0u"], p["vn0v"], p["omg"],
+        eb=cfg.elem_block, nlev=cfg.nlev, moist=moist, interpret=interpret,
+    )
+    ne = cfg.nelem
+    np1 = cfg.np1
+    f = lambda x: jnp.asarray(x, u1.dtype)
+    new_state = dataclasses.replace(
+        state,
+        u=f(state.u).at[np1].set(unpack_field(u1, ne)),
+        v=f(state.v).at[np1].set(unpack_field(v1, ne)),
+        t=f(state.t).at[np1].set(unpack_field(t1, ne)),
+        dp3d=f(state.dp3d).at[np1].set(unpack_field(dp1, ne)),
+    )
+    new_derived = dataclasses.replace(
+        derived,
+        vn0_u=unpack_field(vn0u, ne), vn0_v=unpack_field(vn0v, ne),
+        phi=unpack_field(phi, ne), omega_p=unpack_field(omg, ne),
+    )
+    return new_state, new_derived
+
+
+@partial(jax.jit, static_argnames=("cfg", "nsteps", "moist"))
+def benchmark_loop_pallas(state: State, derived: Derived, geom: Geometry,
+                          hv: HybridVCoord, cfg: Config, dt2, eta_ave_w,
+                          nsteps: int, moist: bool = True):
+    """nsteps fused-kernel CAAR evaluations on the packed layout (pack once,
+    loop entirely in kernel layout) — the Pallas analog of
+    timeloop.benchmark_loop, same (state, derived) contract."""
+    p = pack_problem(state, derived, geom, hv, cfg)
+    scal = _scalars(dt2, eta_ave_w, hv)
+    const = (p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"], p["meta"],
+             p["u0"], p["v0"], p["t0"], p["dp0"],
+             p["um1"], p["vm1"], p["tm1"], p["dpm1"], p["qdp"], p["pecnd"])
+
+    def body(_, carry):
+        vn0u, vn0v, omg, _u, _v, _t, _dp, _phi = carry
+        u1, v1, t1, dp1, phi, vn0u, vn0v, omg = caar_pallas_packed(
+            scal, *const, vn0u, vn0v, omg,
+            eb=cfg.elem_block, nlev=cfg.nlev, moist=moist,
+        )
+        return vn0u, vn0v, omg, u1, v1, t1, dp1, phi
+
+    z = p["vn0u"]
+    init = (p["vn0u"], p["vn0v"], p["omg"],
+            jnp.zeros_like(z), jnp.zeros_like(z), jnp.zeros_like(z),
+            jnp.zeros_like(z), jnp.zeros_like(z))
+    vn0u, vn0v, omg, u1, v1, t1, dp1, phi = jax.lax.fori_loop(
+        0, nsteps, body, init
+    )
+    ne, np1 = cfg.nelem, cfg.np1
+    f = lambda x: jnp.asarray(x, u1.dtype)
+    new_state = dataclasses.replace(
+        state,
+        u=f(state.u).at[np1].set(unpack_field(u1, ne)),
+        v=f(state.v).at[np1].set(unpack_field(v1, ne)),
+        t=f(state.t).at[np1].set(unpack_field(t1, ne)),
+        dp3d=f(state.dp3d).at[np1].set(unpack_field(dp1, ne)),
+    )
+    new_derived = dataclasses.replace(
+        derived,
+        vn0_u=unpack_field(vn0u, ne), vn0_v=unpack_field(vn0v, ne),
+        phi=unpack_field(phi, ne), omega_p=unpack_field(omg, ne),
+    )
+    return new_state, new_derived
