@@ -4,8 +4,8 @@
 Mirrors the reference's benchmark discipline (kokkos_init.cpp:108-134):
 warm-up call excluded, fence -> time -> fence around the measured loop, the
 canonical batched workload (1024 elements x 72 levels x 16 GLL, f32 fast
-path), wall seconds for num_exec CAAR evaluations. The loop runs as one XLA
-program (lax.fori_loop), the framework's real time-loop path.
+path), wall seconds for num_exec CAAR evaluations, one kernel dispatch per
+iteration chained through the derived accumulators.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -30,6 +30,7 @@ def main() -> None:
     ap.add_argument("--nexec", type=int, default=720)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--eb", type=int, default=16, help="elements per Pallas block")
     ap.add_argument("--pallas", action="store_true", default=None,
                     help="force the fused Pallas CAAR kernel")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
@@ -44,10 +45,9 @@ def main() -> None:
         random_state,
         zero_derived,
     )
-    from tinman_sandbox_tpu.timeloop import benchmark_loop
-
     dtype = np.dtype(args.dtype)
-    cfg = Config(nelem=args.nelem, nlev=args.nlev, dtype=args.dtype)
+    cfg = Config(nelem=args.nelem, nlev=args.nlev, dtype=args.dtype,
+                 elem_block=args.eb)
     cast = lambda tree: jax.tree.map(lambda x: np.asarray(x, dtype), tree)
     state = cast(random_state(cfg, seed=7))
     derived = cast(zero_derived(cfg))
@@ -67,17 +67,39 @@ def main() -> None:
         except ImportError:
             pass
 
-    if kernel == "pallas":
-        from tinman_sandbox_tpu.kernels import benchmark_loop_pallas as loop_fn
-    else:
-        loop_fn = benchmark_loop
-
     dt2, eta = dtype.type(0.1), dtype.type(1.0)
 
-    def run(nsteps):
-        out = loop_fn(state, derived, geom, hv, cfg, dt2, eta, nsteps=nsteps)
-        jax.block_until_ready(out)
-        return out
+    # Per-call dispatch chained through the derived accumulators — the
+    # reference's own methodology (one parallel_for dispatch per iteration,
+    # kokkos_init.cpp:123-134; time levels stay fixed so each call reads the
+    # same prognostic state, exactly like the reference loop).
+    if kernel == "pallas":
+        from tinman_sandbox_tpu.kernels.caar_pallas import (
+            _scalars, caar_pallas_packed, pack_problem,
+        )
+
+        p = pack_problem(state, derived, geom, hv, cfg)
+        scal = _scalars(dt2, eta, hv)
+        const = (scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"],
+                 p["meta"], p["u0"], p["v0"], p["t0"], p["dp0"],
+                 p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+                 p["qdp"], p["pecnd"])
+
+        def run(nsteps):
+            acc = (p["vn0u"], p["vn0v"], p["omg"])
+            for _ in range(nsteps):
+                o = caar_pallas_packed(*const, *acc, eb=cfg.elem_block,
+                                       nlev=cfg.nlev)
+                acc = (o[5], o[6], o[7])
+            jax.block_until_ready(o)
+    else:
+        from tinman_sandbox_tpu.kernels import caar_xla as caar_xla_step
+
+        def run(nsteps):
+            s, d = state, derived
+            for _ in range(nsteps):
+                s, d = caar_xla_step(s, d, geom, hv, cfg, dt2, eta)
+            jax.block_until_ready((s, d))
 
     run(2)  # warm-up + compile (excluded, kokkos_init.cpp:108 analog)
 
