@@ -1,0 +1,17 @@
+"""Distribution layer: cubed-sphere mesh, DSS assembly, element sharding."""
+
+from .cubed_sphere import CubedSphere, build_cubed_sphere
+from .dss import dss_project, dss_scaled, dss_sum
+from .sharding import make_mesh, shard_problem
+from .step import caar_dss_step
+
+__all__ = [
+    "CubedSphere",
+    "build_cubed_sphere",
+    "dss_sum",
+    "dss_scaled",
+    "dss_project",
+    "make_mesh",
+    "shard_problem",
+    "caar_dss_step",
+]
