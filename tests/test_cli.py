@@ -1,0 +1,42 @@
+"""CLI driver smoke tests (subprocess-free: call main() directly)."""
+import numpy as np
+
+from tinman_sandbox_tpu.cli import main
+
+
+def test_cli_analytic_golden(capsys, tmp_path):
+    rc = main(["--num-elems", "3", "--num-exec", "3", "--kernel", "xla",
+               "--golden-check",
+               "--timing-file", str(tmp_path / "Timing.dat"),
+               "--checkpoint", str(tmp_path / "ck.npz")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "golden diffs" in out
+    # golden diffs ~1e-7 for the analytic f64 run
+    t_diff = float(out.split("golden diffs: T")[1].split()[0])
+    assert t_diff < 1e-6
+    assert (tmp_path / "Timing.dat").exists()
+    assert (tmp_path / "ck.npz").exists()
+
+
+def test_cli_restore_and_dump(capsys, tmp_path):
+    ck = str(tmp_path / "ck.npz")
+    assert main(["--num-elems", "2", "--nlev", "6", "--num-exec", "2",
+                 "--kernel", "xla", "--leapfrog", "--checkpoint", ck]) == 0
+    import os
+
+    os.chdir(tmp_path)  # dump into tmp
+    assert main(["--num-elems", "2", "--nlev", "6", "--num-exec", "1",
+                 "--kernel", "xla", "--leapfrog", "--restore", ck,
+                 "--dump-res", "yes"]) == 0
+    out = capsys.readouterr().out
+    assert "restored step 2" in out
+    assert (tmp_path / "elem_state_t.txt").exists()
+
+
+def test_cli_dss_cubed_sphere(capsys):
+    rc = main(["--ne", "2", "--nlev", "5", "--num-exec", "2", "--init",
+               "random", "--dss", "--leapfrog"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "24 elements" in out

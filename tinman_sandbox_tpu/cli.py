@@ -1,0 +1,189 @@
+"""Command-line driver — the reference's benchmark mains as one CLI.
+
+Covers the flag surface of cxx/basic/main.cpp:36-91 (--tinman-num-elems /
+--tinman-num-exec / --tinman-dump-res), fortran/main.F90:15-20 (positional
+nelemd), and kokkos_init.cpp:87-103, plus framework-specific options
+(kernel selection, dtype, cubed-sphere mode, checkpointing).
+
+    python -m tinman_sandbox_tpu --num-elems 32 --num-exec 720
+    python -m tinman_sandbox_tpu --ne 8 --dss --num-exec 100 --leapfrog
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="tinman_sandbox_tpu",
+        description="TPU-native HOMME CAAR dynamical-core sandbox",
+    )
+    ap.add_argument("--num-elems", "--tinman-num-elems", type=int, default=10,
+                    dest="num_elems")
+    ap.add_argument("--num-exec", "--tinman-num-exec", type=int, default=1,
+                    dest="num_exec")
+    ap.add_argument("--dump-res", "--tinman-dump-res", default="no",
+                    choices=("yes", "no"), dest="dump_res")
+    ap.add_argument("--ne", type=int, default=None,
+                    help="cubed-sphere resolution (overrides --num-elems)")
+    ap.add_argument("--nlev", type=int, default=72)
+    ap.add_argument("--qsize", type=int, default=1)
+    ap.add_argument("--dt", type=float, default=600.0)
+    ap.add_argument("--dtype", default="float64",
+                    help="float64 (oracle, CPU) or float32 (fast path)")
+    ap.add_argument("--kernel", default="auto",
+                    choices=("auto", "xla", "pallas"))
+    ap.add_argument("--init", default="analytic",
+                    choices=("analytic", "random"),
+                    help="analytic = golden-comparable init (main.F90:103-154)")
+    ap.add_argument("--leapfrog", action="store_true",
+                    help="rotate time levels each step (real integration)")
+    ap.add_argument("--dss", action="store_true",
+                    help="assemble shared dofs each step (needs --ne)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="write a checkpoint here at the end")
+    ap.add_argument("--restore", default=None,
+                    help="resume from this checkpoint")
+    ap.add_argument("--timing-file", default=None,
+                    help="write named-region timer summary (Timing.dat analog)")
+    ap.add_argument("--golden-check", action="store_true",
+                    help="compare element 1 vs test_mod.F90 golden arrays")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+        if jax.default_backend() == "tpu":
+            print(" --- float64 on TPU uses emulation; CPU recommended for the oracle path")
+
+    from . import (
+        Config, analytic_derived, analytic_geometry, analytic_hvcoord,
+        analytic_state, random_geometry, random_state, zero_derived,
+    )
+    from .ops.norms import dump_results, print_results_2norm
+    from .profiling import timers
+
+    dtype = np.dtype(args.dtype)
+    cs = None
+    if args.ne is not None:
+        from .dist import build_cubed_sphere
+
+        cs = build_cubed_sphere(args.ne)
+        nelem = cs.nelem
+    else:
+        nelem = args.num_elems
+    cfg = Config(nelem=nelem, nlev=args.nlev, qsize=args.qsize, dt=args.dt,
+                 dtype=args.dtype)
+
+    cast = lambda tree: jax.tree.map(lambda x: np.asarray(x, dtype), tree)
+    if args.init == "analytic":
+        state, derived = cast(analytic_state(cfg)), cast(analytic_derived(cfg))
+    else:
+        state, derived = cast(random_state(cfg, seed=7)), cast(zero_derived(cfg))
+    geom = cast(cs.geometry) if cs is not None else (
+        cast(analytic_geometry(cfg)) if args.init == "analytic"
+        else cast(random_geometry(cfg, seed=8))
+    )
+    hv = analytic_hvcoord(cfg).astype(dtype)
+
+    step = 0
+    if args.restore:
+        from .timeloop import load_checkpoint
+
+        state, derived, cfg, step = load_checkpoint(args.restore, cfg)
+        print(f" --- restored step {step} from {args.restore}")
+
+    use_pallas = args.kernel == "pallas" or (
+        args.kernel == "auto" and jax.default_backend() == "tpu"
+        and args.dtype == "float32" and not args.dss
+    )
+    print(f" --- {args.num_exec} executions on {nelem} elements x {cfg.nlev} "
+          f"levels ({'pallas' if use_pallas else 'xla'} kernel, {args.dtype})")
+    print_results_2norm(state, "Initial")
+
+    dt2 = dtype.type(1.0 if args.init == "analytic" else args.dt)
+    eta = dtype.type(1.0)
+
+    import jax.numpy as jnp
+
+    from .kernels import caar_xla
+    from .timeloop import check_dp3d, rotated
+
+    if args.dss:
+        if cs is None:
+            print("error: --dss requires --ne", file=sys.stderr)
+            return 1
+        from .dist import caar_dss_step
+
+        gdof = jnp.asarray(cs.gdof)
+
+        def one_step(s, d, c):
+            return caar_dss_step(s, d, geom, hv, gdof, cs.ndof, c, dt2, eta)
+    elif use_pallas:
+        from .kernels.caar_pallas import caar_pallas
+
+        def one_step(s, d, c):
+            return caar_pallas(s, d, geom, hv, c, dt2, eta)
+    else:
+        def one_step(s, d, c):
+            return caar_xla(s, d, geom, hv, c, dt2, eta)
+
+    # warm-up (compile), excluded like the reference's burn-in (main.cpp:108)
+    one_step(state, derived, cfg)
+
+    timers.start("main loop")
+    t0 = time.perf_counter()
+    c = cfg
+    for _ in range(args.num_exec):
+        timers.start("caar compute")
+        state, derived = one_step(state, derived, c)
+        if args.leapfrog:
+            c = rotated(c)
+        timers.stop("caar compute")
+    jax.block_until_ready((state, derived))
+    wall = time.perf_counter() - t0
+    timers.stop("main loop")
+    step += args.num_exec
+
+    print_results_2norm(state, "Final")
+    ok, mn = check_dp3d(state, c)
+    if not bool(ok):
+        print(f" --- WARNING: dp3d positivity violated (min {float(mn):.3e})")
+
+    if args.golden_check and args.init == "analytic" and not args.leapfrog:
+        from .golden import golden_caar
+
+        gold = golden_caar()
+        t_diff = float(np.max(np.abs(np.asarray(state.t[c.np1, 0]) - gold["T"])))
+        u_diff = float(np.max(np.abs(np.asarray(state.u[c.np1, 0]) - gold["v1"])))
+        v_diff = float(np.max(np.abs(np.asarray(state.v[c.np1, 0]) - gold["v2"])))
+        print(f" --- golden diffs: T {t_diff:.3e}  u {u_diff:.3e}  v {v_diff:.3e}")
+
+    gps = nelem * cfg.nlev * 16 * args.num_exec / wall
+    print(f" ---> compute_and_apply_rhs execution total time: {wall:.9f} s "
+          f"({gps/1e6:.1f} Mgridpoints/s)")
+
+    if args.dump_res == "yes":
+        for p in dump_results(state, c):
+            print(f" --- dumped {p}")
+    if args.checkpoint:
+        from .timeloop import save_checkpoint
+
+        save_checkpoint(args.checkpoint, state, derived, c, step)
+        print(f" --- checkpoint written to {args.checkpoint}")
+    if args.timing_file:
+        timers.summary(args.timing_file)
+        print(f" --- timing summary written to {args.timing_file}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
