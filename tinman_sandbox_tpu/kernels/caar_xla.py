@@ -19,10 +19,12 @@ from ..constants import CONSTANTS
 from ..grid import Geometry, HybridVCoord
 from ..ops import (
     divergence_sphere,
+    eta_dot_dpdn_rsplit0,
     gradient_sphere,
     midpoint_pressure,
     preq_hydrostatic,
     preq_omega_ps,
+    preq_vertadv,
     virtual_temperature,
     vorticity_sphere,
 )
@@ -79,6 +81,18 @@ def caar_xla(
     phi = preq_hydrostatic(state.phis, t_v, p, dp, c.Rgas)
     omega_p = preq_omega_ps(p, vgrad_p, divdp)
 
+    # vertical mass flux + advection: rsplit>0 is vertically-Lagrangian
+    # (eta_dot_dpdn = T_vadv = v_vadv = 0, routine_mod.F90:121-124); rsplit=0
+    # is the full eta-coordinate path (routine_extracted.F90:224-260)
+    if cfg.rsplit > 0:
+        t_vadv = u_vadv = v_vadv = jnp.zeros_like(t)
+        eta_dot = jnp.zeros_like(derived.eta_dot_dpdn)
+        d_eta_int = 0.0
+    else:
+        eta_dot, _ = eta_dot_dpdn_rsplit0(divdp, hv.hybi)
+        t_vadv, u_vadv, v_vadv = preq_vertadv(t, u, v, eta_dot, 1.0 / dp)
+        d_eta_int = eta_dot[:, 1:] - eta_dot[:, :-1]
+
     # tendencies (routine_mod.F90:140-177)
     ephi = 0.5 * (u * u + v * v) + phi + derived.pecnd
     grad_t1, grad_t2 = gradient_sphere(t, dvv, dinv, rr)
@@ -86,17 +100,20 @@ def caar_xla(
     gephi1, gephi2 = gradient_sphere(ephi, dvv, dinv, rr)
     gpterm = c.Rgas * (t_v / p)
     fcor_vort = fcor + vort
-    vtens1 = v * fcor_vort - gephi1 - gpterm * grad_p1
-    vtens2 = -(u * fcor_vort) - gephi2 - gpterm * grad_p2
-    ttens = -vgrad_t + c.kappa * t_v * omega_p
+    vtens1 = -u_vadv + v * fcor_vort - gephi1 - gpterm * grad_p1
+    vtens2 = -v_vadv - (u * fcor_vort) - gephi2 - gpterm * grad_p2
+    ttens = -t_vadv - vgrad_t + c.kappa * t_v * omega_p
 
-    # apply (routine_mod.F90:182-190); vertically-Lagrangian: no eta term
+    # apply (routine_mod.F90:182-190; dp3d with the interface-flux stencil,
+    # routine_extracted.F90:517)
     new_state = dataclasses.replace(
         state,
         u=state.u.at[np1].set(sph * (state.u[nm1] + dt2 * vtens1)),
         v=state.v.at[np1].set(sph * (state.v[nm1] + dt2 * vtens2)),
         t=state.t.at[np1].set(sph * (state.t[nm1] + dt2 * ttens)),
-        dp3d=state.dp3d.at[np1].set(sph * (state.dp3d[nm1] - dt2 * divdp)),
+        dp3d=state.dp3d.at[np1].set(
+            sph * (state.dp3d[nm1] - dt2 * (divdp + d_eta_int))
+        ),
     )
     new_derived = dataclasses.replace(
         derived,
@@ -104,5 +121,6 @@ def caar_xla(
         vn0_v=derived.vn0_v + eta_ave_w * vdp2,
         phi=phi,
         omega_p=derived.omega_p + eta_ave_w * omega_p,
+        eta_dot_dpdn=derived.eta_dot_dpdn + eta_ave_w * eta_dot,
     )
     return new_state, new_derived

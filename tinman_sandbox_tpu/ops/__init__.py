@@ -12,7 +12,14 @@ from .sphere import (
     vlaplace_sphere_wk_contra,
     vorticity_sphere,
 )
-from .scans import midpoint_pressure, preq_hydrostatic, preq_omega_ps
+from .norms import dump_results, kahan_norm, print_results_2norm, state_norms
+from .scans import (
+    eta_dot_dpdn_rsplit0,
+    midpoint_pressure,
+    preq_hydrostatic,
+    preq_omega_ps,
+    preq_vertadv,
+)
 from .thermo import virtual_temperature
 
 __all__ = [
@@ -32,4 +39,10 @@ __all__ = [
     "preq_hydrostatic",
     "preq_omega_ps",
     "virtual_temperature",
+    "eta_dot_dpdn_rsplit0",
+    "preq_vertadv",
+    "kahan_norm",
+    "state_norms",
+    "print_results_2norm",
+    "dump_results",
 ]
