@@ -30,7 +30,7 @@ def main() -> None:
     ap.add_argument("--nexec", type=int, default=720)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--eb", type=int, default=16, help="elements per Pallas block")
+    ap.add_argument("--eb", type=int, default=8, help="elements per Pallas block")
     ap.add_argument("--pallas", action="store_true", default=None,
                     help="force the fused Pallas CAAR kernel")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
@@ -86,20 +86,23 @@ def main() -> None:
                  p["qdp"], p["pecnd"])
 
         def run(nsteps):
+            import jax.numpy as jnp
+
             acc = (p["vn0u"], p["vn0v"], p["omg"])
             for _ in range(nsteps):
                 o = caar_pallas_packed(*const, *acc, eb=cfg.elem_block,
                                        nlev=cfg.nlev)
                 acc = (o[5], o[6], o[7])
-            jax.block_until_ready(o)
+            # device-to-host readback forces REAL completion (through the
+            # remote-TPU tunnel block_until_ready can return early)
+            float(jnp.sum(o[0][:: max(1, o[0].shape[0] // 8)]))
     else:
-        from tinman_sandbox_tpu.kernels import caar_xla as caar_xla_step
+        from tinman_sandbox_tpu.timeloop import benchmark_loop
 
         def run(nsteps):
-            s, d = state, derived
-            for _ in range(nsteps):
-                s, d = caar_xla_step(s, d, geom, hv, cfg, dt2, eta)
-            jax.block_until_ready((s, d))
+            s, d = benchmark_loop(state, derived, geom, hv, cfg, dt2, eta,
+                                  nsteps=nsteps)
+            float(s.t[cfg.np1, 0, 0, 0, 0])
 
     run(2)  # warm-up + compile (excluded, kokkos_init.cpp:108 analog)
 

@@ -43,7 +43,7 @@ class Config:
 
     # -- backend/dispatch --
     use_pallas: bool = True           # fused Pallas kernels where available
-    elem_block: int = 16             # elements per Pallas block (16*16 GLL = 256 sublanes)
+    elem_block: int = 8              # elements per Pallas block (8*16 GLL = 128 sublanes)
 
     # -- distribution --
     mesh_shape: Tuple[int, ...] = (1,)

@@ -135,12 +135,111 @@ def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth,
     omg_out[:] = omg_ref[:] + eta * omega_p
 
 
-@partial(jax.jit, static_argnames=("eb", "nlev", "moist", "interpret"))
+def _caar_kernel_fused(moist, rgas, kappa, rv_factor, rrearth,
+                       scal_ref, dxb_ref, dyb_ref, ainc_ref, astr_ref,
+                       bstr_ref, meta_ref,
+                       u0_ref, v0_ref, t0_ref, dp0_ref,
+                       um1_ref, vm1_ref, tm1_ref, dpm1_ref,
+                       qdp_ref, pecnd_ref,
+                       vn0u_ref, vn0v_ref, omg_ref,
+                       u1_ref, v1_ref, t1_ref, dp1_ref, phi_ref,
+                       vn0u_out, vn0v_out, omg_out):
+    """Same math as _caar_kernel with the derivative/scan matmuls batched:
+    independent fields are concatenated along the lane axis so the MXU sees
+    a few large contractions instead of 16 narrow (N=72) ones."""
+    f32 = jnp.float32
+    dt2 = scal_ref[0, 0]
+    eta = scal_ref[0, 1]
+    hyai0ps0 = scal_ref[0, 2]
+    k = u0_ref.shape[1]
+
+    dxb = dxb_ref[:]
+    dyb = dyb_ref[:]
+
+    def dot(a, b):
+        return jax.lax.dot(a, b, preferred_element_type=f32)
+
+    def col(name):
+        return meta_ref[:, _MC[name]][:, None]
+
+    dinv00, dinv01 = col("dinv00"), col("dinv01")
+    dinv10, dinv11 = col("dinv10"), col("dinv11")
+    metdet, rmetdet = col("metdet"), col("rmetdet")
+    rr = f32(rrearth)
+
+    u, v = u0_ref[:], v0_ref[:]
+    t, dp = t0_ref[:], dp0_ref[:]
+
+    # pressure scan (one lane matmul)
+    p = hyai0ps0 + dot(dp, ainc_ref[:]) - 0.5 * dp
+
+    vdp1, vdp2 = u * dp, v * dp
+    gv1 = metdet * (dinv00 * vdp1 + dinv01 * vdp2)
+    gv2 = metdet * (dinv10 * vdp1 + dinv11 * vdp2)
+    vco1 = col("d00") * u + col("d10") * v
+    vco2 = col("d01") * u + col("d11") * v
+
+    # batched derivatives: one DX and one DY matmul for 4 fields each
+    dx_all = dot(dxb, jnp.concatenate([p, t, gv1, vco2], axis=1))
+    dy_all = dot(dyb, jnp.concatenate([p, t, gv2, vco1], axis=1))
+    dxp, dxt, dxgv1, dxvco2 = (dx_all[:, i * k:(i + 1) * k] for i in range(4))
+    dyp, dyt, dygv2, dyvco1 = (dy_all[:, i * k:(i + 1) * k] for i in range(4))
+
+    def latlon(dx_s, dy_s):
+        v1 = dx_s * rr
+        v2 = dy_s * rr
+        return dinv00 * v1 + dinv10 * v2, dinv01 * v1 + dinv11 * v2
+
+    gp1, gp2 = latlon(dxp, dyp)
+    gt1, gt2 = latlon(dxt, dyt)
+    vgrad_p = u * gp1 + v * gp2
+    divdp = (dxgv1 + dygv2) * (rmetdet * rr)
+    vort = (dxvco2 - dyvco1) * (rmetdet * rr)
+
+    if moist:
+        t_v = t * (1.0 + f32(rv_factor) * (qdp_ref[:] / dp))
+    else:
+        t_v = t
+
+    # both vertical scans in one matmul with a block-diagonal scan operator
+    q = f32(rgas) * t_v * (dp / p)
+    zk = jnp.zeros((k, k), f32)
+    sblk = jnp.concatenate([
+        jnp.concatenate([bstr_ref[:], zk], axis=1),
+        jnp.concatenate([zk, astr_ref[:]], axis=1),
+    ], axis=0)
+    scans = dot(jnp.concatenate([q, divdp], axis=1), sblk)
+    rev_q, cum_div = scans[:, :k], scans[:, k:]
+    phi = col("phis") + rev_q + 0.5 * q
+    omega_p = (vgrad_p - cum_div - 0.5 * divdp) / p
+
+    ephi = 0.5 * (u * u + v * v) + phi + pecnd_ref[:]
+    ge1, ge2 = latlon(dot(dxb, ephi), dot(dyb, ephi))
+
+    gpterm = f32(rgas) * (t_v / p)
+    fcor_vort = col("fcor") + vort
+    vtens1 = v * fcor_vort - ge1 - gpterm * gp1
+    vtens2 = -(u * fcor_vort) - ge2 - gpterm * gp2
+    ttens = -(u * gt1 + v * gt2) + f32(kappa) * t_v * omega_p
+
+    sph = col("spheremp")
+    u1_ref[:] = sph * (um1_ref[:] + dt2 * vtens1)
+    v1_ref[:] = sph * (vm1_ref[:] + dt2 * vtens2)
+    t1_ref[:] = sph * (tm1_ref[:] + dt2 * ttens)
+    dp1_ref[:] = sph * (dpm1_ref[:] - dt2 * divdp)
+    phi_ref[:] = phi
+    vn0u_out[:] = vn0u_ref[:] + eta * vdp1
+    vn0v_out[:] = vn0v_ref[:] + eta * vdp2
+    omg_out[:] = omg_ref[:] + eta * omega_p
+
+
+@partial(jax.jit,
+         static_argnames=("eb", "nlev", "moist", "interpret", "fused"))
 def caar_pallas_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
                        u0, v0, t0, dp0, um1, vm1, tm1, dpm1,
                        qdp, pecnd, vn0u, vn0v, omg,
                        eb: int, nlev: int, moist: bool = True,
-                       interpret: bool = False):
+                       interpret: bool = False, fused: bool = False):
     """Run the fused kernel on packed [E16, nlev] arrays.
 
     Returns (u1, v1, t1, dp1, phi, vn0u', vn0v', omega_p').
@@ -159,8 +258,8 @@ def caar_pallas_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
     out_shape = [jax.ShapeDtypeStruct((e16, k), f) for _ in range(8)]
 
     kernel = partial(
-        _caar_kernel, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
-        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
+        _caar_kernel_fused if fused else _caar_kernel, moist, CONSTANTS.Rgas,
+        CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
     )
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
     return pl.pallas_call(
