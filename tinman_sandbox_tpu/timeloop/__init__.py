@@ -2,6 +2,7 @@
 
 from .checkpoint import load_checkpoint, save_checkpoint
 from .driver import benchmark_loop, check_dp3d, leapfrog_step, rotated, run_leapfrog
+from .hyperviscosity import apply_hyperviscosity, biharmonic_wk
 from .tracer import advance_qdp, euler_step
 
 __all__ = [
@@ -14,4 +15,6 @@ __all__ = [
     "euler_step",
     "save_checkpoint",
     "load_checkpoint",
+    "apply_hyperviscosity",
+    "biharmonic_wk",
 ]
