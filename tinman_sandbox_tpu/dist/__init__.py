@@ -2,6 +2,7 @@
 
 from .cubed_sphere import CubedSphere, build_cubed_sphere
 from .dss import dss_project, dss_scaled, dss_sum
+from .halo import DssPlan, dss_scaled_halo, dss_sum_halo, make_dss_plan
 from .sharding import make_mesh, shard_problem
 from .step import caar_dss_step
 
@@ -14,4 +15,8 @@ __all__ = [
     "make_mesh",
     "shard_problem",
     "caar_dss_step",
+    "DssPlan",
+    "make_dss_plan",
+    "dss_sum_halo",
+    "dss_scaled_halo",
 ]
