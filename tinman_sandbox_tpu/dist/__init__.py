@@ -4,7 +4,7 @@ from .cubed_sphere import CubedSphere, build_cubed_sphere
 from .dss import dss_project, dss_scaled, dss_sum
 from .halo import DssPlan, dss_scaled_halo, dss_sum_halo, make_dss_plan
 from .sharding import make_mesh, shard_problem
-from .step import caar_dss_step
+from .step import caar_dss_step, caar_halo_step
 
 __all__ = [
     "CubedSphere",
@@ -15,6 +15,7 @@ __all__ = [
     "make_mesh",
     "shard_problem",
     "caar_dss_step",
+    "caar_halo_step",
     "DssPlan",
     "make_dss_plan",
     "dss_sum_halo",

@@ -39,13 +39,39 @@ def caar_dss_step(
     state, derived = caar_xla(
         state, derived, geom, hv, cfg, dt2, eta_ave_w, moist=moist
     )
-    np1 = cfg.np1
     assemble = lambda x: dss_scaled(x, gdof, ndof, geom.rspheremp)
-    state = dataclasses.replace(
+    return _assemble_np1(state, cfg, assemble), derived
+
+
+def _assemble_np1(state: State, cfg: Config, assemble):
+    np1 = cfg.np1
+    return dataclasses.replace(
         state,
         u=state.u.at[np1].set(assemble(state.u[np1])),
         v=state.v.at[np1].set(assemble(state.v[np1])),
         t=state.t.at[np1].set(assemble(state.t[np1])),
         dp3d=state.dp3d.at[np1].set(assemble(state.dp3d[np1])),
     )
-    return state, derived
+
+
+def caar_halo_step(
+    state: State,
+    derived: Derived,
+    geom: Geometry,
+    hv: HybridVCoord,
+    plan,
+    mesh,
+    cfg: Config,
+    dt2,
+    eta_ave_w,
+    moist: bool = True,
+):
+    """caar_dss_step with the explicit-collective halo DSS (dist/halo.py):
+    per-shard local assembly + one psum of the partition-perimeter dofs."""
+    from .halo import dss_scaled_halo
+
+    state, derived = caar_xla(
+        state, derived, geom, hv, cfg, dt2, eta_ave_w, moist=moist
+    )
+    assemble = lambda x: dss_scaled_halo(x, plan, mesh, geom.rspheremp)
+    return _assemble_np1(state, cfg, assemble), derived
