@@ -12,6 +12,7 @@ from .sphere import (
     vlaplace_sphere_wk_contra,
     vorticity_sphere,
 )
+from .diagnostics import energy_diagnostics, global_integral
 from .norms import dump_results, kahan_norm, print_results_2norm, state_norms
 from .scans import (
     eta_dot_dpdn_rsplit0,
@@ -45,4 +46,6 @@ __all__ = [
     "state_norms",
     "print_results_2norm",
     "dump_results",
+    "energy_diagnostics",
+    "global_integral",
 ]
