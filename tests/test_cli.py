@@ -40,3 +40,12 @@ def test_cli_dss_cubed_sphere(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "24 elements" in out
+
+
+def test_cli_rk_hypervis_diag(capsys):
+    rc = main(["--ne", "2", "--nlev", "4", "--num-exec", "2", "--init",
+               "random", "--rk", "--leapfrog", "--diag",
+               "--hypervis-nu", "1e12", "--dt", "10"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "initial diagnostics" in out and "final diagnostics" in out

@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rotate time levels each step (real integration)")
     ap.add_argument("--dss", action="store_true",
                     help="assemble shared dofs each step (needs --ne)")
+    ap.add_argument("--rk", action="store_true",
+                    help="SSPRK3 integration instead of the CAAR apply")
+    ap.add_argument("--hypervis-nu", type=float, default=0.0,
+                    help="biharmonic hyperviscosity coefficient (needs --ne)")
+    ap.add_argument("--diag", action="store_true",
+                    help="print global energy/mass diagnostics")
     ap.add_argument("--checkpoint", default=None,
                     help="write a checkpoint here at the end")
     ap.add_argument("--restore", default=None,
@@ -117,10 +123,19 @@ def main(argv=None) -> int:
     from .kernels import caar_xla
     from .timeloop import check_dp3d, rotated
 
-    if args.dss:
-        if cs is None:
-            print("error: --dss requires --ne", file=sys.stderr)
-            return 1
+    if (args.dss or args.rk or args.hypervis_nu) and cs is None:
+        print("error: --dss/--rk/--hypervis-nu require --ne", file=sys.stderr)
+        return 1
+
+    if args.rk:
+        from .timeloop.rk import ssprk3_step
+
+        gdof = jnp.asarray(cs.gdof)
+
+        def one_step(s, d, c):
+            return ssprk3_step(s, d, geom, hv, c, dt2, gdof=gdof,
+                               ndof=cs.ndof)
+    elif args.dss:
         from .dist import caar_dss_step
 
         gdof = jnp.asarray(cs.gdof)
@@ -136,6 +151,18 @@ def main(argv=None) -> int:
         def one_step(s, d, c):
             return caar_xla(s, d, geom, hv, c, dt2, eta)
 
+    if args.hypervis_nu:
+        from .timeloop.hyperviscosity import apply_hyperviscosity
+
+        gdof_h = jnp.asarray(cs.gdof)
+
+    if args.diag:
+        from .ops.diagnostics import energy_diagnostics
+
+        d0 = energy_diagnostics(state, geom.spheremp, cfg)
+        print(" --- initial diagnostics: " + "  ".join(
+            f"{k}={float(v):.6e}" for k, v in d0.items()))
+
     # warm-up (compile), excluded like the reference's burn-in (main.cpp:108)
     one_step(state, derived, cfg)
 
@@ -145,13 +172,25 @@ def main(argv=None) -> int:
     for _ in range(args.num_exec):
         timers.start("caar compute")
         state, derived = one_step(state, derived, c)
+        timers.stop("caar compute")
+        if args.hypervis_nu:
+            with timers.region("hyperviscosity"):
+                state = apply_hyperviscosity(
+                    state, geom, gdof_h, cs.ndof, c, nu=args.hypervis_nu,
+                    dt=args.dt,
+                )
         if args.leapfrog:
             c = rotated(c)
-        timers.stop("caar compute")
     jax.block_until_ready((state, derived))
     wall = time.perf_counter() - t0
     timers.stop("main loop")
     step += args.num_exec
+
+    if args.diag:
+        d1 = energy_diagnostics(state, geom.spheremp, cfg,
+                                tl=c.n0 if args.leapfrog else c.np1)
+        print(" --- final diagnostics:   " + "  ".join(
+            f"{k}={float(v):.6e}" for k, v in d1.items()))
 
     print_results_2norm(state, "Final")
     ok, mn = check_dp3d(state, c)
