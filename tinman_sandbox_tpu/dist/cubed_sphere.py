@@ -25,7 +25,7 @@ from typing import Any
 
 import numpy as np
 
-from ..config import NP, Config
+from ..config import NP
 from ..constants import CONSTANTS
 from ..grid import GLL_WEIGHTS_NP4, Geometry, dvv_matrix
 

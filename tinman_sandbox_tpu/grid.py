@@ -24,7 +24,7 @@ import jax
 import numpy as np
 
 from .config import NP, Config
-from .constants import CONSTANTS
+
 
 # fortran/main.F90:87-90 — column-major list, Dvv(i,j) = Dvv_init[(j-1)*np+i]
 _DVV_INIT = [

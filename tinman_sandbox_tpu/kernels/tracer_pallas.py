@@ -21,7 +21,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import NPSQ, Config
 from .caar_pallas import _MC
-from .layout import META_COLS, block_derivative_ops, pack_field, unpack_field
+from .layout import META_COLS, block_derivative_ops, pack_field
 
 __all__ = ["euler_step_pallas", "euler_step_pallas_packed"]
 
