@@ -128,3 +128,25 @@ def test_benchmark_loop_pallas_matches_xla_loop():
     a, b = np.asarray(pd.omega_p), np.asarray(xd.omega_p)
     scale = np.max(np.abs(b)) + 1.0
     np.testing.assert_allclose(a / scale, b / scale, atol=3e-6)
+
+
+def test_run_leapfrog_pallas_matches_xla_leapfrog():
+    import jax.numpy as jnp
+    from tinman_sandbox_tpu.kernels.caar_pallas import run_leapfrog_pallas
+    from tinman_sandbox_tpu.timeloop import run_leapfrog
+
+    cfg, st, dv, geom, hv = _setup(nelem=8, nlev=6, eb=4, seed=33)
+    cfg = Config(nelem=8, nlev=6, elem_block=4, dt=0.05)
+    ps, pd, pc = run_leapfrog_pallas(st, dv, geom, hv, cfg, nsteps=3,
+                                     interpret=True)
+    xs, xd, xc = run_leapfrog(st, dv, geom, hv, cfg, nsteps=3)
+    assert (pc.n0, pc.np1, pc.nm1) == (xc.n0, xc.np1, xc.nm1)
+    for name in ("u", "v", "t", "dp3d"):
+        a = np.asarray(getattr(ps, name))
+        b = np.asarray(getattr(xs, name))
+        scale = np.max(np.abs(b)) + 1.0
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5,
+                                   err_msg=name)
+    a, b = np.asarray(pd.omega_p), np.asarray(xd.omega_p)
+    scale = np.max(np.abs(b)) + 1.0
+    np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)

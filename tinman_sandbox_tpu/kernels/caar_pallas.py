@@ -40,7 +40,13 @@ from .layout import (
     unpack_field,
 )
 
-__all__ = ["caar_pallas", "caar_pallas_packed", "benchmark_loop_pallas", "pack_problem"]
+__all__ = [
+    "caar_pallas",
+    "caar_pallas_packed",
+    "benchmark_loop_pallas",
+    "run_leapfrog_pallas",
+    "pack_problem",
+]
 
 _MC = {name: i for i, name in enumerate(META_COLS)}
 
@@ -394,3 +400,65 @@ def benchmark_loop_pallas(state: State, derived: Derived, geom: Geometry,
         phi=unpack_field(phi, ne), omega_p=unpack_field(omg, ne),
     )
     return new_state, new_derived
+
+
+def run_leapfrog_pallas(state: State, derived: Derived, geom: Geometry,
+                        hv: HybridVCoord, cfg: Config, nsteps: int,
+                        moist: bool = True, interpret: bool = False):
+    """Production leapfrog loop on the packed layout: pack once, rotate the
+    packed (nm1, n0, np1) buffer triples between per-step kernel dispatches
+    (utils_mod.F90:35-41 rotation, zero-copy — just Python re-binding),
+    unpack once at the end.
+
+    Returns (state, derived, cfg) with cfg carrying the rotated indices —
+    the same contract as timeloop.run_leapfrog.
+    """
+    from ..timeloop.driver import rotated
+
+    dt2 = jnp.float32(2.0 * cfg.dt)
+    eta = jnp.float32(1.0 / max(nsteps, 1))
+    p = pack_problem(state, derived, geom, hv, cfg)
+    scal = _scalars(dt2, eta, hv)
+    const = (p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"], p["meta"],)
+    fixed = (p["qdp"], p["pecnd"])
+    acc = (p["vn0u"], p["vn0v"], p["omg"])
+
+    # packed prognostic triples indexed by time level: [nm1, n0, np1]
+    f = lambda tl, name: pack_field(jnp.asarray(getattr(state, name)[tl],
+                                                jnp.float32))
+    c = cfg
+    bufs = {name: {tl: f(tl, name) for tl in range(3)}
+            for name in ("u", "v", "t", "dp3d")}
+    phi = None
+    for _ in range(nsteps):
+        out = caar_pallas_packed(
+            scal, *const,
+            bufs["u"][c.n0], bufs["v"][c.n0], bufs["t"][c.n0],
+            bufs["dp3d"][c.n0],
+            bufs["u"][c.nm1], bufs["v"][c.nm1], bufs["t"][c.nm1],
+            bufs["dp3d"][c.nm1],
+            *fixed, *acc,
+            eb=c.elem_block, nlev=c.nlev, moist=moist, interpret=interpret,
+        )
+        for i, name in enumerate(("u", "v", "t", "dp3d")):
+            bufs[name][c.np1] = out[i]
+        phi = out[4]
+        acc = (out[5], out[6], out[7])
+        c = rotated(c)
+
+    ne = cfg.nelem
+    unpack_tl = lambda name: jnp.stack(
+        [unpack_field(bufs[name][tl], ne) for tl in range(3)]
+    )
+    new_state = dataclasses.replace(
+        state,
+        u=unpack_tl("u"), v=unpack_tl("v"), t=unpack_tl("t"),
+        dp3d=unpack_tl("dp3d"),
+    )
+    new_derived = dataclasses.replace(
+        derived,
+        vn0_u=unpack_field(acc[0], ne), vn0_v=unpack_field(acc[1], ne),
+        omega_p=unpack_field(acc[2], ne),
+        phi=unpack_field(phi, ne) if phi is not None else derived.phi,
+    )
+    return new_state, new_derived, c
