@@ -21,7 +21,7 @@ from ..grid import Geometry
 from ..ops import divergence_sphere_update
 from ..state import State
 
-__all__ = ["euler_step", "advance_qdp"]
+__all__ = ["euler_step", "advance_qdp", "ssprk3_tracer_step"]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -55,3 +55,24 @@ def advance_qdp(state: State, geom: Geometry, cfg: Config, dt):
     )
     qdp = jnp.asarray(state.qdp).at[np1_qdp].set(new_qdp)
     return dataclasses.replace(state, qdp=qdp)
+
+
+@partial(jax.jit, static_argnames=("cfg", "ndof"))
+def ssprk3_tracer_step(qdp, vstar_u, vstar_v, geom: Geometry, cfg: Config,
+                       dt, gdof=None, ndof: int = 0):
+    """Strong-stability-preserving RK3 tracer transport (HOMME advances
+    tracers with SSP substages inside qsplit; the reference's
+    EulerStepFunctor is one such stage). Each stage is the fused Euler step
+    followed by the continuous (DSS) projection when a dof map is given.
+    """
+    if gdof is not None:
+        from ..dist.dss import dss_project
+
+        P = lambda q: dss_project(q, gdof, ndof, geom.spheremp,
+                                  geom.rspheremp)
+    else:
+        P = lambda q: q
+    E = lambda q: euler_step(q, vstar_u, vstar_v, geom, cfg, dt)
+    q1 = P(E(qdp))
+    q2 = P(0.75 * qdp + 0.25 * E(q1))
+    return P(qdp / 3.0 + (2.0 / 3.0) * E(q2))
