@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--pallas", action="store_true", default=None,
                     help="force the fused Pallas CAAR kernel")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
+    ap.add_argument("--chunk", type=int, default=20,
+                    help="CAAR steps unrolled per dispatch (amortizes the "
+                         "per-dispatch latency, ~200-300 us on this tunnel)")
     args = ap.parse_args()
 
     import jax
@@ -84,17 +87,27 @@ def main() -> None:
                  p["um1"], p["vm1"], p["tm1"], p["dpm1"],
                  p["qdp"], p["pecnd"])
 
-        def run(nsteps):
-            import jax.numpy as jnp
+        chunk = max(1, args.chunk)
 
-            acc = (p["vn0u"], p["vn0v"], p["omg"])
-            for _ in range(nsteps):
+        @jax.jit
+        def multi(acc):
+            for _ in range(chunk):
                 o = caar_pallas_packed(*const, *acc, eb=cfg.elem_block,
                                        nlev=cfg.nlev)
                 acc = (o[5], o[6], o[7])
+            return acc, o
+
+        def run(nsteps):
+            import jax.numpy as jnp
+
+            nchunks = -(-nsteps // chunk)
+            acc = (p["vn0u"], p["vn0v"], p["omg"])
+            for _ in range(nchunks):
+                acc, o = multi(acc)
             # device-to-host readback forces REAL completion (through the
             # remote-TPU tunnel block_until_ready can return early)
             float(jnp.sum(o[0][:: max(1, o[0].shape[0] // 8)]))
+            return nchunks * chunk
     else:
         from tinman_sandbox_tpu.timeloop import benchmark_loop
 
@@ -102,16 +115,18 @@ def main() -> None:
             s, d = benchmark_loop(state, derived, geom, hv, cfg, dt2, eta,
                                   nsteps=nsteps)
             float(s.t[cfg.np1, 0, 0, 0, 0])
+            return nsteps
 
     run(2)  # warm-up + compile (excluded, kokkos_init.cpp:108 analog)
 
     best = float("inf")
+    executed = args.nexec
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        run(args.nexec)
+        executed = run(args.nexec)
         best = min(best, time.perf_counter() - t0)
 
-    points = args.nelem * args.nlev * 16 * args.nexec
+    points = args.nelem * args.nlev * 16 * executed
     gps = points / best
 
     baseline = None
