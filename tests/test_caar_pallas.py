@@ -150,3 +150,24 @@ def test_run_leapfrog_pallas_matches_xla_leapfrog():
     a, b = np.asarray(pd.omega_p), np.asarray(xd.omega_p)
     scale = np.max(np.abs(b)) + 1.0
     np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
+
+
+def test_run_leapfrog_pallas_chunked_matches_unchunked():
+    from tinman_sandbox_tpu.kernels.caar_pallas import run_leapfrog_pallas
+
+    cfg, st, dv, geom, hv = _setup(nelem=8, nlev=6, eb=4, seed=51)
+    cfg = Config(nelem=8, nlev=6, elem_block=4, dt=0.02)
+    # interpret path is per-step; compare 7 steps (2 full cycles + 1 tail)
+    # against the XLA leapfrog to cover the chunk boundary logic
+    from tinman_sandbox_tpu.timeloop import run_leapfrog
+
+    ps, pd, pc = run_leapfrog_pallas(st, dv, geom, hv, cfg, nsteps=7,
+                                     interpret=True)
+    xs, xd, xc = run_leapfrog(st, dv, geom, hv, cfg, nsteps=7)
+    assert (pc.n0, pc.np1, pc.nm1) == (xc.n0, xc.np1, xc.nm1)
+    for name in ("u", "v", "t", "dp3d"):
+        a = np.asarray(getattr(ps, name))
+        b = np.asarray(getattr(xs, name))
+        scale = np.max(np.abs(b)) + 1.0
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-5,
+                                   err_msg=name)

@@ -19,7 +19,7 @@ This replaces the reference's six layout/scratch/vectorization variants
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -325,6 +325,11 @@ def _scalars(dt2, eta_ave_w, hv, dtype=jnp.float32):
     ]).reshape(1, 4)
 
 
+_pack_problem_jit = partial(jax.jit, static_argnames=("cfg", "dtype"))(
+    pack_problem
+)
+
+
 def caar_pallas(state: State, derived: Derived, geom: Geometry,
                 hv: HybridVCoord, cfg: Config, dt2, eta_ave_w,
                 moist: bool = True, interpret: bool = False):
@@ -402,13 +407,77 @@ def benchmark_loop_pallas(state: State, derived: Derived, geom: Geometry,
     return new_state, new_derived
 
 
+_LF_NAMES = ("u", "v", "t", "dp3d")
+
+
+@jax.jit
+def _pack_state_bufs(u, v, t, dp3d):
+    """All 12 time-level packs in ONE dispatch (eager ops through the
+    remote-TPU tunnel cost ~30 ms latency each)."""
+    pk = lambda x: pack_field(jnp.asarray(x, jnp.float32))
+    return {
+        n: tuple(pk(arr[tl]) for tl in range(3))
+        for n, arr in zip(_LF_NAMES, (u, v, t, dp3d))
+    }
+
+
+@partial(jax.jit, static_argnames=("nelem",))
+def _unpack_all(bufs, acc, phi, nelem):
+    """All unpacks in ONE dispatch; returns (state arrays, derived arrays)."""
+    un = lambda x: unpack_field(x, nelem)
+    stacked = {
+        n: jnp.stack([un(bufs[n][tl]) for tl in range(3)]) for n in _LF_NAMES
+    }
+    return stacked, (un(acc[0]), un(acc[1]), un(acc[2]), un(phi))
+
+
+def _leapfrog_step(scal, const, fixed, carry, c, moist, interpret=False):
+    """One packed CAAR call at time-level phase ``c``; rotates nothing."""
+    bufs, acc, _ = carry
+    out = caar_pallas_packed(
+        scal, *const,
+        *(bufs[n][c.n0] for n in _LF_NAMES),
+        *(bufs[n][c.nm1] for n in _LF_NAMES),
+        *fixed, *acc,
+        eb=c.elem_block, nlev=c.nlev, moist=moist, interpret=interpret,
+    )
+    bufs = {
+        n: tuple(out[i] if tl == c.np1 else bufs[n][tl] for tl in range(3))
+        for i, n in enumerate(_LF_NAMES)
+    }
+    return bufs, (out[5], out[6], out[7]), out[4]
+
+
+@lru_cache(maxsize=None)
+def _leapfrog_cycle(cycle: int, phase, eb: int, nlev: int, moist: bool):
+    """Module-cached jitted function running ``cycle`` steps (a multiple of
+    the 3-phase rotation, so the phase is invariant across dispatches)."""
+    from ..timeloop.driver import rotated
+
+    c0 = Config(n0=phase[0], np1=phase[1], nm1=phase[2],
+                elem_block=eb, nlev=nlev)
+
+    @jax.jit
+    def multi(scal, const, fixed, carry):
+        c = c0
+        for _ in range(cycle):
+            carry = _leapfrog_step(scal, const, fixed, carry, c, moist)
+            c = rotated(c)
+        return carry
+
+    return multi
+
+
 def run_leapfrog_pallas(state: State, derived: Derived, geom: Geometry,
                         hv: HybridVCoord, cfg: Config, nsteps: int,
-                        moist: bool = True, interpret: bool = False):
+                        moist: bool = True, interpret: bool = False,
+                        chunk: int = 6):
     """Production leapfrog loop on the packed layout: pack once, rotate the
-    packed (nm1, n0, np1) buffer triples between per-step kernel dispatches
+    packed (nm1, n0, np1) buffer triples between kernel invocations
     (utils_mod.F90:35-41 rotation, zero-copy — just Python re-binding),
-    unpack once at the end.
+    unpack once at the end. ``chunk`` (rounded to a multiple of the 3-step
+    rotation cycle) kernel calls are unrolled inside one jit dispatch to
+    amortize per-dispatch latency.
 
     Returns (state, derived, cfg) with cfg carrying the rotated indices —
     the same contract as timeloop.run_leapfrog.
@@ -417,48 +486,46 @@ def run_leapfrog_pallas(state: State, derived: Derived, geom: Geometry,
 
     dt2 = jnp.float32(2.0 * cfg.dt)
     eta = jnp.float32(1.0 / max(nsteps, 1))
-    p = pack_problem(state, derived, geom, hv, cfg)
+    p = _pack_problem_jit(state, derived, geom, hv, cfg)
     scal = _scalars(dt2, eta, hv)
     const = (p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"], p["meta"],)
     fixed = (p["qdp"], p["pecnd"])
     acc = (p["vn0u"], p["vn0v"], p["omg"])
 
     # packed prognostic triples indexed by time level: [nm1, n0, np1]
-    f = lambda tl, name: pack_field(jnp.asarray(getattr(state, name)[tl],
-                                                jnp.float32))
     c = cfg
-    bufs = {name: {tl: f(tl, name) for tl in range(3)}
-            for name in ("u", "v", "t", "dp3d")}
-    phi = None
-    for _ in range(nsteps):
-        out = caar_pallas_packed(
-            scal, *const,
-            bufs["u"][c.n0], bufs["v"][c.n0], bufs["t"][c.n0],
-            bufs["dp3d"][c.n0],
-            bufs["u"][c.nm1], bufs["v"][c.nm1], bufs["t"][c.nm1],
-            bufs["dp3d"][c.nm1],
-            *fixed, *acc,
-            eb=c.elem_block, nlev=c.nlev, moist=moist, interpret=interpret,
-        )
-        for i, name in enumerate(("u", "v", "t", "dp3d")):
-            bufs[name][c.np1] = out[i]
-        phi = out[4]
-        acc = (out[5], out[6], out[7])
-        c = rotated(c)
+    bufs = _pack_state_bufs(state.u, state.v, state.t, state.dp3d)
+    phi = p["vn0u"]  # placeholder, overwritten by the first step
 
-    ne = cfg.nelem
-    unpack_tl = lambda name: jnp.stack(
-        [unpack_field(bufs[name][tl], ne) for tl in range(3)]
-    )
+    cycle = 3 * max(1, chunk // 3)
+    carry = (bufs, acc, phi)
+    if interpret or nsteps < cycle:
+        for _ in range(nsteps):
+            carry = _leapfrog_step(scal, const, fixed, carry, c, moist,
+                                   interpret)
+            c = rotated(c)
+    else:
+        # one jit dispatch per unrolled rotation cycle (jit cached at module
+        # level so repeated calls don't retrace/recompile)
+        multi = _leapfrog_cycle(cycle, (c.n0, c.np1, c.nm1), c.elem_block,
+                                c.nlev, moist)
+        done = 0
+        while done + cycle <= nsteps:
+            carry = multi(scal, const, fixed, carry)
+            done += cycle
+        for _ in range(nsteps - done):
+            carry = _leapfrog_step(scal, const, fixed, carry, c, moist,
+                                   interpret)
+            c = rotated(c)
+    bufs, acc, phi = carry
+
+    stacked, (vn0u, vn0v, omg, phi_u) = _unpack_all(bufs, acc, phi,
+                                                    nelem=cfg.nelem)
     new_state = dataclasses.replace(
         state,
-        u=unpack_tl("u"), v=unpack_tl("v"), t=unpack_tl("t"),
-        dp3d=unpack_tl("dp3d"),
+        u=stacked["u"], v=stacked["v"], t=stacked["t"], dp3d=stacked["dp3d"],
     )
     new_derived = dataclasses.replace(
-        derived,
-        vn0_u=unpack_field(acc[0], ne), vn0_v=unpack_field(acc[1], ne),
-        omega_p=unpack_field(acc[2], ne),
-        phi=unpack_field(phi, ne) if phi is not None else derived.phi,
+        derived, vn0_u=vn0u, vn0_v=vn0v, omega_p=omg, phi=phi_u,
     )
     return new_state, new_derived, c
