@@ -79,3 +79,32 @@ def test_halo_step_matches_segment_sum_step():
             np.asarray(getattr(ref_s, name)[np1]),
             rtol=1e-12, atol=1e-12, err_msg=name,
         )
+
+
+def test_caar_dss_pallas_matches_xla_dss_step():
+    from tinman_sandbox_tpu import analytic_hvcoord, zero_derived
+    from tinman_sandbox_tpu.dist import caar_dss_step
+    from tinman_sandbox_tpu.dist.step_pallas import caar_dss_pallas
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=4)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=8))
+    dv = cast(zero_derived(cfg))
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    g = cast(cs.geometry)
+    gdof = jnp.asarray(cs.gdof)
+
+    ref_s, ref_d = caar_dss_step(st, dv, g, hv, gdof, cs.ndof, cfg,
+                                 np.float32(0.5), np.float32(1.0))
+    out_s, out_d = caar_dss_pallas(st, dv, g, hv, gdof, cs.ndof, cfg,
+                                   0.5, 1.0, interpret=True)
+    for name in ("u", "v", "t", "dp3d"):
+        a = np.asarray(getattr(out_s, name)[cfg.np1])
+        b = np.asarray(getattr(ref_s, name)[cfg.np1])
+        scale = np.max(np.abs(b)) + 1.0
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-6,
+                                   err_msg=name)
+    a, b = np.asarray(out_d.omega_p), np.asarray(ref_d.omega_p)
+    scale = np.max(np.abs(b)) + 1.0
+    np.testing.assert_allclose(a / scale, b / scale, atol=3e-6)

@@ -51,3 +51,39 @@ def test_2d_mesh_elements_by_tracers():
     with mesh:
         out = euler_step(qdp_s, vu_s, vv_s, geom_s, cfg, 0.3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-13)
+
+
+def test_level_axis_sharding_matches_unsharded():
+    """Vertical (level) axis sharding — the sequence-parallel analog
+    (SURVEY §5): the cumsum recurrences cross the sharded axis, so XLA must
+    insert collectives; results must be identical."""
+    from tinman_sandbox_tpu import analytic_hvcoord, zero_derived
+    from tinman_sandbox_tpu.kernels import caar_xla
+
+    cfg, st, geom = _problem(nelem=4, nlev=8, qsize=1)
+    dv = zero_derived(cfg)
+    hv = analytic_hvcoord(cfg)
+    ref_s, ref_d = caar_xla(st, dv, geom, hv, cfg, 0.1, 1.0)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("k",))
+    put = lambda x, ax: jax.device_put(
+        jnp.asarray(x),
+        NamedSharding(mesh, P(*[("k" if i == ax else None)
+                                for i in range(np.ndim(x))])),
+    )
+    import dataclasses
+
+    st_s = dataclasses.replace(
+        st,
+        u=put(st.u, 2), v=put(st.v, 2), t=put(st.t, 2), dp3d=put(st.dp3d, 2),
+        qdp=put(st.qdp, 3),
+    )
+    with mesh:
+        out_s, out_d = caar_xla(st_s, dv, geom, hv, cfg, 0.1, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(out_s.t[cfg.np1]), np.asarray(ref_s.t[cfg.np1]),
+        rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d.phi), np.asarray(ref_d.phi), rtol=1e-12, atol=1e-12
+    )

@@ -1,0 +1,127 @@
+"""Fused-kernel distributed step: Pallas CAAR + DSS on the packed layout.
+
+The packed layout ([e*16 + gll, k], kernels/layout.py) is exactly dof-major,
+so DSS composes with the fused kernel without any unpacking: a segment-sum
+over rows with the flattened gdof map, then a row gather — the np1 fields
+never leave the packed layout. This is the fast path for the ne30-class
+"CAAR + halo exchange" configuration (BASELINE.md).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..grid import Geometry, HybridVCoord
+from ..kernels.caar_pallas import _scalars, caar_pallas_packed, pack_problem
+from ..state import Derived, State
+
+__all__ = ["dss_scaled_packed", "caar_dss_pallas_packed", "make_packed_dss"]
+
+
+def make_packed_dss(gdof, rspheremp):
+    """Precompute the packed-layout DSS operands: an alias table
+    [e*16, 4] (rows sharing each dof; GLL dofs have at most 4 aliases —
+    in-face element corners; pad = e*16, a zero row) and rspheremp rows.
+
+    TPU scatters (segment_sum) are ~13x slower than row gathers at ne30
+    scale, so single-chip DSS is formulated gather-only:
+        DSS(x)[r] = sum_m x_ext[alias[r, m]].
+    """
+    from collections import defaultdict
+
+    import numpy as np
+
+    rows = np.asarray(gdof).reshape(-1)
+    e16 = rows.size
+    rows_of = defaultdict(list)
+    for r, d in enumerate(rows):
+        rows_of[d].append(r)
+    alias = np.empty((e16, 4), np.int32)
+    overcount = np.empty((e16, 1), np.float32)
+    for r, d in enumerate(rows):
+        rs = rows_of[d]
+        alias[r, : len(rs)] = rs
+        alias[r, len(rs):] = r          # pad with own row, corrected below
+        overcount[r] = 4 - len(rs)
+    rsp = np.asarray(rspheremp).reshape(-1, 1)
+    # fold the overcount correction into precomputed per-row coefficients:
+    # DSS(x)[r] = sum_m x[alias[r, m]] - overcount[r] * x[r]
+    return jnp.asarray(alias), (jnp.asarray(rsp, jnp.float32),
+                                jnp.asarray(overcount))
+
+
+@partial(jax.jit, static_argnames=("ndof",))
+def dss_scaled_packed(x, alias, rsp_rows, ndof: int):
+    """rspheremp * DSS(x) for packed [e*16, k] arrays (gather-only; TPU
+    scatters are ~13x slower than row gathers at ne30 scale)."""
+    rsp, overcount = rsp_rows
+    summed = (jnp.take(x, alias[:, 0], axis=0)
+              + jnp.take(x, alias[:, 1], axis=0)
+              + jnp.take(x, alias[:, 2], axis=0)
+              + jnp.take(x, alias[:, 3], axis=0)
+              - overcount * x)
+    return rsp * summed
+
+
+@partial(jax.jit,
+         static_argnames=("eb", "nlev", "ndof", "moist", "interpret"))
+def caar_dss_pallas_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
+                           u0, v0, t0, dp0, um1, vm1, tm1, dpm1,
+                           qdp, pecnd, vn0u, vn0v, omg,
+                           gdof_rows, rsp_rows,
+                           eb: int, nlev: int, ndof: int,
+                           moist: bool = True, interpret: bool = False):
+    """Fused CAAR kernel + packed DSS assembly of the np1 fields.
+
+    Same signature/returns as caar_pallas_packed plus the DSS operands."""
+    o = caar_pallas_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
+                           u0, v0, t0, dp0, um1, vm1, tm1, dpm1,
+                           qdp, pecnd, vn0u, vn0v, omg,
+                           eb=eb, nlev=nlev, moist=moist,
+                           interpret=interpret)
+    assembled = tuple(
+        dss_scaled_packed(o[i], gdof_rows, rsp_rows, ndof) for i in range(4)
+    )
+    return assembled + o[4:]
+
+
+def caar_dss_pallas(state: State, derived: Derived, geom: Geometry,
+                    hv: HybridVCoord, gdof, ndof: int, cfg: Config,
+                    dt2, eta_ave_w, moist: bool = True,
+                    interpret: bool = False):
+    """Full-state wrapper: pack -> fused kernel + packed DSS -> unpack.
+    Contract of dist.step.caar_dss_step on the Pallas fast path (f32)."""
+    import dataclasses
+
+    from ..kernels.layout import unpack_field
+
+    p = pack_problem(state, derived, geom, hv, cfg)
+    scal = _scalars(dt2, eta_ave_w, hv)
+    gdof_rows, rsp_rows = make_packed_dss(gdof, geom.rspheremp)
+    u1, v1, t1, dp1, phi, vn0u, vn0v, omg = caar_dss_pallas_packed(
+        scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"], p["meta"],
+        p["u0"], p["v0"], p["t0"], p["dp0"],
+        p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+        p["qdp"], p["pecnd"], p["vn0u"], p["vn0v"], p["omg"],
+        gdof_rows, rsp_rows,
+        eb=cfg.elem_block, nlev=cfg.nlev, ndof=ndof, moist=moist,
+        interpret=interpret,
+    )
+    ne, np1 = cfg.nelem, cfg.np1
+    f = lambda x: jnp.asarray(x, u1.dtype)
+    new_state = dataclasses.replace(
+        state,
+        u=f(state.u).at[np1].set(unpack_field(u1, ne)),
+        v=f(state.v).at[np1].set(unpack_field(v1, ne)),
+        t=f(state.t).at[np1].set(unpack_field(t1, ne)),
+        dp3d=f(state.dp3d).at[np1].set(unpack_field(dp1, ne)),
+    )
+    new_derived = dataclasses.replace(
+        derived,
+        vn0_u=unpack_field(vn0u, ne), vn0_v=unpack_field(vn0v, ne),
+        phi=unpack_field(phi, ne), omega_p=unpack_field(omg, ne),
+    )
+    return new_state, new_derived

@@ -3,7 +3,8 @@
 from .checkpoint import load_checkpoint, save_checkpoint
 from .driver import benchmark_loop, check_dp3d, leapfrog_step, rotated, run_leapfrog
 from .hyperviscosity import apply_hyperviscosity, biharmonic_wk
-from .tracer import advance_qdp, euler_step
+from .rk import ssprk3_step
+from .tracer import advance_qdp, euler_step, ssprk3_tracer_step
 
 __all__ = [
     "benchmark_loop",
@@ -13,6 +14,8 @@ __all__ = [
     "run_leapfrog",
     "advance_qdp",
     "euler_step",
+    "ssprk3_step",
+    "ssprk3_tracer_step",
     "save_checkpoint",
     "load_checkpoint",
     "apply_hyperviscosity",

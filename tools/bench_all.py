@@ -105,6 +105,44 @@ def bench_tracer(nelem=128, nlev=72, qsize=35, eb=8):
             "tracer_gridpoints_per_s": round(nelem * nlev * 16 * qsize / per, 0)}
 
 
+def bench_ne30_dss(nlev=72):
+    """ne30-class (5400 elements) CAAR + DSS assembly on one chip (the
+    BASELINE.md '1 host with halo exchange' config at single-chip scale)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tinman_sandbox_tpu import Config, analytic_hvcoord, random_state, zero_derived
+    from tinman_sandbox_tpu.dist import build_cubed_sphere
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_pallas_packed, make_packed_dss,
+    )
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars, pack_problem
+
+    cs = build_cubed_sphere(30)
+    cfg = Config(nelem=cs.nelem, nlev=nlev, elem_block=8)
+    cast = lambda t: jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x, np.float32)), t)
+    st, dv = cast(random_state(cfg, seed=3)), cast(zero_derived(cfg))
+    geom = cast(cs.geometry)
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    p = pack_problem(st, dv, geom, hv, cfg)
+    scal = _scalars(1e-3, 0.01, hv)
+    gr, rr = make_packed_dss(jnp.asarray(cs.gdof), geom.rspheremp)
+    const = (scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"],
+             p["meta"], p["u0"], p["v0"], p["t0"], p["dp0"],
+             p["um1"], p["vm1"], p["tm1"], p["dpm1"], p["qdp"], p["pecnd"])
+
+    def step(acc):
+        o = caar_dss_pallas_packed(*const, *acc, gr, rr, eb=8, nlev=nlev,
+                                   ndof=cs.ndof)
+        return (o[5], o[6], o[7])
+
+    per = _chain_time(step, (p["vn0u"], p["vn0v"], p["omg"]), n=10)
+    return {"nelem": cs.nelem, "us_per_step": round(per * 1e6, 1),
+            "gridpoints_per_s": round(cs.nelem * nlev * 16 / per, 0)}
+
+
 def bench_saxpby(rows=8192, cols=4096):
     import jax.numpy as jnp
     import numpy as np
@@ -135,6 +173,7 @@ def main():
         "caar_1024x72": bench_caar(1024, 72),
         "caar_single_element_26lev": bench_caar(8, 26, eb=8),
         "tracer_128x72_q35": bench_tracer(),
+        "ne30_caar_dss_5400elem": bench_ne30_dss(),
         "saxpby_triad": bench_saxpby(),
     }
     text = json.dumps(report, indent=2)
