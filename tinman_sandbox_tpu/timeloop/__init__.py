@@ -3,6 +3,7 @@
 from .checkpoint import load_checkpoint, save_checkpoint
 from .driver import benchmark_loop, check_dp3d, leapfrog_step, rotated, run_leapfrog
 from .hyperviscosity import apply_hyperviscosity, biharmonic_wk
+from .prim import prim_run_step
 from .rk import ssprk3_step
 from .tracer import advance_qdp, euler_step, ssprk3_tracer_step
 
@@ -15,6 +16,7 @@ __all__ = [
     "advance_qdp",
     "euler_step",
     "ssprk3_step",
+    "prim_run_step",
     "ssprk3_tracer_step",
     "save_checkpoint",
     "load_checkpoint",

@@ -1,0 +1,67 @@
+"""Top-level primitive-equation step: dynamics + hyperviscosity + tracers.
+
+The integration the reference leaves implicit (its benchmark only repeats
+the raw CAAR call): one full model step in HOMME's prim_run cadence —
+
+  1. dynamics: SSPRK3 on the CAAR tendencies with per-stage DSS projection;
+  2. biharmonic hyperviscosity on the updated (np1) state;
+  3. tracer transport: ``qsplit`` SSPRK3 substeps at dt/qsplit advected by
+     the np1 winds;
+  4. time-level rotation.
+
+All pieces are the separately-tested building blocks (timeloop/rk.py,
+timeloop/hyperviscosity.py, timeloop/tracer.py, dist/dss.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..config import Config
+from ..grid import Geometry, HybridVCoord
+from ..state import Derived, State
+from .driver import rotated
+from .hyperviscosity import apply_hyperviscosity
+from .rk import ssprk3_step
+from .tracer import ssprk3_tracer_step
+
+__all__ = ["prim_run_step"]
+
+
+def prim_run_step(
+    state: State,
+    derived: Derived,
+    geom: Geometry,
+    hv: HybridVCoord,
+    cfg: Config,
+    gdof,
+    ndof: int,
+    nu: float = 0.0,
+    qsplit: int = 1,
+    moist: bool = True,
+):
+    """One full model step of length cfg.dt. Returns (state, derived, cfg)
+    with cfg carrying the rotated time-level indices."""
+    state, derived = ssprk3_step(
+        state, derived, geom, hv, cfg, cfg.dt, gdof=gdof, ndof=ndof,
+        moist=moist,
+    )
+    if nu:
+        state = apply_hyperviscosity(state, geom, gdof, ndof, cfg, nu=nu,
+                                     dt=cfg.dt)
+
+    # tracers ride the updated winds, subcycled for CFL
+    np1_q = 1 - cfg.qn0
+    qdp = state.qdp[cfg.qn0]
+    vu, vv = state.u[cfg.np1], state.v[cfg.np1]
+    dt_q = cfg.dt / max(qsplit, 1)
+    for _ in range(max(qsplit, 1)):
+        qdp = ssprk3_tracer_step(qdp, vu, vv, geom, cfg, dt_q, gdof=gdof,
+                                 ndof=ndof)
+    state = dataclasses.replace(
+        state, qdp=jnp.asarray(state.qdp).at[np1_q].set(qdp)
+    )
+    # the tracer time level flips with the dynamics rotation
+    new_cfg = dataclasses.replace(rotated(cfg), qn0=np1_q)
+    return state, derived, new_cfg
