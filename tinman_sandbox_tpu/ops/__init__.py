@@ -14,6 +14,7 @@ from .sphere import (
 )
 from .diagnostics import energy_diagnostics, global_integral
 from .norms import dump_results, kahan_norm, print_results_2norm, state_norms
+from .remap import reference_dp, remap_column, vertical_remap
 from .scans import (
     eta_dot_dpdn_rsplit0,
     midpoint_pressure,
@@ -48,4 +49,7 @@ __all__ = [
     "dump_results",
     "energy_diagnostics",
     "global_integral",
+    "remap_column",
+    "reference_dp",
+    "vertical_remap",
 ]

@@ -1,0 +1,117 @@
+"""Conservative vertical remap (the rsplit cadence's missing half).
+
+HOMME pairs vertically-Lagrangian dynamics (rsplit>0, the reference kernel's
+mode) with a periodic conservative remap of the state from the drifted
+Lagrangian levels back to the reference hybrid levels. The sandbox stripped
+remap along with everything else outside CAAR; this implements it
+TPU-natively: instead of per-column searchsorted/gather loops, the remap is
+a dense O(nlev^2) broadcasted overlap computation — 73x72 masks per column —
+which is pure VPU work with static shapes.
+
+Reconstruction: piecewise-constant (PCM, 1st order, monotone) or
+piecewise-linear with minmod limiting (PLM, 2nd order, monotone).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["remap_column", "reference_dp", "vertical_remap"]
+
+
+def _interfaces(dp):
+    """[..., nlev, np, np] -> [..., nlev+1, np, np] cumulative interfaces."""
+    zero = jnp.zeros_like(dp[..., :1, :, :])
+    return jnp.concatenate([zero, jnp.cumsum(dp, axis=-3)], axis=-3)
+
+
+@partial(jax.jit, static_argnames=("scheme",))
+def remap_column(q, dp_src, dp_tgt, scheme: str = "plm"):
+    """Conservatively remap cell averages ``q`` from layers ``dp_src`` to
+    ``dp_tgt`` (equal column totals). Shapes [..., nlev, np, np].
+
+    Uses the cumulative-integral formulation: I(t) = integral of the
+    reconstruction from the column top to pressure t, evaluated at every
+    target interface by a broadcasted overlap mask; remapped averages are
+    interface differences of I — conservative by construction.
+    """
+    s = _interfaces(dp_src)                     # [..., K+1, np, np]
+    t = _interfaces(dp_tgt)
+    # overlap of target-prefix (0, t_j) with source cell k:
+    # frac in [0, dp_k] = clip(t_j - s_k, 0, dp_k)
+    tj = t[..., :, None, :, :]                  # [..., K+1, 1, np, np]
+    sk = s[..., None, :-1, :, :]                # [..., 1, K, np, np]
+    dpk = dp_src[..., None, :, :, :]
+    x = jnp.clip(tj - sk, 0.0, dpk)             # [..., K+1, K, np, np]
+
+    qk = q[..., None, :, :, :]
+    contrib = qk * x                            # PCM term
+    if scheme == "plm":
+        # limited linear reconstruction within each source cell:
+        # q(xi) = q_k + m_k * (xi - dp_k/2), xi in [0, dp_k] local coordinate
+        d_lo = q[..., 1:, :, :] - q[..., :-1, :, :]
+        h_mid = 0.5 * (dp_src[..., 1:, :, :] + dp_src[..., :-1, :, :])
+        g = d_lo / h_mid                        # centered slope estimates
+        zero = jnp.zeros_like(q[..., :1, :, :])
+        g_lo = jnp.concatenate([zero, g], axis=-3)
+        g_hi = jnp.concatenate([g, zero], axis=-3)
+        # minmod: zero at extrema, smaller magnitude otherwise
+        m = jnp.where(
+            g_lo * g_hi > 0.0,
+            jnp.sign(g_lo) * jnp.minimum(jnp.abs(g_lo), jnp.abs(g_hi)),
+            0.0,
+        )
+        mk = m[..., None, :, :, :]
+        # integral of m*(xi - dp/2) over [0, x] = m*(x^2/2 - x*dp/2)
+        contrib = contrib + mk * (0.5 * x * x - 0.5 * x * dpk)
+    elif scheme != "pcm":
+        raise ValueError(f"unknown remap scheme {scheme!r}")
+
+    integral = jnp.sum(contrib, axis=-3)        # I(t_j), [..., K+1, np, np]
+    return jnp.diff(integral, axis=-3) / dp_tgt
+
+
+def reference_dp(hv, ps):
+    """Reference-level thicknesses from the hybrid coordinate:
+    dp_ref(k) = (A(k+1)-A(k))*ps0 + (B(k+1)-B(k))*ps (hybvcoord_mod.F90)."""
+    da = jnp.diff(jnp.asarray(hv.hyai))[:, None, None]
+    db = jnp.diff(jnp.asarray(hv.hybi))[:, None, None]
+    return da * hv.ps0 + db * ps[..., None, :, :]
+
+
+@partial(jax.jit, static_argnames=("cfg", "scheme"))
+def vertical_remap(state, hv, cfg, scheme: str = "plm"):
+    """Remap u, v, T (mass-weighted) and qdp at time level np1 from the
+    Lagrangian dp3d back to the reference hybrid levels.
+
+    Conserves column momentum (u dp, v dp), internal energy proxy (T dp),
+    and tracer mass exactly.
+    """
+    import dataclasses
+
+    np1, qn0 = cfg.np1, cfg.qn0
+    dp_src = jnp.asarray(state.dp3d)[np1]
+    # surface pressure implied by the Lagrangian column (p_top + sum dp)
+    ptop = hv.hyai[0] * hv.ps0
+    ps = ptop + jnp.sum(dp_src, axis=-3)
+    dp_tgt = reference_dp(hv, ps)
+
+    # remap_column treats fields as densities per unit dp, so u/v/T remaps
+    # conserve column momentum / T*dp and the mixing-ratio remap conserves
+    # tracer mass (q_new * dp_tgt sums to qdp's column total)
+    rmp = lambda x: remap_column(x, dp_src, dp_tgt, scheme=scheme)
+    u = rmp(jnp.asarray(state.u)[np1])
+    v = rmp(jnp.asarray(state.v)[np1])
+    t = rmp(jnp.asarray(state.t)[np1])
+    q = jnp.asarray(state.qdp)[qn0] / dp_src[:, None]
+    q_new = jax.vmap(rmp, in_axes=1, out_axes=1)(q)
+    return dataclasses.replace(
+        state,
+        u=jnp.asarray(state.u).at[np1].set(u),
+        v=jnp.asarray(state.v).at[np1].set(v),
+        t=jnp.asarray(state.t).at[np1].set(t),
+        dp3d=jnp.asarray(state.dp3d).at[np1].set(dp_tgt),
+        qdp=jnp.asarray(state.qdp).at[qn0].set(q_new * dp_tgt[:, None]),
+    )
