@@ -13,6 +13,7 @@ from .sphere import (
     vorticity_sphere,
 )
 from .diagnostics import energy_diagnostics, global_integral
+from .limiter import element_bounds, limit_tracer
 from .norms import dump_results, kahan_norm, print_results_2norm, state_norms
 from .remap import reference_dp, remap_column, vertical_remap
 from .scans import (
@@ -52,4 +53,6 @@ __all__ = [
     "remap_column",
     "reference_dp",
     "vertical_remap",
+    "limit_tracer",
+    "element_bounds",
 ]

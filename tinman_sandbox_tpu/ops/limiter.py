@@ -1,0 +1,61 @@
+"""Mass-conserving monotone tracer limiter (HOMME limiter8 analog).
+
+Spectral-element transport overshoots near steep gradients (the solid-body
+cosine-bell test shows ~±8% ringing). HOMME repairs this with an
+element-local optimization: clamp nodal mixing ratios to prescribed bounds
+while conserving the element's tracer mass by proportional redistribution
+into the remaining headroom. This is that algorithm, vectorized over
+[elements, levels] with a fixed iteration count (compiler-friendly; HOMME
+iterates to convergence — 2 passes + an exact uniform fallback reproduce
+its behavior to fp tolerance in practice).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["limit_tracer", "element_bounds"]
+
+
+def element_bounds(q):
+    """Per-element(-level) min/max of the nodal values:
+    [..., np, np] -> two arrays broadcastable against q."""
+    qmin = jnp.min(q, axis=(-2, -1), keepdims=True)
+    qmax = jnp.max(q, axis=(-2, -1), keepdims=True)
+    return qmin, qmax
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def limit_tracer(q, w, qmin, qmax, iters: int = 2):
+    """Clamp q into [qmin, qmax] nodally while conserving sum(w*q) per
+    element(-level). q, w: [..., np, np]; bounds broadcastable.
+
+    After ``iters`` clip-and-redistribute passes, any residual (bounds
+    infeasible for the mass) is spread uniformly by weight so conservation
+    is exact regardless.
+    """
+    axes = (-2, -1)
+    mass = jnp.sum(w * q, axis=axes, keepdims=True)
+
+    for _ in range(iters):
+        q = jnp.clip(q, qmin, qmax)
+        deficit = mass - jnp.sum(w * q, axis=axes, keepdims=True)
+        up_room = w * (qmax - q)          # mass that can still be added
+        dn_room = w * (q - qmin)          # mass that can still be removed
+        up_tot = jnp.sum(up_room, axis=axes, keepdims=True)
+        dn_tot = jnp.sum(dn_room, axis=axes, keepdims=True)
+        add = jnp.where(
+            deficit > 0,
+            jnp.minimum(deficit, up_tot) * up_room
+            / jnp.maximum(up_tot, 1e-300),
+            -jnp.minimum(-deficit, dn_tot) * dn_room
+            / jnp.maximum(dn_tot, 1e-300),
+        )
+        q = q + add / jnp.maximum(w, 1e-300)
+
+    # exact-conservation fallback: spread any residual uniformly by weight
+    residual = mass - jnp.sum(w * q, axis=axes, keepdims=True)
+    wsum = jnp.sum(w, axis=axes, keepdims=True)
+    return q + residual / wsum

@@ -57,13 +57,15 @@ def advance_qdp(state: State, geom: Geometry, cfg: Config, dt):
     return dataclasses.replace(state, qdp=qdp)
 
 
-@partial(jax.jit, static_argnames=("cfg", "ndof"))
+@partial(jax.jit, static_argnames=("cfg", "ndof", "limit"))
 def ssprk3_tracer_step(qdp, vstar_u, vstar_v, geom: Geometry, cfg: Config,
-                       dt, gdof=None, ndof: int = 0):
+                       dt, gdof=None, ndof: int = 0, limit: bool = False):
     """Strong-stability-preserving RK3 tracer transport (HOMME advances
     tracers with SSP substages inside qsplit; the reference's
-    EulerStepFunctor is one such stage). Each stage is the fused Euler step
-    followed by the continuous (DSS) projection when a dof map is given.
+    EulerStepFunctor is one such stage). Each stage is the fused Euler step,
+    optionally the monotone mass-conserving limiter (ops/limiter.py, HOMME
+    limiter8 analog, bounds from the stage's input extrema), then the
+    continuous (DSS) projection when a dof map is given.
     """
     if gdof is not None:
         from ..dist.dss import dss_project
@@ -72,7 +74,17 @@ def ssprk3_tracer_step(qdp, vstar_u, vstar_v, geom: Geometry, cfg: Config,
                                   geom.rspheremp)
     else:
         P = lambda q: q
+    if limit:
+        from ..ops.limiter import element_bounds, limit_tracer
+
+        w = geom.spheremp[:, None, None]
+
+        def L(q_out, q_in):
+            qmin, qmax = element_bounds(q_in)
+            return limit_tracer(q_out, w, qmin, qmax)
+    else:
+        L = lambda q_out, q_in: q_out
     E = lambda q: euler_step(q, vstar_u, vstar_v, geom, cfg, dt)
-    q1 = P(E(qdp))
-    q2 = P(0.75 * qdp + 0.25 * E(q1))
-    return P(qdp / 3.0 + (2.0 / 3.0) * E(q2))
+    q1 = P(L(E(qdp), qdp))
+    q2 = P(L(0.75 * qdp + 0.25 * E(q1), q1))
+    return P(L(qdp / 3.0 + (2.0 / 3.0) * E(q2), q2))
