@@ -50,10 +50,25 @@ def main() -> None:
     dtype = np.dtype(args.dtype)
     cfg = Config(nelem=args.nelem, nlev=args.nlev, dtype=args.dtype,
                  elem_block=args.eb)
-    cast = lambda tree: jax.tree.map(lambda x: np.asarray(x, dtype), tree)
-    state = cast(random_state(cfg, seed=7))
-    derived = cast(zero_derived(cfg))
-    geom = cast(random_geometry(cfg, seed=8))
+    if args.nelem >= 16384 and dtype == np.float32:
+        # large grids: generate the multi-GB state on device (staging host
+        # arrays through the tunnel takes minutes at this size)
+        import jax.numpy as jnp
+
+        from tinman_sandbox_tpu.state import Derived, random_state_device
+
+        state = random_state_device(cfg, seed=7)
+        z = lambda s: jnp.zeros(s, jnp.float32)
+        s3 = (cfg.nelem, cfg.nlev, 4, 4)
+        derived = Derived(vn0_u=z(s3), vn0_v=z(s3), phi=z(s3), omega_p=z(s3),
+                          eta_dot_dpdn=z((cfg.nelem, cfg.nlev + 1, 4, 4)),
+                          pecnd=z(s3))
+    else:
+        cast = lambda tree: jax.tree.map(lambda x: np.asarray(x, dtype), tree)
+        state = cast(random_state(cfg, seed=7))
+        derived = cast(zero_derived(cfg))
+    cast_g = lambda tree: jax.tree.map(lambda x: np.asarray(x, dtype), tree)
+    geom = cast_g(random_geometry(cfg, seed=8))
     hv = analytic_hvcoord(cfg).astype(dtype)
 
     kernel = "xla"

@@ -117,6 +117,32 @@ def random_state(cfg: Config, seed: int = 1, dtype=np.float64) -> State:
     )
 
 
+def random_state_device(cfg: Config, seed: int = 1, dtype=None) -> State:
+    """random_state generated ON DEVICE with jax.random — avoids staging
+    multi-GB host arrays through slow host->device links for large grids
+    (ne120-class: ~10 GB of state). Same distributions as random_state,
+    different stream."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    nelem, nlev, qsize = cfg.nelem, cfg.nlev, cfg.qsize
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    s3 = (NUM_TIME_LEVELS, nelem, nlev, NP, NP)
+    u = lambda k, lo, hi, sh: jax.random.uniform(
+        k, sh, dtype, minval=lo, maxval=hi
+    )
+    return State(
+        u=u(ks[0], -1, 1, s3),
+        v=u(ks[1], -1, 1, s3),
+        t=u(ks[2], 250, 300, s3),
+        dp3d=u(ks[3], 10, 20, s3),
+        ps_v=u(ks[4], 9e4, 1.1e5, (NUM_TIME_LEVELS, nelem, NP, NP)),
+        phis=u(ks[5], 0, 1, (nelem, NP, NP)),
+        qdp=u(ks[6], 0, 1, (QDP_TIME_LEVELS, nelem, qsize, nlev, NP, NP)),
+    )
+
+
 def zero_derived(cfg: Config, dtype=np.float64) -> Derived:
     nelem, nlev = cfg.nelem, cfg.nlev
     shape3 = (nelem, nlev, NP, NP)
