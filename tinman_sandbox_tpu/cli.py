@@ -109,10 +109,12 @@ def main(argv=None) -> int:
 
     use_pallas = args.kernel == "pallas" or (
         args.kernel == "auto" and jax.default_backend() == "tpu"
-        and args.dtype == "float32" and not args.dss
+        and args.dtype == "float32" and not args.dss and not args.rk
     )
+    mode = ("ssprk3+dss" if args.rk else "caar+dss" if args.dss
+            else "pallas" if use_pallas else "xla")
     print(f" --- {args.num_exec} executions on {nelem} elements x {cfg.nlev} "
-          f"levels ({'pallas' if use_pallas else 'xla'} kernel, {args.dtype})")
+          f"levels ({mode} kernel, {args.dtype})")
     print_results_2norm(state, "Initial")
 
     dt2 = dtype.type(1.0 if args.init == "analytic" else args.dt)
