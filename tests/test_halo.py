@@ -108,3 +108,40 @@ def test_caar_dss_pallas_matches_xla_dss_step():
     a, b = np.asarray(out_d.omega_p), np.asarray(ref_d.omega_p)
     scale = np.max(np.abs(b)) + 1.0
     np.testing.assert_allclose(a / scale, b / scale, atol=3e-6)
+
+
+def test_ppermute_dss_matches_segment_sum():
+    from tinman_sandbox_tpu.dist.halo_ppermute import (
+        dss_sum_ppermute, make_ppermute_plan,
+    )
+
+    for ne in (3, 4):
+        cs = build_cubed_sphere(ne)
+        if cs.nelem % 8:
+            continue
+        mesh = make_mesh(8)
+        plan = make_ppermute_plan(cs.gdof, 8)
+        assert plan.rounds >= 1
+        x = jnp.asarray(
+            np.random.default_rng(ne).normal(size=(cs.nelem, 3, 4, 4))
+        )
+        ref = dss_sum(x, jnp.asarray(cs.gdof), cs.ndof)
+        with mesh:
+            out = dss_sum_ppermute(x, plan, mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_ppermute_dss_two_shards():
+    from tinman_sandbox_tpu.dist.halo_ppermute import (
+        dss_sum_ppermute, make_ppermute_plan,
+    )
+
+    cs = build_cubed_sphere(3)   # 54 elements / 2 devices
+    mesh = make_mesh(2)
+    plan = make_ppermute_plan(cs.gdof, 2)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(cs.nelem, 4, 4)))
+    ref = dss_sum(x, jnp.asarray(cs.gdof), cs.ndof)
+    with mesh:
+        out = dss_sum_ppermute(x, plan, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12)

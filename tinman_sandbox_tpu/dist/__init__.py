@@ -3,6 +3,7 @@
 from .cubed_sphere import CubedSphere, build_cubed_sphere
 from .dss import dss_project, dss_scaled, dss_sum
 from .halo import DssPlan, dss_scaled_halo, dss_sum_halo, make_dss_plan
+from .halo_ppermute import PpermutePlan, dss_sum_ppermute, make_ppermute_plan
 from .sharding import make_mesh, shard_problem
 from .step import caar_dss_step, caar_halo_step
 
@@ -20,4 +21,7 @@ __all__ = [
     "make_dss_plan",
     "dss_sum_halo",
     "dss_scaled_halo",
+    "PpermutePlan",
+    "make_ppermute_plan",
+    "dss_sum_ppermute",
 ]
