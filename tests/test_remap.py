@@ -22,7 +22,7 @@ def _dps(nlev, seed=0, shape=(2, 4, 4)):
 def test_identity_when_grids_match():
     dp, _ = _dps(9)
     q = jnp.asarray(np.random.default_rng(1).normal(size=dp.shape))
-    for scheme in ("pcm", "plm"):
+    for scheme in ("pcm", "plm", "ppm"):
         out = remap_column(q, dp, dp, scheme=scheme)
         np.testing.assert_allclose(np.asarray(out), np.asarray(q),
                                    rtol=1e-12, atol=1e-12)
@@ -32,7 +32,7 @@ def test_conservation_and_monotonicity():
     dp_src, dp_tgt = _dps(12, seed=3)
     q = jnp.asarray(np.random.default_rng(4).uniform(200, 300,
                                                      size=dp_src.shape))
-    for scheme in ("pcm", "plm"):
+    for scheme in ("pcm", "plm", "ppm"):
         out = remap_column(q, dp_src, dp_tgt, scheme=scheme)
         np.testing.assert_allclose(
             np.asarray(jnp.sum(out * dp_tgt, axis=1)),
@@ -60,7 +60,7 @@ def test_plm_beats_pcm_on_smooth_profile():
     exact = (-jnp.cos(ti[:, 1:] / 60.0) + jnp.cos(ti[:, :-1] / 60.0)) * 60.0 \
         / dp_tgt
     e = {}
-    for scheme in ("pcm", "plm"):
+    for scheme in ("pcm", "plm", "ppm"):
         out = remap_column(q, dp_src, dp_tgt, scheme=scheme)
         e[scheme] = float(jnp.max(jnp.abs(out - exact)))
     assert e["plm"] < 0.5 * e["pcm"], e

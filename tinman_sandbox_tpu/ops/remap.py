@@ -8,8 +8,10 @@ TPU-natively: instead of per-column searchsorted/gather loops, the remap is
 a dense O(nlev^2) broadcasted overlap computation — 73x72 masks per column —
 which is pure VPU work with static shapes.
 
-Reconstruction: piecewise-constant (PCM, 1st order, monotone) or
-piecewise-linear with minmod limiting (PLM, 2nd order, monotone).
+Reconstruction: piecewise-constant (PCM, 1st order, monotone),
+piecewise-linear with minmod limiting (PLM, 2nd order, monotone), or
+piecewise-parabolic with Colella-Woodward monotonization (PPM, 3rd order —
+HOMME's remap_Q_ppm family).
 """
 from __future__ import annotations
 
@@ -66,6 +68,42 @@ def remap_column(q, dp_src, dp_tgt, scheme: str = "plm"):
         mk = m[..., None, :, :, :]
         # integral of m*(xi - dp/2) over [0, x] = m*(x^2/2 - x*dp/2)
         contrib = contrib + mk * (0.5 * x * x - 0.5 * x * dpk)
+    elif scheme == "ppm":
+        # cell-edge values by 4th-order interpolation (edge-replicated at
+        # the column boundaries), then CW84 monotonization
+        pad2 = jnp.concatenate(
+            [q[..., :1, :, :], q[..., :1, :, :], q,
+             q[..., -1:, :, :], q[..., -1:, :, :]], axis=-3,
+        )                                        # [..., K+4, np, np]
+        qm1 = pad2[..., 1:-2, :, :]              # q_{i-1} for edges 0..K
+        qp0 = pad2[..., 2:-1, :, :]              # q_i
+        qm2 = pad2[..., :-3, :, :]               # q_{i-2}
+        qp1 = pad2[..., 3:, :, :]                # q_{i+1}
+        edges = (7.0 / 12.0) * (qm1 + qp0) - (1.0 / 12.0) * (qm2 + qp1)
+        # clamp each edge between its adjacent cell means (monotone edges)
+        lo = jnp.minimum(qm1, qp0)
+        hi = jnp.maximum(qm1, qp0)
+        edges = jnp.clip(edges, lo, hi)
+        a_l = edges[..., :-1, :, :]
+        a_r = edges[..., 1:, :, :]
+        # monotonize (Colella & Woodward 1984)
+        extremum = (a_r - q) * (q - a_l) <= 0.0
+        a_l = jnp.where(extremum, q, a_l)
+        a_r = jnp.where(extremum, q, a_r)
+        da = a_r - a_l
+        dev = q - 0.5 * (a_l + a_r)
+        a_l = jnp.where(da * dev > da * da / 6.0, 3.0 * q - 2.0 * a_r, a_l)
+        a_r = jnp.where(-(da * da) / 6.0 > da * dev, 3.0 * q - 2.0 * a_l, a_r)
+        da = a_r - a_l
+        a6 = 6.0 * (q - 0.5 * (a_l + a_r))
+        # integral of the parabola over [0, x] in local fraction xi = x/dp:
+        # dp * (aL*xi + da*xi^2/2 + a6*(xi^2/2 - xi^3/3))
+        xi = x / dpk
+        contrib = dpk * (
+            a_l[..., None, :, :, :] * xi
+            + da[..., None, :, :, :] * 0.5 * xi * xi
+            + a6[..., None, :, :, :] * (0.5 * xi * xi - xi * xi * xi / 3.0)
+        )
     elif scheme != "pcm":
         raise ValueError(f"unknown remap scheme {scheme!r}")
 
