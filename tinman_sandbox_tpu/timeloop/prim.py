@@ -40,9 +40,18 @@ def prim_run_step(
     nu: float = 0.0,
     qsplit: int = 1,
     moist: bool = True,
+    limit_tracers: bool = False,
+    remap: bool = False,
 ):
     """One full model step of length cfg.dt. Returns (state, derived, cfg)
-    with cfg carrying the rotated time-level indices."""
+    with cfg carrying the rotated time-level indices.
+
+    ``limit_tracers`` applies the monotone mass-conserving limiter inside
+    every tracer substage; ``remap=True`` conservatively remaps the np1
+    state back to the reference hybrid levels (the rsplit cadence — call
+    with remap=True every rsplit-th step; requires a physically monotone
+    hv, i.e. increasing interface pressures).
+    """
     state, derived = ssprk3_step(
         state, derived, geom, hv, cfg, cfg.dt, gdof=gdof, ndof=ndof,
         moist=moist,
@@ -58,10 +67,14 @@ def prim_run_step(
     dt_q = cfg.dt / max(qsplit, 1)
     for _ in range(max(qsplit, 1)):
         qdp = ssprk3_tracer_step(qdp, vu, vv, geom, cfg, dt_q, gdof=gdof,
-                                 ndof=ndof)
+                                 ndof=ndof, limit=limit_tracers)
     state = dataclasses.replace(
         state, qdp=jnp.asarray(state.qdp).at[np1_q].set(qdp)
     )
+    if remap:
+        from ..ops.remap import vertical_remap
+
+        state = vertical_remap(state, hv, dataclasses.replace(cfg, qn0=np1_q))
     # the tracer time level flips with the dynamics rotation
     new_cfg = dataclasses.replace(rotated(cfg), qn0=np1_q)
     return state, derived, new_cfg
