@@ -25,11 +25,16 @@ def main():
     ap.add_argument("--dt", type=float, default=600.0)
     ap.add_argument("--nu", type=float, default=1e15)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (fast compiles for smokes)")
     args = ap.parse_args()
 
     import dataclasses
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -88,7 +93,9 @@ def main():
     for step in range(1, args.steps + 1):
         with timers.region("prim_run_step"):
             st, dv, c = prim_run_step(st, dv, g, hv, c, gdof, cs.ndof,
-                                      nu=args.nu, qsplit=2)
+                                      nu=args.nu, qsplit=2,
+                                      limit_tracers=True,
+                                      remap=(step % 3 == 0))
         if step % 24 == 0:
             d = energy_diagnostics(st, g.spheremp, cfg, tl=c.n0)
             ok, mn = check_dp3d(st, dataclasses.replace(c, np1=c.n0))

@@ -113,3 +113,16 @@ def test_solid_body_rotation_with_limiter():
     # monotone: projection after limiting can leak only marginally
     assert qf.min() > -1e-3
     assert qf.max() < 1.0 + 1e-3
+
+
+def test_limiter_float32_uniform_elements():
+    """f32 regression: uniform elements (zero headroom) must not produce
+    NaN — 1e-300 guards underflow to 0 in f32."""
+    from tinman_sandbox_tpu.ops.limiter import limit_tracer
+
+    q = jnp.full((4, 2, 4, 4), 0.5, jnp.float32)
+    w = jnp.full((4, 2, 4, 4), 1.0, jnp.float32)
+    out = limit_tracer(q, w, jnp.full((4, 2, 1, 1), 0.5, jnp.float32),
+                       jnp.full((4, 2, 1, 1), 0.5, jnp.float32))
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), 0.5, rtol=1e-6)

@@ -46,14 +46,15 @@ def limit_tracer(q, w, qmin, qmax, iters: int = 2):
         dn_room = w * (q - qmin)          # mass that can still be removed
         up_tot = jnp.sum(up_room, axis=axes, keepdims=True)
         dn_tot = jnp.sum(dn_room, axis=axes, keepdims=True)
+        tiny = jnp.finfo(q.dtype).tiny     # 1e-300 would underflow in f32
         add = jnp.where(
             deficit > 0,
             jnp.minimum(deficit, up_tot) * up_room
-            / jnp.maximum(up_tot, 1e-300),
+            / jnp.maximum(up_tot, tiny),
             -jnp.minimum(-deficit, dn_tot) * dn_room
-            / jnp.maximum(dn_tot, 1e-300),
+            / jnp.maximum(dn_tot, tiny),
         )
-        q = q + add / jnp.maximum(w, 1e-300)
+        q = q + add / jnp.maximum(w, tiny)
 
     # exact-conservation fallback: spread any residual uniformly by weight
     residual = mass - jnp.sum(w * q, axis=axes, keepdims=True)
