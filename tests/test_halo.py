@@ -145,3 +145,32 @@ def test_ppermute_dss_two_shards():
     with mesh:
         out = dss_sum_ppermute(x, plan, mesh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12)
+
+
+def test_caar_ppermute_step_matches_dss_step():
+    from tinman_sandbox_tpu import analytic_hvcoord, zero_derived
+    from tinman_sandbox_tpu.dist import (
+        caar_dss_step, caar_ppermute_step, make_ppermute_plan, shard_problem,
+    )
+
+    cs = build_cubed_sphere(2)          # 24 elements / 8 devices
+    cfg = Config(nelem=cs.nelem, nlev=4)
+    st = random_state(cfg, seed=8)
+    dv = zero_derived(cfg)
+    hv = analytic_hvcoord(cfg)
+    g = cs.geometry
+    mesh = make_mesh(8)
+    plan = make_ppermute_plan(cs.gdof, 8)
+
+    ref_s, ref_d = caar_dss_step(st, dv, g, hv, jnp.asarray(cs.gdof),
+                                 cs.ndof, cfg, 0.5, 1.0)
+    st_s, dv_s, g_s = shard_problem(mesh, st, dv, g)
+    with mesh:
+        out_s, out_d = caar_ppermute_step(st_s, dv_s, g_s, hv, plan, mesh,
+                                          cfg, 0.5, 1.0)
+    for name in ("u", "v", "t", "dp3d"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_s, name)[cfg.np1]),
+            np.asarray(getattr(ref_s, name)[cfg.np1]),
+            rtol=1e-12, atol=1e-12, err_msg=name,
+        )

@@ -3,9 +3,14 @@
 from .cubed_sphere import CubedSphere, build_cubed_sphere
 from .dss import dss_project, dss_scaled, dss_sum
 from .halo import DssPlan, dss_scaled_halo, dss_sum_halo, make_dss_plan
-from .halo_ppermute import PpermutePlan, dss_sum_ppermute, make_ppermute_plan
+from .halo_ppermute import (
+    PpermutePlan,
+    dss_scaled_ppermute,
+    dss_sum_ppermute,
+    make_ppermute_plan,
+)
 from .sharding import make_mesh, shard_problem
-from .step import caar_dss_step, caar_halo_step
+from .step import caar_dss_step, caar_halo_step, caar_ppermute_step
 
 __all__ = [
     "CubedSphere",
@@ -24,4 +29,6 @@ __all__ = [
     "PpermutePlan",
     "make_ppermute_plan",
     "dss_sum_ppermute",
+    "dss_scaled_ppermute",
+    "caar_ppermute_step",
 ]

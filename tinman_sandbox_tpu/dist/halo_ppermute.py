@@ -29,7 +29,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import NPSQ
 
-__all__ = ["PpermutePlan", "make_ppermute_plan", "dss_sum_ppermute"]
+__all__ = ["PpermutePlan", "make_ppermute_plan", "dss_sum_ppermute",
+           "dss_scaled_ppermute"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,3 +143,13 @@ def dss_sum_ppermute(x, plan: PpermutePlan, mesh: Mesh, axis: str = "e"):
         out_specs=P(axis),
     )
     return fn(x, jnp.asarray(plan.local_sid), jnp.asarray(plan.send_idx))
+
+
+def dss_scaled_ppermute(x, plan: PpermutePlan, mesh: Mesh, rspheremp,
+                        axis: str = "e"):
+    """rspheremp * ppermute-DSS(x) (assembly of a spheremp-weighted
+    update), the neighbor-exchange analog of dist.halo.dss_scaled_halo."""
+    r = rspheremp
+    while r.ndim < x.ndim:
+        r = r[:, None]
+    return r * dss_sum_ppermute(x, plan, mesh, axis)

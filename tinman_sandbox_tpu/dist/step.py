@@ -75,3 +75,26 @@ def caar_halo_step(
     )
     assemble = lambda x: dss_scaled_halo(x, plan, mesh, geom.rspheremp)
     return _assemble_np1(state, cfg, assemble), derived
+
+
+def caar_ppermute_step(
+    state: State,
+    derived: Derived,
+    geom: Geometry,
+    hv: HybridVCoord,
+    plan,
+    mesh,
+    cfg: Config,
+    dt2,
+    eta_ave_w,
+    moist: bool = True,
+):
+    """caar_dss_step with the neighbor-wise ppermute halo exchange
+    (dist/halo_ppermute.py): per-shard assembly + point-to-point rounds."""
+    from .halo_ppermute import dss_scaled_ppermute
+
+    state, derived = caar_xla(
+        state, derived, geom, hv, cfg, dt2, eta_ave_w, moist=moist
+    )
+    assemble = lambda x: dss_scaled_ppermute(x, plan, mesh, geom.rspheremp)
+    return _assemble_np1(state, cfg, assemble), derived
