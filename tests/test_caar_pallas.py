@@ -171,3 +171,21 @@ def test_run_leapfrog_pallas_chunked_matches_unchunked():
         scale = np.max(np.abs(b)) + 1.0
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-5,
                                    err_msg=name)
+
+
+def test_pallas_rejects_rsplit0():
+    """The Pallas path only implements the vertically-Lagrangian math;
+    rsplit=0 must fail loudly instead of silently dropping the eta terms."""
+    import pytest
+
+    from tinman_sandbox_tpu import (
+        Config, analytic_derived, analytic_geometry, analytic_hvcoord,
+        analytic_state,
+    )
+    from tinman_sandbox_tpu.kernels.caar_pallas import caar_pallas
+
+    cfg = Config(nelem=8, nlev=4, rsplit=0)
+    st, dv = analytic_state(cfg), analytic_derived(cfg)
+    geom, hv = analytic_geometry(cfg), analytic_hvcoord(cfg)
+    with pytest.raises(NotImplementedError):
+        caar_pallas(st, dv, geom, hv, cfg, 1.0, 1.0, interpret=True)

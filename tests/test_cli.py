@@ -49,3 +49,12 @@ def test_cli_rk_hypervis_diag(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "initial diagnostics" in out and "final diagnostics" in out
+
+
+def test_cli_pallas_on_cpu_falls_back_to_interpret(capsys):
+    """--kernel pallas off-TPU must run (interpret mode), not crash."""
+    rc = main(["--num-elems", "8", "--nlev", "4", "--num-exec", "1",
+               "--kernel", "pallas", "--dtype", "float32"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "interpret mode" in out

@@ -22,10 +22,13 @@ from tinman_sandbox_tpu.ops import (
     midpoint_pressure,
     preq_hydrostatic,
     preq_omega_ps,
+    laplace_tensor_replace,
     virtual_temperature,
     vlaplace_sphere_wk_cartesian,
+    vlaplace_sphere_wk_cartesian_reduced,
     vlaplace_sphere_wk_contra,
     vorticity_sphere,
+    vorticity_sphere_vector,
 )
 from tinman_sandbox_tpu.ref.caar_ref import (
     divergence_sphere_ref,
@@ -76,6 +79,11 @@ class TestStrongOps:
 
     def test_vorticity_matches_oracle(self):
         w = vorticity_sphere(self.v1, self.v2, GEOM.dvv, self.d, self.rmetdet, RR)
+        wv = vorticity_sphere_vector(
+            jnp.stack([jnp.asarray(self.v1), jnp.asarray(self.v2)], axis=-3),
+            GEOM.dvv, self.d, self.rmetdet, RR,
+        )
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(wv))
         r = vorticity_ref(self.v1, self.v2, GEOM.dvv, self.d, self.rmetdet, RR)
         np.testing.assert_allclose(w, r, rtol=1e-12, atol=1e-18)
 
@@ -205,7 +213,10 @@ class TestWeakOps:
         )
         assert np.all(quad <= 1e-16)
 
-    def test_vlaplace_cartesian_runs(self):
+    def test_vlaplace_cartesian_negative_semidefinite(self):
+        """The FULL cartesian variant (hpp:777-844, no rigid term) is a sum
+        of three scalar weak Laplacians in the cartesian components, hence
+        <v, L v> <= 0 for identity viscosity."""
         eye = np.zeros((CFG.nelem, 1, 2, 2, 4, 4))
         eye[:, :, 0, 0] = 1.0
         eye[:, :, 1, 1] = 1.0
@@ -213,8 +224,50 @@ class TestWeakOps:
             self.v1, self.v2, GEOM.dvv, self.dinv, self.sph, eye,
             _geo_lev(GEOM.vec_sph2cart), RR,
         )
-        assert np.all(np.isfinite(l1)) and np.all(np.isfinite(l2))
         assert l1.shape == self.v1.shape
+        quad = np.sum(self.v1 * np.asarray(l1) + self.v2 * np.asarray(l2),
+                      axis=(-1, -2))
+        assert np.all(quad <= 1e-16)
+
+    def test_vlaplace_cartesian_reduced_is_full_plus_rigid(self):
+        """hpp:849-935 = hpp:777-844 + the UNDAMPRRCART term
+        2*spheremp*rrearth^2*v (the component Laplacians are the same math
+        through laplace_tensor vs laplace_tensor_replace)."""
+        visc = RNG.uniform(0.5, 1.5, (CFG.nelem, 1, 2, 2, 4, 4))
+        args = (GEOM.dvv, self.dinv, self.sph, visc,
+                _geo_lev(GEOM.vec_sph2cart), RR)
+        f1, f2 = vlaplace_sphere_wk_cartesian(self.v1, self.v2, *args)
+        r1, r2 = vlaplace_sphere_wk_cartesian_reduced(self.v1, self.v2, *args)
+        rigid = 2.0 * self.sph * RR * RR
+        np.testing.assert_allclose(np.asarray(r1),
+                                   np.asarray(f1) + rigid * self.v1,
+                                   rtol=1e-12, atol=1e-18)
+        np.testing.assert_allclose(np.asarray(r2),
+                                   np.asarray(f2) + rigid * self.v2,
+                                   rtol=1e-12, atol=1e-18)
+
+    def test_laplace_tensor_replace_matches_tensor(self):
+        """hpp:600-638 differs from hpp:555-596 only in buffer aliasing,
+        which has no functional analog — outputs must be identical, also for
+        non-symmetric viscosity tensors."""
+        visc = RNG.uniform(-1.0, 1.0, (CFG.nelem, 1, 2, 2, 4, 4))
+        a = laplace_tensor(self.phi, GEOM.dvv, self.dinv, self.sph, visc, RR)
+        b = laplace_tensor_replace(self.phi, GEOM.dvv, self.dinv, self.sph,
+                                   visc, RR)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_laplace_tensor_transposed_contraction(self):
+        """The reference contracts tensorVisc TRANSPOSED (hpp:576-579:
+        buf_a = sum_b V[b,a] grad_b); verify against an explicit einsum."""
+        visc = RNG.uniform(-1.0, 1.0, (CFG.nelem, 1, 2, 2, 4, 4))
+        g1, g2 = gradient_sphere(self.phi, GEOM.dvv, self.dinv, RR)
+        g = np.stack([np.asarray(g1), np.asarray(g2)], axis=-3)  # [...,2,np,np]
+        tv = np.einsum("...baij,...bij->...aij", visc, g)
+        expect = divergence_sphere_wk(tv[..., 0, :, :], tv[..., 1, :, :],
+                                      GEOM.dvv, self.dinv, self.sph, RR)
+        got = laplace_tensor(self.phi, GEOM.dvv, self.dinv, self.sph, visc, RR)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   rtol=1e-12, atol=1e-18)
 
 
 class TestScans:

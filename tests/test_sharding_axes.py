@@ -87,3 +87,17 @@ def test_level_axis_sharding_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out_d.phi), np.asarray(ref_d.phi), rtol=1e-12, atol=1e-12
     )
+
+
+def test_replicate_places_on_all_devices():
+    """dist.sharding.replicate: every leaf (incl. scalars) fully replicated."""
+    from tinman_sandbox_tpu.dist.sharding import make_mesh, replicate
+
+    mesh = make_mesh(4)
+    tree = {"a": jnp.arange(12.0).reshape(3, 4), "s": jnp.float32(2.5)}
+    out = replicate(mesh, tree)
+    for leaf in jax.tree.leaves(out):
+        assert leaf.sharding.is_fully_replicated, leaf.sharding
+        assert len(leaf.sharding.device_set) == 4
+    np.testing.assert_array_equal(np.asarray(out["a"]),
+                                  np.arange(12.0).reshape(3, 4))

@@ -107,6 +107,12 @@ def main(argv=None) -> int:
         state, derived, cfg, step = load_checkpoint(args.restore, cfg)
         print(f" --- restored step {step} from {args.restore}")
 
+    pallas_interpret = False
+    if args.kernel == "pallas" and jax.default_backend() != "tpu":
+        # compiled pallas_call has no CPU lowering; interpret mode keeps the
+        # flag usable (slowly) off-TPU instead of crashing
+        print(" --- pallas on a non-TPU backend: using interpret mode")
+        pallas_interpret = True
     use_pallas = args.kernel == "pallas" or (
         args.kernel == "auto" and jax.default_backend() == "tpu"
         and args.dtype == "float32" and not args.dss and not args.rk
@@ -133,9 +139,12 @@ def main(argv=None) -> int:
         from .timeloop.rk import ssprk3_step
 
         gdof = jnp.asarray(cs.gdof)
+        # RK is a real integration: always honor --dt (dt2=1.0 is only the
+        # golden-comparison convention for the raw CAAR apply)
+        rk_dt = dtype.type(args.dt)
 
         def one_step(s, d, c):
-            return ssprk3_step(s, d, geom, hv, c, dt2, gdof=gdof,
+            return ssprk3_step(s, d, geom, hv, c, rk_dt, gdof=gdof,
                                ndof=cs.ndof)
     elif args.dss:
         from .dist import caar_dss_step
@@ -148,7 +157,8 @@ def main(argv=None) -> int:
         from .kernels.caar_pallas import caar_pallas
 
         def one_step(s, d, c):
-            return caar_pallas(s, d, geom, hv, c, dt2, eta)
+            return caar_pallas(s, d, geom, hv, c, dt2, eta,
+                               interpret=pallas_interpret)
     else:
         def one_step(s, d, c):
             return caar_xla(s, d, geom, hv, c, dt2, eta)
@@ -195,7 +205,10 @@ def main(argv=None) -> int:
             f"{k}={float(v):.6e}" for k, v in d1.items()))
 
     print_results_2norm(state, "Final")
-    ok, mn = check_dp3d(state, c)
+    # after the final rotation the freshest level is c.n0, not c.np1
+    import dataclasses as _dc
+    c_chk = _dc.replace(c, np1=c.n0) if args.leapfrog else c
+    ok, mn = check_dp3d(state, c_chk)
     if not bool(ok):
         print(f" --- WARNING: dp3d positivity violated (min {float(mn):.3e})")
 

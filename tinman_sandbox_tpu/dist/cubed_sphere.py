@@ -146,6 +146,21 @@ def build_cubed_sphere(ne: int, dtype=np.float64) -> CubedSphere:
     gdof = inverse.reshape(nelem, NP, NP).astype(np.int32)
     ndof = int(counts.size)
 
+    # Guard the coordinate-rounding dedup: for the closed cubed-sphere quad
+    # mesh (F = 6ne^2 faces, E = 12ne^2 edges, V = 6ne^2+2 vertices by Euler)
+    # the unique GLL dof count is F*(np-2)^2 + E*(np-2) + V = 6ne^2(np-1)^2+2,
+    # with exactly 8 multiplicity-3 dofs (cube corners) and no multiplicity
+    # above 4. Any fp-noise split or spurious merge breaks one of these.
+    expect_ndof = 6 * ne * ne * (NP - 1) ** 2 + 2
+    if ndof != expect_ndof or int(counts.max()) > 4 \
+            or int(np.sum(counts == 3)) != 8 \
+            or int(counts.sum()) != nelem * NP * NP:
+        raise AssertionError(
+            f"cubed-sphere dof identification failed at ne={ne}: "
+            f"ndof={ndof} (expected {expect_ndof}), "
+            f"multiplicity histogram={np.bincount(counts)}"
+        )
+
     # rspheremp = 1 / assembled spheremp
     assembled = np.zeros(ndof)
     np.add.at(assembled, gdof.reshape(-1), spheremp.reshape(-1))

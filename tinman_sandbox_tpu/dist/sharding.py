@@ -57,16 +57,11 @@ def shard_problem(mesh: Mesh, *trees, axis_name: str = "e"):
 
 
 def replicate(mesh: Mesh, tree):
-    """Fully replicate a pytree (hvcoord, scan operators, gdof tables)."""
+    """Fully replicate a pytree (hvcoord, scan operators, gdof tables) on
+    every device of the mesh; scalars (0-dim leaves) are placed too."""
     return jax.tree.map(
         lambda x: jax.device_put(
-            jnp_asarray(x), NamedSharding(mesh, P(*([None] * np.ndim(x))))
+            x, NamedSharding(mesh, P(*([None] * np.ndim(x))))
         ),
         tree,
     )
-
-
-def jnp_asarray(x):
-    import jax.numpy as jnp
-
-    return jnp.asarray(x) if np.ndim(x) else x

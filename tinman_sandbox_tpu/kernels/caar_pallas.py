@@ -51,6 +51,17 @@ __all__ = [
 _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
+def _require_lagrangian(cfg: Config):
+    """The Pallas path implements only the rsplit>0 vertically-Lagrangian
+    math (eta_dot_dpdn == 0, CaarFunctor.hpp:168-179); the rsplit=0
+    eta/vertadv terms live only in kernels.caar_xla."""
+    if cfg.rsplit <= 0:
+        raise NotImplementedError(
+            "caar_pallas supports only rsplit > 0 (vertically-Lagrangian); "
+            "use kernels.caar_xla for the rsplit=0 vertical-advection path"
+        )
+
+
 def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth,
                  scal_ref, dxb_ref, dyb_ref, ainc_ref, astr_ref, bstr_ref,
                  meta_ref,
@@ -333,8 +344,9 @@ _pack_problem_jit = partial(jax.jit, static_argnames=("cfg", "dtype"))(
 def caar_pallas(state: State, derived: Derived, geom: Geometry,
                 hv: HybridVCoord, cfg: Config, dt2, eta_ave_w,
                 moist: bool = True, interpret: bool = False):
-    """Full-state wrapper with the same contract as kernels.caar_xla
-    (pack -> fused kernel -> unpack). f32 fast path."""
+    """Full-state wrapper with the same contract as kernels.caar_xla for
+    rsplit > 0 (pack -> fused kernel -> unpack). f32 fast path."""
+    _require_lagrangian(cfg)
     p = pack_problem(state, derived, geom, hv, cfg)
     scal = _scalars(dt2, eta_ave_w, hv)
     u1, v1, t1, dp1, phi, vn0u, vn0v, omg = caar_pallas_packed(
@@ -369,6 +381,7 @@ def benchmark_loop_pallas(state: State, derived: Derived, geom: Geometry,
     """nsteps fused-kernel CAAR evaluations on the packed layout (pack once,
     loop entirely in kernel layout) — the Pallas analog of
     timeloop.benchmark_loop, same (state, derived) contract."""
+    _require_lagrangian(cfg)
     p = pack_problem(state, derived, geom, hv, cfg)
     scal = _scalars(dt2, eta_ave_w, hv)
     const = (p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"], p["meta"],
@@ -484,6 +497,7 @@ def run_leapfrog_pallas(state: State, derived: Derived, geom: Geometry,
     """
     from ..timeloop.driver import rotated
 
+    _require_lagrangian(cfg)
     dt2 = jnp.float32(2.0 * cfg.dt)
     eta = jnp.float32(1.0 / max(nsteps, 1))
     p = _pack_problem_jit(state, derived, geom, hv, cfg)

@@ -8,9 +8,12 @@ from .sphere import (
     gradient_sphere_update,
     laplace_simple,
     laplace_tensor,
+    laplace_tensor_replace,
     vlaplace_sphere_wk_cartesian,
+    vlaplace_sphere_wk_cartesian_reduced,
     vlaplace_sphere_wk_contra,
     vorticity_sphere,
+    vorticity_sphere_vector,
 )
 from .diagnostics import energy_diagnostics, global_integral
 from .limiter import element_bounds, limit_tracer
@@ -32,11 +35,14 @@ __all__ = [
     "divergence_sphere_update",
     "divergence_sphere_wk",
     "vorticity_sphere",
+    "vorticity_sphere_vector",
     "laplace_simple",
     "laplace_tensor",
+    "laplace_tensor_replace",
     "curl_sphere_wk_testcov",
     "grad_sphere_wk_testcov",
     "vlaplace_sphere_wk_cartesian",
+    "vlaplace_sphere_wk_cartesian_reduced",
     "vlaplace_sphere_wk_contra",
     "midpoint_pressure",
     "preq_hydrostatic",

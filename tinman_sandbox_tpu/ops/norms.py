@@ -40,7 +40,13 @@ def _fast_norm(x) -> float:
 
 def state_norms(state, exact: bool | None = None) -> dict:
     """{'v': ||u,v||, 'T': ||T||, 'dp': ||dp3d||} over all time levels
-    (main.F90:168-194 prints exactly these three)."""
+    (main.F90:168-194 prints exactly these three).
+
+    ``exact=None`` (default) uses the reference's scalar Kahan loop up to
+    200k values and numpy's f64 pairwise summation above that (both are
+    f64-accurate to ~1 ulp of the norm; the scalar loop is just too slow on
+    ne30-class grids). Pass ``exact=True`` to force Kahan at any size,
+    ``exact=False`` to force pairwise."""
     u = np.asarray(state.u)
     v = np.asarray(state.v)
     norm = kahan_norm if (exact or (exact is None and u.size <= 200_000)) \
@@ -53,8 +59,8 @@ def state_norms(state, exact: bool | None = None) -> dict:
     }
 
 
-def print_results_2norm(state, label: str = "") -> dict:
-    n = state_norms(state)
+def print_results_2norm(state, label: str = "", exact: bool | None = None) -> dict:
+    n = state_norms(state, exact=exact)
     print(f" --- {label} norms:")
     print(f"          ||v||_2  = {n['v']:.12f}")
     print(f"          ||T||_2  = {n['T']:.12f}")

@@ -26,11 +26,14 @@ __all__ = [
     "divergence_sphere_update",
     "divergence_sphere_wk",
     "vorticity_sphere",
+    "vorticity_sphere_vector",
     "laplace_simple",
     "laplace_tensor",
+    "laplace_tensor_replace",
     "curl_sphere_wk_testcov",
     "grad_sphere_wk_testcov",
     "vlaplace_sphere_wk_cartesian",
+    "vlaplace_sphere_wk_cartesian_reduced",
     "vlaplace_sphere_wk_contra",
 ]
 
@@ -99,11 +102,22 @@ def divergence_sphere_update(v1, v2, alpha, beta, div_in, dvv, dinv, metdet,
 
 
 def vorticity_sphere(u, v, dvv, d, rmetdet, rrearth):
-    """Spherical vorticity of latlon velocity (SphereOperators.hpp:405-449,
-    derivative_mod_base.F90:127-177)."""
+    """Spherical vorticity of latlon velocity given as separate (u, v)
+    components (SphereOperators.hpp:405-449, derivative_mod_base.F90:127-177
+    ``vorticity_v2``): covariant transform vco = D.v, then the curl
+    contraction scaled by rmetdet*rrearth."""
     vco1 = _t(d, 0, 0) * u + _t(d, 1, 0) * v
     vco2 = _t(d, 0, 1) * u + _t(d, 1, 1) * v
     return (_dx(dvv, vco2) - _dy(dvv, vco1)) * (rmetdet * rrearth)
+
+
+def vorticity_sphere_vector(v, dvv, d, rmetdet, rrearth):
+    """vorticity_sphere taking the velocity as one stacked [..., 2, np, np]
+    vector (SphereOperators.hpp:451-491 ``vorticity_sphere_vector`` — the
+    reference carries both signatures; the math is identical)."""
+    return vorticity_sphere(
+        v[..., 0, :, :], v[..., 1, :, :], dvv, d, rmetdet, rrearth
+    )
 
 
 # -- weak-form operators ------------------------------------------------------
@@ -126,11 +140,26 @@ def laplace_simple(s, dvv, dinv, spheremp, rrearth):
 
 
 def laplace_tensor(s, dvv, dinv, spheremp, tensor_visc, rrearth):
-    """Tensor-hyperviscosity Laplacian: div_wk(V . grad(s))
-    (SphereOperators.hpp:555-596). tensor_visc is [..., 2, 2, np, np]."""
+    """Tensor-hyperviscosity Laplacian: div_wk(V^T . grad(s))
+    (SphereOperators.hpp:555-596). tensor_visc is [..., 2, 2, np, np];
+    the reference contracts the tensor TRANSPOSED (hpp:576-579:
+    buf_a = sum_b V[b,a]*grad_b), which only matters for non-symmetric V
+    (HOMME's tensorHV is symmetric) — reproduced literally here."""
     g1, g2 = gradient_sphere(s, dvv, dinv, rrearth)
-    t1 = _t(tensor_visc, 0, 0) * g1 + _t(tensor_visc, 0, 1) * g2
-    t2 = _t(tensor_visc, 1, 0) * g1 + _t(tensor_visc, 1, 1) * g2
+    t1 = _t(tensor_visc, 0, 0) * g1 + _t(tensor_visc, 1, 0) * g2
+    t2 = _t(tensor_visc, 0, 1) * g1 + _t(tensor_visc, 1, 1) * g2
+    return divergence_sphere_wk(t1, t2, dvv, dinv, spheremp, rrearth)
+
+
+def laplace_tensor_replace(s, dvv, dinv, spheremp, tensor_visc, rrearth):
+    """laplace_tensor with the reference's input-replaced-by-output buffer
+    contract (SphereOperators.hpp:600-638): there the ``laplace`` view is
+    both input field and output, saving one scratch buffer. Functionally
+    (no aliasing in JAX) the computation is the same pipeline — kept as a
+    distinct, tested entry point for call-site parity."""
+    g1, g2 = gradient_sphere(s, dvv, dinv, rrearth)
+    t1 = _t(tensor_visc, 0, 0) * g1 + _t(tensor_visc, 1, 0) * g2
+    t2 = _t(tensor_visc, 0, 1) * g1 + _t(tensor_visc, 1, 1) * g2
     return divergence_sphere_wk(t1, t2, dvv, dinv, spheremp, rrearth)
 
 
@@ -162,15 +191,36 @@ def grad_sphere_wk_testcov(s, dvv, d, mp, metinv, metdet, rrearth):
 
 def vlaplace_sphere_wk_cartesian(v1, v2, dvv, dinv, spheremp, tensor_visc,
                                  vec_sph2cart, rrearth):
-    """Vector Laplacian via 3 cartesian-component tensor Laplacians
-    (SphereOperators.hpp:849-935, the '_reduced' variant incl. the
-    undamped-rigid-rotation term). vec_sph2cart is [..., 2, 3, np, np]."""
+    """Vector Laplacian via 3 cartesian-component tensor Laplacians, FULL
+    variant (SphereOperators.hpp:777-844): project latlon -> cartesian,
+    laplace_tensor each component, project back. No rigid-rotation term
+    (that belongs to the '_reduced' variant below).
+    vec_sph2cart is [..., 2, 3, np, np]."""
     comps = [
         vec_sph2cart[..., 0, c, :, :] * v1 + vec_sph2cart[..., 1, c, :, :] * v2
         for c in range(3)
     ]
     laps = [
         laplace_tensor(comp, dvv, dinv, spheremp, tensor_visc, rrearth)
+        for comp in comps
+    ]
+    l1 = sum(vec_sph2cart[..., 0, c, :, :] * laps[c] for c in range(3))
+    l2 = sum(vec_sph2cart[..., 1, c, :, :] * laps[c] for c in range(3))
+    return l1, l2
+
+
+def vlaplace_sphere_wk_cartesian_reduced(v1, v2, dvv, dinv, spheremp,
+                                         tensor_visc, vec_sph2cart, rrearth):
+    """'_reduced' cartesian vector Laplacian (SphereOperators.hpp:849-935):
+    same three component Laplacians (via laplace_tensor_replace, hpp:882-884)
+    plus the UNDAMPRRCART undamped-rigid-rotation term
+    +2*spheremp*rrearth^2*v (hpp:891-903)."""
+    comps = [
+        vec_sph2cart[..., 0, c, :, :] * v1 + vec_sph2cart[..., 1, c, :, :] * v2
+        for c in range(3)
+    ]
+    laps = [
+        laplace_tensor_replace(comp, dvv, dinv, spheremp, tensor_visc, rrearth)
         for comp in comps
     ]
     rigid = 2.0 * spheremp * rrearth * rrearth
