@@ -22,3 +22,27 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "tests need 8 virtual CPU devices"
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run slow canonical gates (10,000-iteration golden loop, soaks)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running canonical gate (needs --runslow)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow canonical gate; run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -56,3 +56,29 @@ def test_oracle_idempotent_over_iterations():
     s2, _ = caar_ref(s1, d1, geom, hv, cfg)
     np.testing.assert_array_equal(s1.t[cfg.np1], s2.t[cfg.np1])
     np.testing.assert_array_equal(s1.dp3d[cfg.np1], s2.dp3d[cfg.np1])
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_canonical_10000_iteration_golden_loop():
+    """The literal reference run: loopmax=10,000 CAAR calls with nelemd=3
+    and NO time-level rotation (fortran/main.F90:201-210, kinds.F90:28),
+    then the golden comparison of element 1 (main.F90:241-274). The
+    idempotence test above proves mathematically that one step suffices;
+    this executes the canonical loop end-to-end anyway (~15 s CPU)."""
+    cfg = Config(nelem=3, nlev=72)
+    state = analytic_state(cfg)
+    derived = analytic_derived(cfg)
+    geom = analytic_geometry(cfg)
+    hv = analytic_hvcoord(cfg)
+
+    for _ in range(10_000):
+        state, derived = caar_ref(state, derived, geom, hv, cfg,
+                                  dt2=1.0, eta_ave_w=1.0)
+
+    gold = golden_caar()
+    assert np.max(np.abs(np.asarray(state.t[cfg.np1, 0]) - gold["T"])) < 1e-7
+    assert np.max(np.abs(np.asarray(state.u[cfg.np1, 0]) - gold["v1"])) < 1e-6
+    assert np.max(np.abs(np.asarray(state.v[cfg.np1, 0]) - gold["v2"])) < 1e-6
