@@ -73,12 +73,14 @@ def main():
 
         s, d = step(st, dv)
         jax.block_until_ready((s, d))
-        t0 = time.perf_counter()
-        s, d = st, dv
-        for _ in range(args.steps):
-            s, d = step(s, d)
-        jax.block_until_ready((s, d))
-        wall = time.perf_counter() - t0
+        wall = float("inf")
+        for _ in range(3):                     # best-of-3 timed reps
+            t0 = time.perf_counter()
+            s, d = st, dv
+            for _ in range(args.steps):
+                s, d = step(s, d)
+            jax.block_until_ready((s, d))
+            wall = min(wall, time.perf_counter() - t0)
         gps = cs.nelem * args.nlev * 16 * args.steps / wall
         results.append((nd, cs.nelem, wall, gps))
         print(f"devices={nd:2d} ne={ne:3d} nelem={cs.nelem:6d} "
