@@ -1,0 +1,119 @@
+"""Structured (gather-free) DSS vs the segment-sum reference on real
+cubed-sphere grids."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tinman_sandbox_tpu.dist import build_cubed_sphere
+from tinman_sandbox_tpu.dist.dss import dss_scaled, dss_sum
+from tinman_sandbox_tpu.dist.structured_dss import (
+    dss_structured,
+    dss_structured_scaled,
+    make_structured_plan,
+)
+from tinman_sandbox_tpu.kernels.layout import pack_field, unpack_field
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.mark.parametrize("ne", [2, 3, 5])
+def test_structured_matches_segment_sum(ne):
+    cs = build_cubed_sphere(ne)
+    plan = make_structured_plan(cs.gdof, ne)
+    nlev = 7
+    x = RNG.standard_normal((cs.nelem, nlev, 4, 4))
+
+    ref = dss_sum(jnp.asarray(x), jnp.asarray(cs.gdof), cs.ndof)
+    got = unpack_field(dss_structured(pack_field(jnp.asarray(x)), plan),
+                       cs.nelem)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_structured_scaled_matches_and_projects(ne=4):
+    cs = build_cubed_sphere(ne)
+    plan = make_structured_plan(cs.gdof, ne)
+    nlev = 5
+    x = RNG.standard_normal((cs.nelem, nlev, 4, 4))
+    rsp_rows = pack_field(
+        jnp.broadcast_to(cs.geometry.rspheremp[:, None], (cs.nelem, 1, 4, 4))
+    )
+
+    ref = dss_scaled(jnp.asarray(x), jnp.asarray(cs.gdof), cs.ndof,
+                     cs.geometry.rspheremp)
+    got = unpack_field(
+        dss_structured_scaled(pack_field(jnp.asarray(x)), plan, rsp_rows),
+        cs.nelem,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-13, atol=1e-13)
+
+    # projection: DSS_scaled(spheremp * continuous) == continuous
+    cont = np.asarray(
+        dss_scaled(jnp.asarray(x), jnp.asarray(cs.gdof), cs.ndof,
+                   cs.geometry.rspheremp)
+    )
+    smp = pack_field(
+        jnp.broadcast_to(cs.geometry.spheremp[:, None], (cs.nelem, 1, 4, 4))
+    )
+    proj = unpack_field(
+        dss_structured_scaled(smp * pack_field(jnp.asarray(cont)), plan,
+                              rsp_rows),
+        cs.nelem,
+    )
+    np.testing.assert_allclose(np.asarray(proj), cont, rtol=1e-12, atol=1e-12)
+
+
+def test_plan_rejects_wrong_ordering():
+    cs = build_cubed_sphere(2)
+    bad = np.asarray(cs.gdof).copy()
+    bad[[0, 5]] = bad[[5, 0]]        # break the contiguous ordering
+    with pytest.raises(AssertionError):
+        make_structured_plan(bad, 2)
+
+
+def test_caar_structured_step_matches_gather_step():
+    """Fused kernel + structured DSS == fused kernel + alias-gather DSS,
+    for all chunk/stack variants (interpret mode, real ne=2 sphere)."""
+    import jax
+
+    from tinman_sandbox_tpu import (
+        Config, analytic_hvcoord, random_state, zero_derived,
+    )
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_pallas_packed, caar_dss_structured_packed, make_packed_dss,
+    )
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars, pack_problem
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=4)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=8))
+    dv = cast(zero_derived(cfg))
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    g = cast(cs.geometry)
+
+    p = pack_problem(st, dv, g, hv, cfg)
+    scal = _scalars(0.5, 1.0, hv)
+    operands = (scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"],
+                p["meta"], p["u0"], p["v0"], p["t0"], p["dp0"],
+                p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+                p["qdp"], p["pecnd"], p["vn0u"], p["vn0v"], p["omg"])
+
+    gdof_rows, rsp_rows_g = make_packed_dss(cs.gdof, g.rspheremp)
+    ref = caar_dss_pallas_packed(*operands, gdof_rows, rsp_rows_g,
+                                 eb=4, nlev=4, ndof=cs.ndof, interpret=True)
+
+    plan = make_structured_plan(cs.gdof, 2)
+    rsp = pack_field(jnp.broadcast_to(
+        jnp.asarray(g.rspheremp)[:, None], (cs.nelem, 1, 4, 4)))
+    for chunks in (1, 2):
+        for stack in (True, False):
+            got = caar_dss_structured_packed(
+                *operands, plan, rsp, eb=4, nlev=4, interpret=True,
+                chunks=chunks, stack_dss=stack)
+            for i in range(8):
+                np.testing.assert_allclose(
+                    np.asarray(got[i]), np.asarray(ref[i]),
+                    rtol=1e-5, atol=1e-5,
+                    err_msg=f"field {i} chunks={chunks} stack={stack}")

@@ -18,7 +18,8 @@ from ..grid import Geometry, HybridVCoord
 from ..kernels.caar_pallas import _scalars, caar_pallas_packed, pack_problem
 from ..state import Derived, State
 
-__all__ = ["dss_scaled_packed", "caar_dss_pallas_packed", "make_packed_dss"]
+__all__ = ["dss_scaled_packed", "caar_dss_pallas_packed", "make_packed_dss",
+           "caar_dss_structured_packed"]
 
 
 def make_packed_dss(gdof, rspheremp):
@@ -85,6 +86,56 @@ def caar_dss_pallas_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
     assembled = tuple(
         dss_scaled_packed(o[i], gdof_rows, rsp_rows, ndof) for i in range(4)
     )
+    return assembled + o[4:]
+
+
+@partial(jax.jit, static_argnames=("eb", "nlev", "plan", "moist",
+                                   "interpret", "chunks", "stack_dss"))
+def caar_dss_structured_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
+                               u0, v0, t0, dp0, um1, vm1, tm1, dpm1,
+                               qdp, pecnd, vn0u, vn0v, omg,
+                               plan, rsp_rows,
+                               eb: int, nlev: int,
+                               moist: bool = True, interpret: bool = False,
+                               chunks: int = 1, stack_dss: bool = True):
+    """Fused CAAR kernel + STRUCTURED (gather-free) DSS epilogue — the
+    headline assembled-step fast path (see dist/structured_dss.py).
+
+    ``chunks`` > 1 pre-slices the element grid into that many row groups and
+    dispatches one pallas_call per group (the long-grid pipeline pathology:
+    5x1080-element calls measured ~30% faster than 1x5400 at ne30).
+    ``stack_dss`` runs one DSS over the four np1 fields concatenated on the
+    lane axis instead of four separate sweeps."""
+    from .structured_dss import dss_structured, dss_structured_scaled
+
+    e16 = u0.shape[0]
+    assert e16 % (chunks * eb * 16) == 0, (e16, chunks, eb)
+    rows = e16 // chunks
+
+    def run(sl):
+        return caar_pallas_packed(
+            scal, dxb, dyb, ainc, astr, bstr, meta[sl],
+            u0[sl], v0[sl], t0[sl], dp0[sl],
+            um1[sl], vm1[sl], tm1[sl], dpm1[sl],
+            qdp[sl], pecnd[sl], vn0u[sl], vn0v[sl], omg[sl],
+            eb=eb, nlev=nlev, moist=moist, interpret=interpret)
+
+    if chunks == 1:
+        o = run(slice(None))
+    else:
+        parts = [run(slice(c * rows, (c + 1) * rows)) for c in range(chunks)]
+        o = tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                  for i in range(8))
+
+    if stack_dss:
+        stacked = jnp.concatenate(o[:4], axis=1)            # [E16, 4*nlev]
+        assembled_all = rsp_rows * dss_structured(stacked, plan)
+        assembled = tuple(assembled_all[:, i * nlev:(i + 1) * nlev]
+                          for i in range(4))
+    else:
+        assembled = tuple(
+            dss_structured_scaled(o[i], plan, rsp_rows) for i in range(4)
+        )
     return assembled + o[4:]
 
 

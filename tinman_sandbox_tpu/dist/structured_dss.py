@@ -1,0 +1,204 @@
+"""Structured (gather-free) DSS on the contiguous cubed-sphere ordering.
+
+The round-1 assembly path (dist/step_pallas.py) is an alias-table row
+gather — correct everywhere, but it streams the whole field 5x through HBM
+per assembled output. This module exploits the regularity of the packed
+layout instead: with elements ordered face-major/row-major and GLL points
+packed as ``[e*16 + i*4 + j, k]`` (kernels/layout.py), a field reshapes to
+
+    x[face, ej, ei, i, j, k]      (verified: gdof[f,ej,ei,3,j]==gdof[f,ej,ei+1,0,j])
+
+and direct stiffness summation decomposes into
+
+  1. an alpha sweep — sum the shared i=3/i=0 columns of ei-neighbors
+     (ONE static slice add over the whole array);
+  2. a beta sweep on the result — sum the shared j=3/j=0 columns of
+     ej-neighbors. The tensor-product order makes the 4-way in-face element
+     corners come out exactly right (the alpha-summed corner columns get
+     beta-summed in pairs);
+  3. twelve cube-edge line exchanges — each cube edge joins two face sides
+     whose GLL lines match either identically or reversed (resolved at plan
+     build from the gdof map); endpoint (cube-corner) samples excluded;
+  4. an 8-corner fix-up — each cube corner dof has exactly three aliasing
+     rows (one per adjacent face), summed explicitly.
+
+Steps 1-3 are static slices + adds + slice-updates: no gather, no scatter,
+fully XLA-fusable, HBM-roofline-bound. Step 4 touches 24 rows.
+
+This is the TPU-native replacement for HOMME's edge-buffer pack/exchange
+(the layer the reference stripped, element_mod.F90:234-236), specialized to
+the single-chip/full-grid case; the shard_map tiers in dist/halo*.py remain
+the multi-chip path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import NP, NPSQ
+
+__all__ = ["StructuredDssPlan", "make_structured_plan", "dss_structured",
+           "dss_structured_scaled"]
+
+_SIDES = ("W", "E", "S", "N")
+
+
+def _side_line_idx(ne: int, face: int, side: str) -> np.ndarray:
+    """Flat packed-row indices of a face side's GLL line, ordered along the
+    edge ([ne*4] ints). Row = ((face*ne + ej)*ne + ei)*16 + i*4 + j."""
+    if side in ("W", "E"):
+        ei = 0 if side == "W" else ne - 1
+        i = 0 if side == "W" else NP - 1
+        ej = np.repeat(np.arange(ne), NP)
+        j = np.tile(np.arange(NP), ne)
+        iarr = np.full(ne * NP, i)
+        eiarr = np.full(ne * NP, ei)
+    else:
+        ej_ = 0 if side == "S" else ne - 1
+        j_ = 0 if side == "S" else NP - 1
+        ei = np.repeat(np.arange(ne), NP)
+        iarr = np.tile(np.arange(NP), ne)
+        ej = np.full(ne * NP, ej_)
+        j = np.full(ne * NP, j_)
+        eiarr = ei
+    if side in ("W", "E"):
+        return ((face * ne + ej) * ne + eiarr) * NPSQ + iarr * NP + j
+    return ((face * ne + ej) * ne + eiarr) * NPSQ + iarr * NP + j
+
+
+@dataclasses.dataclass(frozen=True)
+class StructuredDssPlan:
+    """Static slice/orientation descriptors for one cubed-sphere resolution."""
+
+    ne: int
+    # 12 entries: (face_a, side_a, face_b, side_b, flip)
+    edges: Tuple[Tuple[int, str, int, str, bool], ...]
+    # [8, 3] packed-row indices of each cube corner's three aliases
+    corner_rows: Tuple[Tuple[int, int, int], ...]
+
+
+def make_structured_plan(gdof: np.ndarray, ne: int) -> StructuredDssPlan:
+    """Derive the cube-edge pairing/orientation and corner aliases
+    numerically from the global dof map (no hand-coded face table — robust
+    to any face convention that keeps the packed ordering)."""
+    g = np.asarray(gdof).reshape(-1)
+    lines = {(f, s): _side_line_idx(ne, f, s) for f in range(6) for s in _SIDES}
+
+    # sanity: the two in-face sweeps must see matching dofs
+    g6 = np.asarray(gdof).reshape(6, ne, ne, NP, NP)
+    assert np.array_equal(g6[:, :, :-1, NP - 1, :], g6[:, :, 1:, 0, :]), \
+        "alpha-neighbor dofs misaligned — packed ordering changed?"
+    assert np.array_equal(g6[:, :-1, :, :, NP - 1], g6[:, 1:, :, :, 0]), \
+        "beta-neighbor dofs misaligned — packed ordering changed?"
+
+    keys = list(lines)
+    used = set()
+    edges = []
+    for a_i, ka in enumerate(keys):
+        if ka in used:
+            continue
+        ga = g[lines[ka]]
+        for kb in keys[a_i + 1:]:
+            if kb in used:
+                continue
+            gb = g[lines[kb]]
+            if np.array_equal(ga, gb):
+                edges.append((ka[0], ka[1], kb[0], kb[1], False))
+            elif np.array_equal(ga, gb[::-1]):
+                edges.append((ka[0], ka[1], kb[0], kb[1], True))
+            else:
+                continue
+            used.add(ka)
+            used.add(kb)
+            break
+    assert len(edges) == 12, f"expected 12 cube edges, found {len(edges)}"
+
+    # cube corners: dofs aliased by exactly 3 rows
+    rows_of = {}
+    for r, d in enumerate(g):
+        rows_of.setdefault(d, []).append(r)
+    corners = sorted(rs for rs in rows_of.values() if len(rs) == 3)
+    assert len(corners) == 8, f"expected 8 cube corners, found {len(corners)}"
+
+    return StructuredDssPlan(
+        ne=ne,
+        edges=tuple(edges),
+        corner_rows=tuple(tuple(rs) for rs in corners),
+    )
+
+
+def _get_line(x6, ne: int, face: int, side: str):
+    """Extract a face-side GLL line as [..., ne*4, k] from the
+    [..., 6, ne, ne, 4, 4, k] view (ordering matches _side_line_idx)."""
+    if side == "W":
+        ln = x6[..., face, :, 0, 0, :, :]
+    elif side == "E":
+        ln = x6[..., face, :, ne - 1, NP - 1, :, :]
+    elif side == "S":
+        ln = x6[..., face, 0, :, :, 0, :]
+    else:  # N
+        ln = x6[..., face, ne - 1, :, :, NP - 1, :]
+    shape = ln.shape
+    return ln.reshape(*shape[:-3], ne * NP, shape[-1])
+
+
+def _set_line(x6, ne: int, face: int, side: str, val):
+    val = val.reshape(*val.shape[:-2], ne, NP, val.shape[-1])
+    if side == "W":
+        return x6.at[..., face, :, 0, 0, :, :].set(val)
+    if side == "E":
+        return x6.at[..., face, :, ne - 1, NP - 1, :, :].set(val)
+    if side == "S":
+        return x6.at[..., face, 0, :, :, 0, :].set(val)
+    return x6.at[..., face, ne - 1, :, :, NP - 1, :].set(val)
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def dss_structured(x, plan: StructuredDssPlan):
+    """DSS (unscaled shared-dof sum) of a packed [e*16, k] field."""
+    ne = plan.ne
+    e16, k = x.shape
+    assert e16 == 6 * ne * ne * NPSQ, (e16, ne)
+    x6 = x.reshape(6, ne, ne, NP, NP, k)
+
+    # 1. alpha sweep (ei-neighbors share the i=3 / i=0 GLL columns)
+    t = x6[:, :, :-1, NP - 1, :, :] + x6[:, :, 1:, 0, :, :]
+    x6 = x6.at[:, :, :-1, NP - 1, :, :].set(t).at[:, :, 1:, 0, :, :].set(t)
+
+    # 2. beta sweep on the result (4-way corners finish here)
+    t = x6[:, :-1, :, :, NP - 1, :] + x6[:, 1:, :, :, 0, :]
+    x6 = x6.at[:, :-1, :, :, NP - 1, :].set(t).at[:, 1:, :, :, 0, :].set(t)
+
+    # 3. cube-edge line exchanges (endpoints = cube corners, fixed in step 4)
+    for fa, sa, fb, sb, flip in plan.edges:
+        la = _get_line(x6, ne, fa, sa)
+        lb = _get_line(x6, ne, fb, sb)
+        lbo = jnp.flip(lb, axis=-2) if flip else lb
+        s = la + lbo
+        sa_new = la.at[1:-1].set(s[1:-1])
+        sb_new = lb.at[1:-1].set(
+            (jnp.flip(s, axis=-2) if flip else s)[1:-1]
+        )
+        x6 = _set_line(x6, ne, fa, sa, sa_new)
+        x6 = _set_line(x6, ne, fb, sb, sb_new)
+
+    # 4. cube corners: 3 aliasing rows each, summed from pre-exchange values
+    flat = x6.reshape(e16, k)
+    rows = jnp.asarray(np.asarray(plan.corner_rows))        # [8, 3]
+    vals = x[rows[:, 0]] + x[rows[:, 1]] + x[rows[:, 2]]    # [8, k]
+    flat = flat.at[rows[:, 0]].set(vals) \
+               .at[rows[:, 1]].set(vals) \
+               .at[rows[:, 2]].set(vals)
+    return flat
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def dss_structured_scaled(x, plan: StructuredDssPlan, rsp_rows):
+    """rspheremp * DSS(x) for packed [e*16, k] fields — drop-in for
+    dist.step_pallas.dss_scaled_packed's role without any row gathers."""
+    return rsp_rows * dss_structured(x, plan)
