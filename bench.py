@@ -36,9 +36,29 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=20,
                     help="CAAR steps unrolled per dispatch (amortizes the "
                          "per-dispatch latency, ~200-300 us on this tunnel)")
+    ap.add_argument("--ne", type=int, default=None,
+                    help="benchmark the ASSEMBLED step (fused kernel + "
+                         "structured DSS) on a real ne x ne x 6 cubed "
+                         "sphere instead of the raw kernel")
+    ap.add_argument("--grid-chunks", type=int, default=1,
+                    help="pre-sliced pallas_call dispatches per step "
+                         "(long-grid pipeline pathology mitigation)")
+    ap.add_argument("--gather-dss", action="store_true",
+                    help="use the round-1 alias-gather DSS instead of the "
+                         "structured sweeps (for comparison)")
+    ap.add_argument("--storage", default="f32",
+                    choices=("f32", "bf16_aux", "bf16_ro"),
+                    help="mixed-precision HBM storage for read-only kernel "
+                         "operands (compute stays f32)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (pallas runs interpreted "
+                         "elsewhere; smoke-testing only)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from tinman_sandbox_tpu import (
         Config,
@@ -48,6 +68,12 @@ def main() -> None:
         zero_derived,
     )
     dtype = np.dtype(args.dtype)
+    cs = None
+    if args.ne is not None:
+        from tinman_sandbox_tpu.dist import build_cubed_sphere
+
+        cs = build_cubed_sphere(args.ne)
+        args.nelem = cs.nelem
     cfg = Config(nelem=args.nelem, nlev=args.nlev, dtype=args.dtype,
                  elem_block=args.eb)
     if args.nelem >= 16384 and dtype == np.float32:
@@ -68,7 +94,8 @@ def main() -> None:
         state = cast(random_state(cfg, seed=7))
         derived = cast(zero_derived(cfg))
     cast_g = lambda tree: jax.tree.map(lambda x: np.asarray(x, dtype), tree)
-    geom = cast_g(random_geometry(cfg, seed=8))
+    geom = cast_g(cs.geometry if cs is not None
+                  else random_geometry(cfg, seed=8))
     hv = analytic_hvcoord(cfg).astype(dtype)
 
     kernel = "xla"
@@ -91,11 +118,13 @@ def main() -> None:
     # kokkos_init.cpp:123-134; time levels stay fixed so each call reads the
     # same prognostic state, exactly like the reference loop).
     if kernel == "pallas":
+        import jax.numpy as jnp
+
         from tinman_sandbox_tpu.kernels.caar_pallas import (
             _scalars, caar_pallas_packed, pack_problem,
         )
 
-        p = pack_problem(state, derived, geom, hv, cfg)
+        p = pack_problem(state, derived, geom, hv, cfg, storage=args.storage)
         scal = _scalars(dt2, eta, hv)
         const = (scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"],
                  p["meta"], p["u0"], p["v0"], p["t0"], p["dp0"],
@@ -104,11 +133,46 @@ def main() -> None:
 
         chunk = max(1, args.chunk)
 
+        if cs is not None:
+            # assembled step: fused kernel + DSS epilogue each iteration
+            if args.gather_dss:
+                from tinman_sandbox_tpu.dist.step_pallas import (
+                    caar_dss_pallas_packed, make_packed_dss,
+                )
+
+                gdof_rows, rsp_g = make_packed_dss(cs.gdof, geom.rspheremp)
+
+                def one(acc):
+                    return caar_dss_pallas_packed(
+                        *const, *acc, gdof_rows, rsp_g, eb=cfg.elem_block,
+                        nlev=cfg.nlev, ndof=cs.ndof)
+            else:
+                from tinman_sandbox_tpu.dist.step_pallas import (
+                    caar_dss_structured_packed,
+                )
+                from tinman_sandbox_tpu.dist.structured_dss import (
+                    make_structured_plan,
+                )
+                from tinman_sandbox_tpu.kernels.layout import pack_field
+
+                plan = make_structured_plan(cs.gdof, args.ne)
+                rsp = pack_field(jnp.broadcast_to(
+                    jnp.asarray(geom.rspheremp, jnp.float32)[:, None],
+                    (cfg.nelem, 1, 4, 4)))
+
+                def one(acc):
+                    return caar_dss_structured_packed(
+                        *const, *acc, plan, rsp, eb=cfg.elem_block,
+                        nlev=cfg.nlev, chunks=args.grid_chunks)
+        else:
+            def one(acc):
+                return caar_pallas_packed(*const, *acc, eb=cfg.elem_block,
+                                          nlev=cfg.nlev)
+
         @jax.jit
         def multi(acc):
             for _ in range(chunk):
-                o = caar_pallas_packed(*const, *acc, eb=cfg.elem_block,
-                                       nlev=cfg.nlev)
+                o = one(acc)
                 acc = (o[5], o[6], o[7])
             return acc, o
 
@@ -123,6 +187,21 @@ def main() -> None:
             # remote-TPU tunnel block_until_ready can return early)
             float(jnp.sum(o[0][:: max(1, o[0].shape[0] // 8)]))
             return nchunks * chunk
+    elif cs is not None:
+        # assembled step on the XLA path (reference/oracle-comparable)
+        import jax.numpy as jnp
+
+        from tinman_sandbox_tpu.dist import caar_dss_step
+
+        gdof = jnp.asarray(cs.gdof)
+
+        def run(nsteps):
+            s, d = state, derived
+            for _ in range(nsteps):
+                s, d = caar_dss_step(s, d, geom, hv, gdof, cs.ndof, cfg,
+                                     dt2, eta)
+            float(np.asarray(s.t[cfg.np1, 0, 0, 0, 0]))
+            return nsteps
     else:
         from tinman_sandbox_tpu.timeloop import benchmark_loop
 
@@ -145,19 +224,48 @@ def main() -> None:
     gps = points / best
 
     baseline = None
-    bp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "BASELINE_MEASURED.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    bp = os.path.join(here, "BASELINE_MEASURED.json")
     if os.path.exists(bp):
         with open(bp) as f:
             baseline = json.load(f).get("baseline_gridpoints_per_s")
 
+    # Roofline accounting (BASELINE.md gate: RHS kernels >= 70% of roofline).
+    # Minimum HBM traffic per step in units of one [e16, nlev] f32 field:
+    # kernel reads 13 distinct fields (4 prognostic n0 + 4 nm1 + qdp + pecnd
+    # + 3 accumulators) + meta (~1/nlev field, ignored) and writes 8; the
+    # DSS epilogue at minimum re-reads + rewrites the 4 assembled fields.
+    n_bf16 = {"f32": 0, "bf16_aux": 2, "bf16_ro": 6}[args.storage] \
+        if kernel == "pallas" else 0
+    n_fields = (21 + 8) if cs is not None else 21
+    bytes_per_step = ((n_fields - n_bf16) * dtype.itemsize + n_bf16 * 2) \
+        * args.nelem * 16 * args.nlev
+    gbs = bytes_per_step * executed / best / 1e9
+    triad = None
+    lp = os.path.join(here, "BENCH_LOCAL.json")
+    if os.path.exists(lp):
+        with open(lp) as f:
+            t = json.load(f).get("saxpby_triad", {})
+            triad = t.get("gb_per_s")
+
     print(json.dumps({
-        "metric": "caar_gridpoint_updates_per_s_per_chip",
+        "metric": ("ne%d_caar_dss_gridpoint_updates_per_s_per_chip" % args.ne)
+                  if cs is not None else
+                  "caar_gridpoint_updates_per_s_per_chip",
         "value": round(gps, 1),
         "unit": "gridpoints/s",
         "vs_baseline": round(gps / baseline, 2) if baseline else None,
-        "config": f"{args.nelem}x{args.nlev}x16 {args.dtype} nexec={args.nexec} kernel={kernel}",
+        "config": f"{args.nelem}x{args.nlev}x16 {args.dtype} nexec={args.nexec} kernel={kernel}"
+                  + (f" storage={args.storage}" if args.storage != "f32" else "")
+                  + ((" dss=segment-sum" if kernel != "pallas" else
+                      f" dss={'gather' if args.gather_dss else 'structured'}"
+                      f" grid_chunks={args.grid_chunks}")
+                     if cs is not None else ""),
         "seconds": round(best, 4),
+        "us_per_step": round(best / executed * 1e6, 1),
+        "bytes_per_step": bytes_per_step,
+        "achieved_gb_per_s": round(gbs, 1),
+        "fraction_of_triad": round(gbs / triad, 3) if triad else None,
         "backend": jax.default_backend(),
     }))
 

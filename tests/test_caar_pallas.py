@@ -189,3 +189,24 @@ def test_pallas_rejects_rsplit0():
     geom, hv = analytic_geometry(cfg), analytic_hvcoord(cfg)
     with pytest.raises(NotImplementedError):
         caar_pallas(st, dv, geom, hv, cfg, 1.0, 1.0, interpret=True)
+
+
+def test_bf16_storage_tolerances():
+    """Mixed-precision HBM storage (pack_problem storage=): compute stays
+    f32, read-only operands stored bf16. Documented tolerances vs the f32
+    path: bf16_aux (qdp+pecnd) ~1e-4 relative; bf16_ro (+nm1 fields)
+    ~=bf16 mantissa on the state, ~1e-2 relative."""
+    from tinman_sandbox_tpu.kernels.caar_pallas import caar_pallas
+
+    cfg, st, dv, geom, hv = _setup(nelem=16, nlev=12, eb=8)
+    ref_s, ref_d = caar_pallas(st, dv, geom, hv, cfg, 0.5, 1.0,
+                               interpret=True, storage="f32")
+    for storage, rtol in (("bf16_aux", 1e-4), ("bf16_ro", 1.5e-2)):
+        out_s, out_d = caar_pallas(st, dv, geom, hv, cfg, 0.5, 1.0,
+                                   interpret=True, storage=storage)
+        for name in ("u", "v", "t", "dp3d"):
+            a = np.asarray(getattr(out_s, name)[cfg.np1])
+            b = np.asarray(getattr(ref_s, name)[cfg.np1])
+            scale = np.max(np.abs(b))
+            np.testing.assert_allclose(a / scale, b / scale, atol=rtol,
+                                       err_msg=f"{name} {storage}")

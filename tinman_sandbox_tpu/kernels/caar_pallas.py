@@ -100,6 +100,10 @@ def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth,
         gv2 = metdet * (dinv10 * a + dinv11 * b)
         return (dot(dxb, gv1) + dot(dyb, gv2)) * (rmetdet * rr)
 
+    # read-only fields may be stored bf16 (mixed-precision storage path);
+    # compute is always f32
+    ld = lambda ref: ref[:].astype(f32)
+
     u, v = u0_ref[:], v0_ref[:]
     t, dp = t0_ref[:], dp0_ref[:]
 
@@ -119,7 +123,7 @@ def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth,
 
     # 4. virtual temperature
     if moist:
-        t_v = t * (1.0 + f32(rv_factor) * (qdp_ref[:] / dp))
+        t_v = t * (1.0 + f32(rv_factor) * (ld(qdp_ref) / dp))
     else:
         t_v = t
 
@@ -131,7 +135,7 @@ def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth,
     omega_p = (vgrad_p - dot(divdp, astr_ref[:]) - 0.5 * divdp) / p
 
     # 8. tendencies
-    ephi = 0.5 * (u * u + v * v) + phi + pecnd_ref[:]
+    ephi = 0.5 * (u * u + v * v) + phi + ld(pecnd_ref)
     gt1, gt2 = grad(t)
     ge1, ge2 = grad(ephi)
     gpterm = f32(rgas) * (t_v / p)
@@ -142,10 +146,10 @@ def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth,
 
     # 9. apply + accumulate
     sph = col("spheremp")
-    u1_ref[:] = sph * (um1_ref[:] + dt2 * vtens1)
-    v1_ref[:] = sph * (vm1_ref[:] + dt2 * vtens2)
-    t1_ref[:] = sph * (tm1_ref[:] + dt2 * ttens)
-    dp1_ref[:] = sph * (dpm1_ref[:] - dt2 * divdp)
+    u1_ref[:] = sph * (ld(um1_ref) + dt2 * vtens1)
+    v1_ref[:] = sph * (ld(vm1_ref) + dt2 * vtens2)
+    t1_ref[:] = sph * (ld(tm1_ref) + dt2 * ttens)
+    dp1_ref[:] = sph * (ld(dpm1_ref) - dt2 * divdp)
     phi_ref[:] = phi
     vn0u_out[:] = vn0u_ref[:] + eta * vdp1
     vn0v_out[:] = vn0v_ref[:] + eta * vdp2
@@ -213,8 +217,9 @@ def _caar_kernel_fused(moist, rgas, kappa, rv_factor, rrearth,
     divdp = (dxgv1 + dygv2) * (rmetdet * rr)
     vort = (dxvco2 - dyvco1) * (rmetdet * rr)
 
+    ld = lambda ref: ref[:].astype(f32)
     if moist:
-        t_v = t * (1.0 + f32(rv_factor) * (qdp_ref[:] / dp))
+        t_v = t * (1.0 + f32(rv_factor) * (ld(qdp_ref) / dp))
     else:
         t_v = t
 
@@ -230,7 +235,7 @@ def _caar_kernel_fused(moist, rgas, kappa, rv_factor, rrearth,
     phi = col("phis") + rev_q + 0.5 * q
     omega_p = (vgrad_p - cum_div - 0.5 * divdp) / p
 
-    ephi = 0.5 * (u * u + v * v) + phi + pecnd_ref[:]
+    ephi = 0.5 * (u * u + v * v) + phi + ld(pecnd_ref)
     ge1, ge2 = latlon(dot(dxb, ephi), dot(dyb, ephi))
 
     gpterm = f32(rgas) * (t_v / p)
@@ -240,10 +245,10 @@ def _caar_kernel_fused(moist, rgas, kappa, rv_factor, rrearth,
     ttens = -(u * gt1 + v * gt2) + f32(kappa) * t_v * omega_p
 
     sph = col("spheremp")
-    u1_ref[:] = sph * (um1_ref[:] + dt2 * vtens1)
-    v1_ref[:] = sph * (vm1_ref[:] + dt2 * vtens2)
-    t1_ref[:] = sph * (tm1_ref[:] + dt2 * ttens)
-    dp1_ref[:] = sph * (dpm1_ref[:] - dt2 * divdp)
+    u1_ref[:] = sph * (ld(um1_ref) + dt2 * vtens1)
+    v1_ref[:] = sph * (ld(vm1_ref) + dt2 * vtens2)
+    t1_ref[:] = sph * (ld(tm1_ref) + dt2 * ttens)
+    dp1_ref[:] = sph * (ld(dpm1_ref) - dt2 * divdp)
     phi_ref[:] = phi
     vn0u_out[:] = vn0u_ref[:] + eta * vdp1
     vn0v_out[:] = vn0v_ref[:] + eta * vdp2
@@ -307,10 +312,27 @@ def caar_pallas_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
 
 
 def pack_problem(state: State, derived: Derived, geom: Geometry,
-                 hv: HybridVCoord, cfg: Config, dtype=jnp.float32):
-    """Pack state/derived/geometry into the kernel layout. Returns a dict."""
+                 hv: HybridVCoord, cfg: Config, dtype=jnp.float32,
+                 storage: str = "f32"):
+    """Pack state/derived/geometry into the kernel layout. Returns a dict.
+
+    ``storage`` selects the mixed-precision HBM layout (compute is always
+    f32 — the kernel upcasts on load):
+      * "f32"       — everything f32 (default);
+      * "bf16_aux"  — qdp + pecnd in bf16 (fields entering only small
+                      multiplicative/additive corrections; np1 error
+                      ~1e-5 relative);
+      * "bf16_ro"   — additionally the four nm1 fields in bf16 (all
+                      read-only operands; cuts read traffic ~23%; np1
+                      error ~4e-3 relative — the bf16 mantissa on the
+                      state itself).
+    """
+    assert storage in ("f32", "bf16_aux", "bf16_ro"), storage
     eb = cfg.elem_block
     f = lambda x: jnp.asarray(x, dtype)
+    aux = (lambda x: jnp.asarray(x, jnp.bfloat16)) if storage != "f32" else f
+    ro = (lambda x: jnp.asarray(x, jnp.bfloat16)) if storage == "bf16_ro" \
+        else f
     dxb, dyb = block_derivative_ops(eb, geom.dvv, np.float32)
     ainc, astr, bstr = scan_matrices(cfg.nlev, np.float32)
     meta = pack_meta(geom, state.phis, dtype)
@@ -320,10 +342,11 @@ def pack_problem(state: State, derived: Derived, geom: Geometry,
         meta=f(meta),
         u0=pack_field(f(state.u[n0])), v0=pack_field(f(state.v[n0])),
         t0=pack_field(f(state.t[n0])), dp0=pack_field(f(state.dp3d[n0])),
-        um1=pack_field(f(state.u[nm1])), vm1=pack_field(f(state.v[nm1])),
-        tm1=pack_field(f(state.t[nm1])), dpm1=pack_field(f(state.dp3d[nm1])),
-        qdp=pack_field(f(state.qdp[qn0, :, 0])),
-        pecnd=pack_field(f(derived.pecnd)),
+        um1=pack_field(ro(state.u[nm1])), vm1=pack_field(ro(state.v[nm1])),
+        tm1=pack_field(ro(state.t[nm1])),
+        dpm1=pack_field(ro(state.dp3d[nm1])),
+        qdp=pack_field(aux(state.qdp[qn0, :, 0])),
+        pecnd=pack_field(aux(derived.pecnd)),
         vn0u=pack_field(f(derived.vn0_u)), vn0v=pack_field(f(derived.vn0_v)),
         omg=pack_field(f(derived.omega_p)),
     )
@@ -336,18 +359,21 @@ def _scalars(dt2, eta_ave_w, hv, dtype=jnp.float32):
     ]).reshape(1, 4)
 
 
-_pack_problem_jit = partial(jax.jit, static_argnames=("cfg", "dtype"))(
+_pack_problem_jit = partial(jax.jit,
+                            static_argnames=("cfg", "dtype", "storage"))(
     pack_problem
 )
 
 
 def caar_pallas(state: State, derived: Derived, geom: Geometry,
                 hv: HybridVCoord, cfg: Config, dt2, eta_ave_w,
-                moist: bool = True, interpret: bool = False):
+                moist: bool = True, interpret: bool = False,
+                storage: str = "f32"):
     """Full-state wrapper with the same contract as kernels.caar_xla for
-    rsplit > 0 (pack -> fused kernel -> unpack). f32 fast path."""
+    rsplit > 0 (pack -> fused kernel -> unpack). f32 fast path; ``storage``
+    selects the bf16 mixed-precision HBM option (see pack_problem)."""
     _require_lagrangian(cfg)
-    p = pack_problem(state, derived, geom, hv, cfg)
+    p = pack_problem(state, derived, geom, hv, cfg, storage=storage)
     scal = _scalars(dt2, eta_ave_w, hv)
     u1, v1, t1, dp1, phi, vn0u, vn0v, omg = caar_pallas_packed(
         scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"], p["meta"],
