@@ -174,3 +174,49 @@ def test_caar_ppermute_step_matches_dss_step():
             np.asarray(getattr(ref_s, name)[cfg.np1]),
             rtol=1e-12, atol=1e-12, err_msg=name,
         )
+
+
+def test_overlap_step_matches_dss_step():
+    """Interior/boundary overlap on the ppermute tier == plain
+    caar_dss_step (1e-12, f64, 8-device mesh). ne=4 gives every shard both
+    interior and boundary elements; ne=2 has empty interior sets
+    (exercises the padding)."""
+    from tinman_sandbox_tpu import analytic_hvcoord, zero_derived
+    from tinman_sandbox_tpu.dist import caar_dss_step, shard_problem
+    from tinman_sandbox_tpu.dist.halo_ppermute import make_ppermute_plan
+    from tinman_sandbox_tpu.dist.overlap import (
+        caar_ppermute_overlap_step, make_overlap_plan,
+    )
+
+    for ne in (4, 2):
+        cs = build_cubed_sphere(ne)
+        cfg = Config(nelem=cs.nelem, nlev=5)
+        st = random_state(cfg, seed=21)
+        dv = zero_derived(cfg)
+        geom = cs.geometry
+        hv = analytic_hvcoord(cfg)
+        gdof = jnp.asarray(cs.gdof)
+
+        ref_s, ref_d = caar_dss_step(st, dv, geom, hv, gdof, cs.ndof, cfg,
+                                     0.3, 1.0)
+
+        mesh = make_mesh(8)
+        plan = make_ppermute_plan(cs.gdof, 8)
+        oplan = make_overlap_plan(cs.gdof, 8)
+        if ne == 4:
+            assert oplan.iw.sum() > 0, "ne=4 should have interior elements"
+        st_s, dv_s, geom_s = shard_problem(mesh, st, dv, geom)
+        with mesh:
+            out_s, out_d = caar_ppermute_overlap_step(
+                st_s, dv_s, geom_s, hv, plan, oplan, mesh, cfg, 0.3, 1.0,
+            )
+        for name in ("u", "v", "t", "dp3d"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out_s, name)[cfg.np1]),
+                np.asarray(getattr(ref_s, name)[cfg.np1]),
+                rtol=1e-12, atol=1e-12, err_msg=f"{name} ne={ne}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(out_d.omega_p), np.asarray(ref_d.omega_p),
+            rtol=1e-12, atol=1e-12,
+        )

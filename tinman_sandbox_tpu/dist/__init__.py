@@ -9,8 +9,19 @@ from .halo_ppermute import (
     dss_sum_ppermute,
     make_ppermute_plan,
 )
-from .sharding import make_mesh, shard_problem
+from .overlap import (
+    OverlapPlan,
+    caar_ppermute_overlap_step,
+    make_overlap_plan,
+)
+from .sharding import make_mesh, replicate, shard_problem
 from .step import caar_dss_step, caar_halo_step, caar_ppermute_step
+from .structured_dss import (
+    StructuredDssPlan,
+    dss_structured,
+    dss_structured_scaled,
+    make_structured_plan,
+)
 
 __all__ = [
     "CubedSphere",
@@ -31,4 +42,12 @@ __all__ = [
     "dss_sum_ppermute",
     "dss_scaled_ppermute",
     "caar_ppermute_step",
+    "OverlapPlan",
+    "make_overlap_plan",
+    "caar_ppermute_overlap_step",
+    "StructuredDssPlan",
+    "make_structured_plan",
+    "dss_structured",
+    "dss_structured_scaled",
+    "replicate",
 ]
