@@ -58,3 +58,13 @@ def test_cli_pallas_on_cpu_falls_back_to_interpret(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "interpret mode" in out
+
+
+def test_cli_orbax_checkpoint_roundtrip(capsys, tmp_path):
+    ck = str(tmp_path / "ck_orbax_dir")
+    assert main(["--num-elems", "2", "--nlev", "6", "--num-exec", "2",
+                 "--kernel", "xla", "--leapfrog", "--checkpoint", ck]) == 0
+    assert main(["--num-elems", "2", "--nlev", "6", "--num-exec", "1",
+                 "--kernel", "xla", "--leapfrog", "--restore", ck]) == 0
+    out = capsys.readouterr().out
+    assert "restored step 2" in out

@@ -150,3 +150,33 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
         pass
     else:
         raise AssertionError("expected ValueError on nlev mismatch")
+
+
+def test_orbax_async_checkpoint_roundtrip(tmp_path):
+    """Orbax-backed async checkpoint next to the .npz path: save without
+    blocking, wait, restore, bitwise state equality + time-level indices."""
+    import dataclasses
+
+    from tinman_sandbox_tpu import Config, random_state, zero_derived
+    from tinman_sandbox_tpu.timeloop import (
+        finish_async_checkpoints, load_checkpoint_orbax, save_checkpoint_orbax,
+    )
+
+    cfg = dataclasses.replace(Config(nelem=4, nlev=6), n0=2, np1=0, nm1=1)
+    st = random_state(cfg, seed=3)
+    dv = zero_derived(cfg)
+    path = str(tmp_path / "ck_orbax")
+    save_checkpoint_orbax(path, st, dv, cfg, step=17)
+    finish_async_checkpoints()
+
+    st2, dv2, cfg2, step = load_checkpoint_orbax(path, Config(nelem=4, nlev=6))
+    assert step == 17
+    assert (cfg2.n0, cfg2.np1, cfg2.nm1) == (2, 0, 1)
+    np.testing.assert_array_equal(np.asarray(st2.t), np.asarray(st.t))
+    np.testing.assert_array_equal(np.asarray(st2.qdp), np.asarray(st.qdp))
+    np.testing.assert_array_equal(np.asarray(dv2.omega_p), np.asarray(dv.omega_p))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_checkpoint_orbax(path, Config(nelem=5, nlev=6))

@@ -49,9 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--diag", action="store_true",
                     help="print global energy/mass diagnostics")
     ap.add_argument("--checkpoint", default=None,
-                    help="write a checkpoint here at the end")
+                    help="write a checkpoint here at the end (*.npz = "
+                         "atomic npz; any other path = orbax async dir)")
     ap.add_argument("--restore", default=None,
-                    help="resume from this checkpoint")
+                    help="resume from this checkpoint (.npz or orbax dir)")
     ap.add_argument("--timing-file", default=None,
                     help="write named-region timer summary (Timing.dat analog)")
     ap.add_argument("--golden-check", action="store_true",
@@ -102,9 +103,12 @@ def main(argv=None) -> int:
 
     step = 0
     if args.restore:
-        from .timeloop import load_checkpoint
+        if args.restore.endswith(".npz"):
+            from .timeloop import load_checkpoint as _load
+        else:
+            from .timeloop import load_checkpoint_orbax as _load
 
-        state, derived, cfg, step = load_checkpoint(args.restore, cfg)
+        state, derived, cfg, step = _load(args.restore, cfg)
         print(f" --- restored step {step} from {args.restore}")
 
     pallas_interpret = False
@@ -229,9 +233,15 @@ def main(argv=None) -> int:
         for p in dump_results(state, c):
             print(f" --- dumped {p}")
     if args.checkpoint:
-        from .timeloop import save_checkpoint
+        if args.checkpoint.endswith(".npz"):
+            from .timeloop import save_checkpoint
 
-        save_checkpoint(args.checkpoint, state, derived, c, step)
+            save_checkpoint(args.checkpoint, state, derived, c, step)
+        else:
+            from .timeloop import save_checkpoint_orbax
+
+            save_checkpoint_orbax(args.checkpoint, state, derived, c, step,
+                                  wait=True)
         print(f" --- checkpoint written to {args.checkpoint}")
     if args.timing_file:
         timers.summary(args.timing_file)

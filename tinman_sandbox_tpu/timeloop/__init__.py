@@ -1,6 +1,12 @@
 """Time integration: benchmark/leapfrog drivers, tracer Euler step, checkpointing."""
 
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import (
+    finish_async_checkpoints,
+    load_checkpoint,
+    load_checkpoint_orbax,
+    save_checkpoint,
+    save_checkpoint_orbax,
+)
 from .driver import benchmark_loop, check_dp3d, leapfrog_step, rotated, run_leapfrog
 from .hyperviscosity import apply_hyperviscosity, biharmonic_wk
 from .prim import prim_run_step
@@ -20,6 +26,9 @@ __all__ = [
     "ssprk3_tracer_step",
     "save_checkpoint",
     "load_checkpoint",
+    "save_checkpoint_orbax",
+    "load_checkpoint_orbax",
+    "finish_async_checkpoints",
     "apply_hyperviscosity",
     "biharmonic_wk",
 ]

@@ -18,7 +18,8 @@ import numpy as np
 from ..config import Config
 from ..state import Derived, State
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "save_checkpoint_orbax",
+           "load_checkpoint_orbax", "finish_async_checkpoints"]
 
 _STATE_FIELDS = [f.name for f in dataclasses.fields(State)]
 _DERIVED_FIELDS = [f.name for f in dataclasses.fields(Derived)]
@@ -60,3 +61,70 @@ def load_checkpoint(path: str, cfg: Config) -> Tuple[State, Derived, Config, int
         cfg, n0=meta["n0"], np1=meta["np1"], nm1=meta["nm1"], qn0=meta["qn0"]
     )
     return state, derived, cfg, meta["step"]
+
+
+# -- orbax-backed async option ------------------------------------------------
+
+_ASYNC_CKPTR = None
+
+
+def _orbax_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint_orbax(path: str, state: State, derived: Derived,
+                          cfg: Config, step: int, wait: bool = False):
+    """Async (non-blocking) checkpoint via orbax: device arrays are
+    snapshotted and written by a background thread while the timeloop keeps
+    running. ``path`` is a directory. Pass ``wait=True`` (or call
+    ``finish_async_checkpoints``) to block until durable."""
+    ckptr = _orbax_checkpointer()
+    payload = {
+        "state": {n: getattr(state, n) for n in _STATE_FIELDS},
+        "derived": {n: getattr(derived, n) for n in _DERIVED_FIELDS},
+        "meta": {
+            "step": step,
+            "n0": cfg.n0, "np1": cfg.np1, "nm1": cfg.nm1, "qn0": cfg.qn0,
+            "nlev": cfg.nlev, "qsize": cfg.qsize, "nelem": cfg.nelem,
+        },
+    }
+    import orbax.checkpoint as ocp
+
+    ckptr.save(os.path.abspath(path), args=ocp.args.StandardSave(payload),
+               force=True)
+    if wait:
+        ckptr.wait_until_finished()
+
+
+def finish_async_checkpoints() -> None:
+    """Block until all in-flight orbax saves are durable."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, cfg: Config):
+    """Restore an orbax checkpoint; same contract as load_checkpoint."""
+    import orbax.checkpoint as ocp
+
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        z = ckptr.restore(os.path.abspath(path))
+    meta = z["meta"]
+    for dim in ("nlev", "qsize", "nelem"):
+        if int(meta[dim]) != getattr(cfg, dim):
+            raise ValueError(
+                f"checkpoint {dim}={meta[dim]} != config {dim}={getattr(cfg, dim)}"
+            )
+    state = State(**{n: jax.numpy.asarray(z["state"][n]) for n in _STATE_FIELDS})
+    derived = Derived(
+        **{n: jax.numpy.asarray(z["derived"][n]) for n in _DERIVED_FIELDS}
+    )
+    cfg = dataclasses.replace(
+        cfg, n0=int(meta["n0"]), np1=int(meta["np1"]), nm1=int(meta["nm1"]),
+        qn0=int(meta["qn0"]),
+    )
+    return state, derived, cfg, int(meta["step"])
