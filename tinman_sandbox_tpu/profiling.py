@@ -98,14 +98,22 @@ class Timers:
             self.stop(name)
 
     def get(self, name: str):
-        """(calls, total_s, min_s, max_s) or None."""
+        """(calls, total_s, min_s, max_s) or None (summed over parents/
+        threads; use get_full for usr/sys CPU times)."""
+        full = self.get_full(name)
+        return full[:4] if full else None
+
+    def get_full(self, name: str):
+        """(calls, total_s, min_s, max_s, usr_s, sys_s) or None. usr/sys
+        are per-thread CPU times (native backend only; the Python fallback
+        reports 0.0)."""
         if self._lib is not None:
-            out = (ctypes.c_double * 4)()
+            out = (ctypes.c_double * 6)()
             if self._lib.tt_get(name.encode(), out):
                 return None
-            return int(out[0]), out[1], out[2], out[3]
+            return int(out[0]), out[1], out[2], out[3], out[4], out[5]
         rec = self._py.get(name)
-        return (rec[0], rec[1], rec[2], rec[3]) if rec else None
+        return (rec[0], rec[1], rec[2], rec[3], 0.0, 0.0) if rec else None
 
     def summary(self, path: str) -> None:
         """Write the region table (GPTLpr_summary_file analog)."""
