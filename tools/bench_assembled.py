@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""One-process sweep of the ne30 ASSEMBLED-step variants on the real TPU.
+
+Runs the fused CAAR kernel + DSS epilogue for several assembly strategies
+(structured sweeps vs alias gather; chunked dispatch; bf16 storage) with
+per-variant best-of-reps timing. Sharing one process keeps the jit cache
+warm across variants that reuse the same kernel shape (remote compiles are
+minutes each through the tunnel).
+
+    python tools/bench_assembled.py --ne 30 --nexec 100 --reps 2
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ne", type=int, default=30)
+    ap.add_argument("--nlev", type=int, default=72)
+    ap.add_argument("--nexec", type=int, default=100)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--eb", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=10,
+                    help="steps unrolled per jit dispatch")
+    ap.add_argument("--variants", nargs="*", default=None,
+                    help="subset of variant names to run")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tinman_sandbox_tpu import Config, analytic_hvcoord, random_state, zero_derived
+    from tinman_sandbox_tpu.dist import build_cubed_sphere
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_pallas_packed, caar_dss_structured_packed, make_packed_dss,
+    )
+    from tinman_sandbox_tpu.dist.structured_dss import make_structured_plan
+    from tinman_sandbox_tpu.kernels.caar_pallas import (
+        _scalars, caar_pallas_packed, pack_problem,
+    )
+    from tinman_sandbox_tpu.kernels.layout import pack_field
+
+    cs = build_cubed_sphere(args.ne)
+    cfg = Config(nelem=cs.nelem, nlev=args.nlev, elem_block=args.eb)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st, dv = cast(random_state(cfg, seed=7)), cast(zero_derived(cfg))
+    geom = cast(cs.geometry)
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    print(f"# ne={args.ne}: {cfg.nelem} elements x {args.nlev} levels, "
+          f"eb={args.eb}, backend={jax.default_backend()}", flush=True)
+
+    plan = make_structured_plan(cs.gdof, args.ne)
+    gdof_rows, rsp_g = make_packed_dss(cs.gdof, geom.rspheremp)
+    rsp = pack_field(jnp.broadcast_to(
+        jnp.asarray(geom.rspheremp, jnp.float32)[:, None],
+        (cfg.nelem, 1, 4, 4)))
+    scal = _scalars(np.float32(0.1), np.float32(1.0), hv)
+
+    def operands(storage):
+        p = pack_problem(st, dv, geom, hv, cfg, storage=storage)
+        return (scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"],
+                p["meta"], p["u0"], p["v0"], p["t0"], p["dp0"],
+                p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+                p["qdp"], p["pecnd"]), (p["vn0u"], p["vn0v"], p["omg"])
+
+    ops_f32, acc0 = operands("f32")
+
+    def v_kernel_only(acc):
+        return caar_pallas_packed(*ops_f32, *acc, eb=args.eb, nlev=args.nlev)
+
+    def v_structured(acc):
+        return caar_dss_structured_packed(*ops_f32, *acc, plan, rsp,
+                                          eb=args.eb, nlev=args.nlev)
+
+    def v_structured_c5(acc):
+        return caar_dss_structured_packed(*ops_f32, *acc, plan, rsp,
+                                          eb=args.eb, nlev=args.nlev,
+                                          chunks=5)
+
+    def v_structured_nostack(acc):
+        return caar_dss_structured_packed(*ops_f32, *acc, plan, rsp,
+                                          eb=args.eb, nlev=args.nlev,
+                                          stack_dss=False)
+
+    def v_gather(acc):
+        return caar_dss_pallas_packed(*ops_f32, *acc, gdof_rows, rsp_g,
+                                      eb=args.eb, nlev=args.nlev,
+                                      ndof=cs.ndof)
+
+    ops_bf16 = None
+
+    def v_structured_bf16(acc):
+        return caar_dss_structured_packed(*ops_bf16, *acc, plan, rsp,
+                                          eb=args.eb, nlev=args.nlev)
+
+    variants = {
+        "kernel_only": v_kernel_only,
+        "structured": v_structured,
+        "structured_chunks5": v_structured_c5,
+        "structured_nostack": v_structured_nostack,
+        "gather": v_gather,
+        "structured_bf16ro": v_structured_bf16,
+    }
+    names = args.variants or list(variants)
+
+    results = {}
+    for name in names:
+        fn = variants[name]
+        if name == "structured_bf16ro":
+            ops_bf16, _ = operands("bf16_ro")
+        chunk = max(1, args.chunk)
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=())
+        def multi(acc, fn=fn):
+            for _ in range(chunk):
+                o = fn(acc)
+                acc = (o[5], o[6], o[7])
+            return acc, o
+
+        def run(nsteps):
+            nchunks = -(-nsteps // chunk)
+            acc = acc0
+            for _ in range(nchunks):
+                acc, o = multi(acc)
+            float(jnp.sum(o[0][:: max(1, o[0].shape[0] // 8)]))  # readback
+            return nchunks * chunk
+
+        t0 = time.time()
+        run(2 * chunk)   # compile + warm
+        print(f"# {name}: compiled in {time.time()-t0:.1f}s", flush=True)
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            n = run(args.nexec)
+            best = min(best, (time.perf_counter() - t0) / n)
+        gps = cfg.nelem * args.nlev * 16 / best
+        results[name] = {"us_per_step": round(best * 1e6, 1),
+                         "ggp_per_s": round(gps / 1e9, 2)}
+        print(json.dumps({name: results[name]}), flush=True)
+
+    print(json.dumps({"sweep": results, "nelem": cfg.nelem,
+                      "nlev": args.nlev, "eb": args.eb,
+                      "nexec": args.nexec}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
