@@ -165,9 +165,26 @@ def main() -> None:
                         *const, *acc, plan, rsp, eb=cfg.elem_block,
                         nlev=cfg.nlev, chunks=args.grid_chunks)
         else:
+            gchunks = max(1, args.grid_chunks)
+            e16_all = p["u0"].shape[0]
+            rows = e16_all // gchunks
+            assert e16_all % gchunks == 0, (e16_all, gchunks)
+
             def one(acc):
-                return caar_pallas_packed(*const, *acc, eb=cfg.elem_block,
-                                          nlev=cfg.nlev)
+                if gchunks == 1:
+                    return caar_pallas_packed(*const, *acc,
+                                              eb=cfg.elem_block,
+                                              nlev=cfg.nlev)
+                outs = []
+                for c in range(gchunks):
+                    sl = slice(c * rows, (c + 1) * rows)
+                    outs.append(caar_pallas_packed(
+                        scal, *const[1:6], const[6][sl],
+                        *(const[i][sl] for i in range(7, 17)),
+                        *(a[sl] for a in acc),
+                        eb=cfg.elem_block, nlev=cfg.nlev))
+                return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                             for i in range(8))
 
         @jax.jit
         def multi(acc):

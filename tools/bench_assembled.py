@@ -99,20 +99,40 @@ def main():
         return caar_dss_structured_packed(*ops_bf16, *acc, plan, rsp,
                                           eb=args.eb, nlev=args.nlev)
 
+    def v_structured_bf16_c5(acc):
+        return caar_dss_structured_packed(*ops_bf16, *acc, plan, rsp,
+                                          eb=args.eb, nlev=args.nlev,
+                                          chunks=5)
+
+    def v_kernel_only_c5(acc):
+        e16 = ops_f32[7].shape[0]
+        rows = e16 // 5
+        outs = []
+        for c in range(5):
+            sl = slice(c * rows, (c + 1) * rows)
+            outs.append(caar_pallas_packed(
+                ops_f32[0], *ops_f32[1:6], ops_f32[6][sl],
+                *(ops_f32[i][sl] for i in range(7, 17)),
+                *(a[sl] for a in acc), eb=args.eb, nlev=args.nlev))
+        return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                     for i in range(8))
+
     variants = {
         "kernel_only": v_kernel_only,
+        "kernel_only_chunks5": v_kernel_only_c5,
         "structured": v_structured,
         "structured_chunks5": v_structured_c5,
         "structured_nostack": v_structured_nostack,
         "gather": v_gather,
         "structured_bf16ro": v_structured_bf16,
+        "structured_bf16ro_chunks5": v_structured_bf16_c5,
     }
     names = args.variants or list(variants)
 
     results = {}
     for name in names:
         fn = variants[name]
-        if name == "structured_bf16ro":
+        if "bf16" in name and ops_bf16 is None:
             ops_bf16, _ = operands("bf16_ro")
         chunk = max(1, args.chunk)
 

@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Compiled-kernel correctness on REAL TPU hardware: caar_pallas vs caar_xla.
+
+The CI suite runs Pallas kernels in interpret mode (CPU backend); this tool
+executes the actual compiled kernel on the chip and records the max relative
+difference vs the XLA path into TPU_EQUIV.json — the committed artifact that
+closes the "compiled-kernel correctness rests solely on bench runs" gap.
+
+    python tools/tpu_equiv_check.py [--nelem 512] [--nlev 72]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nelem", type=int, default=512)
+    ap.add_argument("--nlev", type=int, default=72)
+    ap.add_argument("--ne", type=int, default=4,
+                    help="cubed-sphere size for the assembled-step check")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tinman_sandbox_tpu import (
+        Config, analytic_hvcoord, random_geometry, random_state, zero_derived,
+    )
+    from tinman_sandbox_tpu.kernels import caar_xla
+    from tinman_sandbox_tpu.kernels.caar_pallas import caar_pallas
+
+    assert jax.default_backend() == "tpu", \
+        f"this check must run on the TPU chip (got {jax.default_backend()})"
+
+    report = {"backend": "tpu", "device": str(jax.devices()[0])}
+
+    def relmax(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-30))
+
+    # -- raw kernel ----------------------------------------------------------
+    cfg = Config(nelem=args.nelem, nlev=args.nlev)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st, dv = cast(random_state(cfg, seed=7)), cast(zero_derived(cfg))
+    geom = cast(random_geometry(cfg, seed=8))
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+
+    ps, pd = caar_pallas(st, dv, geom, hv, cfg, 0.1, 1.0)      # compiled!
+    xs, xd = caar_xla(st, dv, geom, hv, cfg, 0.1, 1.0)
+    jax.block_until_ready((ps, xs))
+    kernel = {
+        name: relmax(getattr(ps, name)[cfg.np1], getattr(xs, name)[cfg.np1])
+        for name in ("u", "v", "t", "dp3d")
+    }
+    kernel["omega_p"] = relmax(pd.omega_p, xd.omega_p)
+    kernel["phi"] = relmax(pd.phi, xd.phi)
+    report["raw_kernel_relmax"] = kernel
+    print("raw kernel rel-max vs XLA:", json.dumps(kernel), flush=True)
+
+    # -- assembled step (fused kernel + structured DSS) ----------------------
+    from tinman_sandbox_tpu.dist import build_cubed_sphere, caar_dss_step
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_structured_packed,
+    )
+    from tinman_sandbox_tpu.dist.structured_dss import make_structured_plan
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars, pack_problem
+    from tinman_sandbox_tpu.kernels.layout import pack_field, unpack_field
+
+    cs = build_cubed_sphere(args.ne)
+    cfg2 = Config(nelem=cs.nelem, nlev=args.nlev)
+    st2, dv2 = cast(random_state(cfg2, seed=9)), cast(zero_derived(cfg2))
+    geom2 = cast(cs.geometry)
+    gdof = jnp.asarray(cs.gdof)
+
+    p = pack_problem(st2, dv2, geom2, hv, cfg2)
+    scal = _scalars(np.float32(0.1), np.float32(1.0), hv)
+    plan = make_structured_plan(cs.gdof, args.ne)
+    rsp = pack_field(jnp.broadcast_to(
+        jnp.asarray(geom2.rspheremp, jnp.float32)[:, None],
+        (cfg2.nelem, 1, 4, 4)))
+    o = caar_dss_structured_packed(
+        scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"], p["meta"],
+        p["u0"], p["v0"], p["t0"], p["dp0"],
+        p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+        p["qdp"], p["pecnd"], p["vn0u"], p["vn0v"], p["omg"],
+        plan, rsp, eb=cfg2.elem_block, nlev=cfg2.nlev)
+    rs, rd = caar_dss_step(st2, dv2, geom2, hv, gdof, cs.ndof, cfg2,
+                           np.float32(0.1), np.float32(1.0))
+    jax.block_until_ready((o, rs))
+    assembled = {
+        name: relmax(unpack_field(o[i], cfg2.nelem),
+                     getattr(rs, name)[cfg2.np1])
+        for i, name in enumerate(("u", "v", "t", "dp3d"))
+    }
+    report["assembled_step_relmax"] = assembled
+    print("assembled step rel-max vs XLA+segment-sum DSS:",
+          json.dumps(assembled), flush=True)
+
+    worst = max(list(kernel.values()) + list(assembled.values()))
+    report["worst_relmax"] = worst
+    report["pass"] = bool(worst < 5e-5)   # f32 fp-reorder tolerance
+    out = args.out or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "TPU_EQUIV.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(("PASS" if report["pass"] else "FAIL"),
+          f"worst={worst:.2e} -> {out}", flush=True)
+    return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
