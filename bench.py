@@ -259,11 +259,21 @@ def main() -> None:
         * args.nelem * 16 * args.nlev
     gbs = bytes_per_step * executed / best / 1e9
     triad = None
+    assembled = None
     lp = os.path.join(here, "BENCH_LOCAL.json")
     if os.path.exists(lp):
         with open(lp) as f:
-            t = json.load(f).get("saxpby_triad", {})
-            triad = t.get("gb_per_s")
+            local = json.load(f)
+        triad = local.get("saxpby_triad", {}).get("gb_per_s")
+        sweep = local.get("ne30_assembled_sweep_r2", {})
+        if sweep:
+            best_name = min(
+                (k for k, v in sweep.items() if isinstance(v, dict)
+                 and "us_per_step" in v and k != "kernel_only"),
+                key=lambda k: sweep[k]["us_per_step"], default=None)
+            if best_name:
+                assembled = dict(sweep[best_name], variant=best_name,
+                                 date=sweep.get("date"))
 
     print(json.dumps({
         "metric": ("ne%d_caar_dss_gridpoint_updates_per_s_per_chip" % args.ne)
@@ -283,6 +293,10 @@ def main() -> None:
         "bytes_per_step": bytes_per_step,
         "achieved_gb_per_s": round(gbs, 1),
         "fraction_of_triad": round(gbs / triad, 3) if triad else None,
+        # best recorded ne30 ASSEMBLED-step measurement (kernel + DSS),
+        # from tools/bench_assembled.py (BENCH_LOCAL.json) — re-measure
+        # with `python bench.py --ne 30`
+        "ne30_assembled_recorded": assembled,
         "backend": jax.default_backend(),
     }))
 
