@@ -1,12 +1,16 @@
 """Explicit-collective DSS: shard_map + single aggregated exchange.
 
-The TPU-native halo layer sketched in SURVEY §5: instead of letting SPMD
-partition a global segment-sum (dist/dss.py), each device assembles its OWN
-elements' shared dofs locally, then exchanges only the dofs whose aliases
-span shards — the cubed-sphere shard perimeter — in ONE `psum` riding ICI.
-Interior and locally-shared dofs never leave the chip, so the communicated
-volume is the partition perimeter (~O(sqrt(elements/shard)) per element
-row), exactly the boundary-exchange volume full HOMME ships per substep.
+A middle tier between the SPMD segment-sum (dist/dss.py) and the
+neighbor-wise ppermute exchange (dist/halo_ppermute.py): each device
+assembles its OWN elements' shared dofs locally, then the dofs whose
+aliases span shards — the GLOBAL partition perimeter — are summed in ONE
+`psum`. Interior and locally-shared dofs never leave the chip, so the
+buffer is perimeter-sized (~O(sqrt(elements/shard)) per element row); note
+the psum is an ALL-REDUCE of that whole global-perimeter buffer, i.e.
+every device receives every perimeter dof, not just its neighbors' — the
+volume-optimal per-neighbor exchange is the ppermute tier. This tier
+trades that extra volume for a single dense collective (often the faster
+choice at small shard counts on ICI).
 
 Host-side planning (`make_dss_plan`) runs once per mesh; the device body is
 a fixed-shape shard_map program (per-shard index tables are padded to the
