@@ -68,3 +68,14 @@ def test_cli_orbax_checkpoint_roundtrip(capsys, tmp_path):
                  "--kernel", "xla", "--leapfrog", "--restore", ck]) == 0
     out = capsys.readouterr().out
     assert "restored step 2" in out
+
+
+def test_cli_dss_pallas_structured(capsys):
+    """--dss --kernel pallas routes through the structured-DSS fused step
+    (interpret mode off-TPU)."""
+    rc = main(["--ne", "2", "--nlev", "4", "--num-exec", "2", "--init",
+               "random", "--dss", "--kernel", "pallas",
+               "--dtype", "float32", "--leapfrog"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pallas+structured-dss" in out

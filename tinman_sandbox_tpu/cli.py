@@ -119,9 +119,12 @@ def main(argv=None) -> int:
         pallas_interpret = True
     use_pallas = args.kernel == "pallas" or (
         args.kernel == "auto" and jax.default_backend() == "tpu"
-        and args.dtype == "float32" and not args.dss and not args.rk
+        and args.dtype == "float32" and not args.rk
     )
-    mode = ("ssprk3+dss" if args.rk else "caar+dss" if args.dss
+    pallas_dss = args.dss and use_pallas and nelem % cfg.elem_block == 0
+    mode = ("ssprk3+dss" if args.rk
+            else "pallas+structured-dss" if pallas_dss
+            else "caar+dss" if args.dss
             else "pallas" if use_pallas else "xla")
     print(f" --- {args.num_exec} executions on {nelem} elements x {cfg.nlev} "
           f"levels ({mode} kernel, {args.dtype})")
@@ -150,6 +153,13 @@ def main(argv=None) -> int:
         def one_step(s, d, c):
             return ssprk3_step(s, d, geom, hv, c, rk_dt, gdof=gdof,
                                ndof=cs.ndof)
+    elif pallas_dss:
+        from .dist.step_pallas import caar_dss_pallas
+
+        def one_step(s, d, c):
+            return caar_dss_pallas(s, d, geom, hv, cs.gdof, cs.ndof, c,
+                                   dt2, eta, interpret=pallas_interpret,
+                                   dss="structured", ne=cs.ne)
     elif args.dss:
         from .dist import caar_dss_step
 

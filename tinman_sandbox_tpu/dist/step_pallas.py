@@ -12,6 +12,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Config
 from ..grid import Geometry, HybridVCoord
@@ -142,25 +143,41 @@ def caar_dss_structured_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
 def caar_dss_pallas(state: State, derived: Derived, geom: Geometry,
                     hv: HybridVCoord, gdof, ndof: int, cfg: Config,
                     dt2, eta_ave_w, moist: bool = True,
-                    interpret: bool = False):
+                    interpret: bool = False, dss: str = "gather",
+                    ne: int | None = None, chunks: int = 1):
     """Full-state wrapper: pack -> fused kernel + packed DSS -> unpack.
-    Contract of dist.step.caar_dss_step on the Pallas fast path (f32)."""
+    Contract of dist.step.caar_dss_step on the Pallas fast path (f32).
+    ``dss="structured"`` (requires ``ne``) uses the gather-free sweeps —
+    the fastest single-chip assembly (BENCH_LOCAL ne30_assembled_sweep_r2)."""
     import dataclasses
 
-    from ..kernels.layout import unpack_field
+    from ..kernels.layout import pack_field, unpack_field
 
     p = pack_problem(state, derived, geom, hv, cfg)
     scal = _scalars(dt2, eta_ave_w, hv)
-    gdof_rows, rsp_rows = make_packed_dss(gdof, geom.rspheremp)
-    u1, v1, t1, dp1, phi, vn0u, vn0v, omg = caar_dss_pallas_packed(
-        scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"], p["meta"],
-        p["u0"], p["v0"], p["t0"], p["dp0"],
-        p["um1"], p["vm1"], p["tm1"], p["dpm1"],
-        p["qdp"], p["pecnd"], p["vn0u"], p["vn0v"], p["omg"],
-        gdof_rows, rsp_rows,
-        eb=cfg.elem_block, nlev=cfg.nlev, ndof=ndof, moist=moist,
-        interpret=interpret,
-    )
+    common = (scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"],
+              p["meta"], p["u0"], p["v0"], p["t0"], p["dp0"],
+              p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+              p["qdp"], p["pecnd"], p["vn0u"], p["vn0v"], p["omg"])
+    if dss == "structured":
+        from .structured_dss import make_structured_plan
+
+        assert ne is not None, "structured DSS needs the cubed-sphere ne"
+        plan = make_structured_plan(np.asarray(gdof), ne)
+        rsp = pack_field(jnp.broadcast_to(
+            jnp.asarray(geom.rspheremp, jnp.float32)[:, None],
+            (cfg.nelem, 1, 4, 4)))
+        u1, v1, t1, dp1, phi, vn0u, vn0v, omg = caar_dss_structured_packed(
+            *common, plan, rsp, eb=cfg.elem_block, nlev=cfg.nlev,
+            moist=moist, interpret=interpret, chunks=chunks,
+        )
+    else:
+        gdof_rows, rsp_rows = make_packed_dss(gdof, geom.rspheremp)
+        u1, v1, t1, dp1, phi, vn0u, vn0v, omg = caar_dss_pallas_packed(
+            *common, gdof_rows, rsp_rows,
+            eb=cfg.elem_block, nlev=cfg.nlev, ndof=ndof, moist=moist,
+            interpret=interpret,
+        )
     ne, np1 = cfg.nelem, cfg.np1
     f = lambda x: jnp.asarray(x, u1.dtype)
     new_state = dataclasses.replace(
