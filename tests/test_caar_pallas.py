@@ -173,22 +173,49 @@ def test_run_leapfrog_pallas_chunked_matches_unchunked():
                                    err_msg=name)
 
 
-def test_pallas_rejects_rsplit0():
-    """The Pallas path only implements the vertically-Lagrangian math;
-    rsplit=0 must fail loudly instead of silently dropping the eta terms."""
+def test_pallas_rsplit0_matches_xla():
+    """The rsplit=0 (full eta-coordinate) kernel variant matches caar_xla:
+    vertical mass flux, vertical advection tendencies, dp3d interface-flux
+    stencil, and the eta_dot_dpdn accumulator."""
+    import dataclasses
+
+    from tinman_sandbox_tpu.kernels.caar_pallas import caar_pallas
+    from tinman_sandbox_tpu.kernels.caar_xla import caar_xla
+
+    cfg, st, dv, geom, hv = _setup(nelem=16, nlev=12, eb=8)
+    cfg = dataclasses.replace(cfg, rsplit=0)
+    dv = dataclasses.replace(
+        dv, eta_dot_dpdn=np.asarray(
+            np.random.default_rng(5).normal(
+                size=(cfg.nelem, cfg.nlev + 1, 4, 4)), np.float32),
+    )
+    ref_s, ref_d = caar_xla(st, dv, geom, hv, cfg, 0.5, 0.7)
+    out_s, out_d = caar_pallas(st, dv, geom, hv, cfg, 0.5, 0.7,
+                               interpret=True)
+    for name in ("u", "v", "t", "dp3d"):
+        a = np.asarray(getattr(out_s, name)[cfg.np1])
+        b = np.asarray(getattr(ref_s, name)[cfg.np1])
+        scale = np.max(np.abs(b))
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-6,
+                                   err_msg=name)
+    a, b = np.asarray(out_d.eta_dot_dpdn), np.asarray(ref_d.eta_dot_dpdn)
+    scale = np.max(np.abs(b)) + 1.0
+    np.testing.assert_allclose(a / scale, b / scale, atol=3e-6)
+
+
+def test_packed_loops_reject_rsplit0():
+    """The packed benchmark/leapfrog loops stay rsplit>0-only and must
+    fail loudly."""
+    import dataclasses
+
     import pytest
 
-    from tinman_sandbox_tpu import (
-        Config, analytic_derived, analytic_geometry, analytic_hvcoord,
-        analytic_state,
-    )
-    from tinman_sandbox_tpu.kernels.caar_pallas import caar_pallas
+    from tinman_sandbox_tpu.kernels.caar_pallas import run_leapfrog_pallas
 
-    cfg = Config(nelem=8, nlev=4, rsplit=0)
-    st, dv = analytic_state(cfg), analytic_derived(cfg)
-    geom, hv = analytic_geometry(cfg), analytic_hvcoord(cfg)
+    cfg, st, dv, geom, hv = _setup(nelem=8, nlev=4, eb=4)
+    cfg = dataclasses.replace(cfg, rsplit=0)
     with pytest.raises(NotImplementedError):
-        caar_pallas(st, dv, geom, hv, cfg, 1.0, 1.0, interpret=True)
+        run_leapfrog_pallas(st, dv, geom, hv, cfg, 2, interpret=True)
 
 
 def test_bf16_storage_tolerances():

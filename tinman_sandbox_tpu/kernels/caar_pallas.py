@@ -43,6 +43,7 @@ from .layout import (
 __all__ = [
     "caar_pallas",
     "caar_pallas_packed",
+    "caar_pallas_packed_rsplit0",
     "benchmark_loop_pallas",
     "run_leapfrog_pallas",
     "pack_problem",
@@ -52,25 +53,37 @@ _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
 def _require_lagrangian(cfg: Config):
-    """The Pallas path implements only the rsplit>0 vertically-Lagrangian
-    math (eta_dot_dpdn == 0, CaarFunctor.hpp:168-179); the rsplit=0
-    eta/vertadv terms live only in kernels.caar_xla."""
+    """The packed benchmark/leapfrog loops implement only the rsplit>0
+    vertically-Lagrangian math (eta_dot_dpdn == 0, CaarFunctor.hpp:168-179);
+    for rsplit=0 use caar_pallas (which dispatches the eta-coordinate
+    kernel variant) or kernels.caar_xla."""
     if cfg.rsplit <= 0:
         raise NotImplementedError(
-            "caar_pallas supports only rsplit > 0 (vertically-Lagrangian); "
-            "use kernels.caar_xla for the rsplit=0 vertical-advection path"
+            "this packed loop supports only rsplit > 0 (vertically-"
+            "Lagrangian); call caar_pallas/caar_xla for the rsplit=0 path"
         )
 
 
-def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth,
-                 scal_ref, dxb_ref, dyb_ref, ainc_ref, astr_ref, bstr_ref,
-                 meta_ref,
-                 u0_ref, v0_ref, t0_ref, dp0_ref,
-                 um1_ref, vm1_ref, tm1_ref, dpm1_ref,
-                 qdp_ref, pecnd_ref,
-                 vn0u_ref, vn0v_ref, omg_ref,
-                 u1_ref, v1_ref, t1_ref, dp1_ref, phi_ref,
-                 vn0u_out, vn0v_out, omg_out):
+def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth, rsplit0,
+                 *refs):
+    if rsplit0:
+        (scal_ref, dxb_ref, dyb_ref, ainc_ref, astr_ref, bstr_ref,
+         hyb_ref, meta_ref,
+         u0_ref, v0_ref, t0_ref, dp0_ref,
+         um1_ref, vm1_ref, tm1_ref, dpm1_ref,
+         qdp_ref, pecnd_ref,
+         vn0u_ref, vn0v_ref, omg_ref, etaacc_ref,
+         u1_ref, v1_ref, t1_ref, dp1_ref, phi_ref,
+         vn0u_out, vn0v_out, omg_out, eta_out) = refs
+    else:
+        (scal_ref, dxb_ref, dyb_ref, ainc_ref, astr_ref, bstr_ref,
+         meta_ref,
+         u0_ref, v0_ref, t0_ref, dp0_ref,
+         um1_ref, vm1_ref, tm1_ref, dpm1_ref,
+         qdp_ref, pecnd_ref,
+         vn0u_ref, vn0v_ref, omg_ref,
+         u1_ref, v1_ref, t1_ref, dp1_ref, phi_ref,
+         vn0u_out, vn0v_out, omg_out) = refs
     f32 = jnp.float32
     dt2 = scal_ref[0, 0]
     eta = scal_ref[0, 1]
@@ -132,7 +145,39 @@ def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth,
     phi = col("phis") + dot(q, bstr_ref[:]) + 0.5 * q
 
     # 6. omega/p: (vgrad_p - cumsum_strict(divdp) - divdp/2) / p
-    omega_p = (vgrad_p - dot(divdp, astr_ref[:]) - 0.5 * divdp) / p
+    cum_strict = dot(divdp, astr_ref[:])
+    omega_p = (vgrad_p - cum_strict - 0.5 * divdp) / p
+
+    # 7. vertical mass flux + advection (rsplit=0 only; rsplit>0 is
+    # vertically-Lagrangian with eta_dot_dpdn = vadv = 0,
+    # routine_mod.F90:121-124 / routine_extracted.F90:224-260)
+    if rsplit0:
+        k = u0_ref.shape[1]
+        cum_inc = cum_strict + divdp                 # inclusive cumsum
+        sdot = cum_inc[:, k - 1][:, None]            # column total
+        lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+        # eta(k) on lanes (interface below level k): 0 at k=0
+        eta_lo = jnp.where(lane > 0,
+                           hyb_ref[0, :][None, :] * sdot - cum_strict, 0.0)
+        # eta(k+1) on lanes: 0 at k=nlev-1
+        eta_hi = jnp.where(lane < k - 1,
+                           hyb_ref[1, :][None, :] * sdot - cum_inc, 0.0)
+        rpdel = 1.0 / dp
+        facp = 0.5 * rpdel * eta_hi
+        facm = 0.5 * rpdel * eta_lo
+
+        def vadv(x):
+            dxp = x[:, 1:] - x[:, :-1]               # x(k+1)-x(k)
+            z = jnp.zeros_like(x[:, :1])
+            up = jnp.concatenate([dxp, z], axis=1)
+            dn = jnp.concatenate([z, dxp], axis=1)
+            return facp * up + facm * dn
+
+        t_vadv, u_vadv, v_vadv = vadv(t), vadv(u), vadv(v)
+        d_eta_int = eta_hi - eta_lo
+    else:
+        t_vadv = u_vadv = v_vadv = 0.0
+        d_eta_int = 0.0
 
     # 8. tendencies
     ephi = 0.5 * (u * u + v * v) + phi + ld(pecnd_ref)
@@ -140,20 +185,23 @@ def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth,
     ge1, ge2 = grad(ephi)
     gpterm = f32(rgas) * (t_v / p)
     fcor_vort = col("fcor") + vort
-    vtens1 = v * fcor_vort - ge1 - gpterm * gp1
-    vtens2 = -(u * fcor_vort) - ge2 - gpterm * gp2
-    ttens = -(u * gt1 + v * gt2) + f32(kappa) * t_v * omega_p
+    vtens1 = -u_vadv + v * fcor_vort - ge1 - gpterm * gp1
+    vtens2 = -v_vadv - (u * fcor_vort) - ge2 - gpterm * gp2
+    ttens = -t_vadv - (u * gt1 + v * gt2) + f32(kappa) * t_v * omega_p
 
     # 9. apply + accumulate
     sph = col("spheremp")
     u1_ref[:] = sph * (ld(um1_ref) + dt2 * vtens1)
     v1_ref[:] = sph * (ld(vm1_ref) + dt2 * vtens2)
     t1_ref[:] = sph * (ld(tm1_ref) + dt2 * ttens)
-    dp1_ref[:] = sph * (ld(dpm1_ref) - dt2 * divdp)
+    dp1_ref[:] = sph * (ld(dpm1_ref) - dt2 * (divdp + d_eta_int))
     phi_ref[:] = phi
     vn0u_out[:] = vn0u_ref[:] + eta * vdp1
     vn0v_out[:] = vn0v_ref[:] + eta * vdp2
     omg_out[:] = omg_ref[:] + eta * omega_p
+    if rsplit0:
+        # eta_hi holds interfaces 1..nlev (interface 0 is identically 0)
+        eta_out[:] = etaacc_ref[:] + eta * eta_hi
 
 
 def _caar_kernel_fused(moist, rgas, kappa, rv_factor, rrearth,
@@ -262,7 +310,7 @@ def caar_pallas_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
                        qdp, pecnd, vn0u, vn0v, omg,
                        eb: int, nlev: int, moist: bool = True,
                        interpret: bool = False, fused: bool = False):
-    """Run the fused kernel on packed [E16, nlev] arrays.
+    """Run the fused kernel on packed [E16, nlev] arrays (rsplit>0 path).
 
     Returns (u1, v1, t1, dp1, phi, vn0u', vn0v', omega_p').
     """
@@ -283,6 +331,8 @@ def caar_pallas_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
         _caar_kernel_fused if fused else _caar_kernel, moist, CONSTANTS.Rgas,
         CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
     )
+    if not fused:
+        kernel = partial(kernel, False)          # rsplit0 flag
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
     return pl.pallas_call(
         kernel,
@@ -309,6 +359,57 @@ def caar_pallas_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
         interpret=interpret,
     )(scal, dxb, dyb, ainc, astr, bstr, meta,
       u0, v0, t0, dp0, um1, vm1, tm1, dpm1, qdp, pecnd, vn0u, vn0v, omg)
+
+
+@partial(jax.jit, static_argnames=("eb", "nlev", "moist", "interpret"))
+def caar_pallas_packed_rsplit0(scal, dxb, dyb, ainc, astr, bstr, hyb, meta,
+                               u0, v0, t0, dp0, um1, vm1, tm1, dpm1,
+                               qdp, pecnd, vn0u, vn0v, omg, etaacc,
+                               eb: int, nlev: int, moist: bool = True,
+                               interpret: bool = False):
+    """rsplit=0 (full eta-coordinate) variant of caar_pallas_packed: adds
+    the interface mass flux + vertical advection terms in-kernel
+    (routine_extracted.F90:224-260). ``hyb`` is [2, nlev] with row 0 =
+    hybi[k], row 1 = hybi[k+1]; ``etaacc`` the accumulated eta_dot_dpdn at
+    interfaces 1..nlev. Returns the caar_pallas_packed tuple plus the
+    updated interface-flux accumulator (9 outputs)."""
+    e16 = u0.shape[0]
+    eb16 = eb * NPSQ
+    assert e16 % eb16 == 0, (e16, eb16)
+    nblocks = e16 // eb16
+    k = nlev
+    f = jnp.float32
+
+    fld = lambda: pl.BlockSpec((eb16, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = partial(
+        _caar_kernel, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
+        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, True,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            rep((eb16, eb16)), rep((eb16, eb16)),
+            rep((k, k)), rep((k, k)), rep((k, k)),
+            rep((2, k)),                         # hybi rows
+            pl.BlockSpec((eb16, len(META_COLS)), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            fld(), fld(), fld(), fld(),          # n0
+            fld(), fld(), fld(), fld(),          # nm1
+            fld(), fld(),                        # qdp, pecnd
+            fld(), fld(), fld(), fld(),          # accumulators (+etaacc)
+        ],
+        out_specs=[fld() for _ in range(9)],
+        out_shape=[jax.ShapeDtypeStruct((e16, k), f) for _ in range(9)],
+        input_output_aliases={18: 5, 19: 6, 20: 7, 21: 8},
+        interpret=interpret,
+    )(scal, dxb, dyb, ainc, astr, bstr, hyb, meta,
+      u0, v0, t0, dp0, um1, vm1, tm1, dpm1, qdp, pecnd,
+      vn0u, vn0v, omg, etaacc)
 
 
 def pack_problem(state: State, derived: Derived, geom: Geometry,
@@ -369,19 +470,37 @@ def caar_pallas(state: State, derived: Derived, geom: Geometry,
                 hv: HybridVCoord, cfg: Config, dt2, eta_ave_w,
                 moist: bool = True, interpret: bool = False,
                 storage: str = "f32"):
-    """Full-state wrapper with the same contract as kernels.caar_xla for
-    rsplit > 0 (pack -> fused kernel -> unpack). f32 fast path; ``storage``
-    selects the bf16 mixed-precision HBM option (see pack_problem)."""
-    _require_lagrangian(cfg)
+    """Full-state wrapper with the same contract as kernels.caar_xla
+    (pack -> fused kernel -> unpack). f32 fast path; ``storage`` selects
+    the bf16 mixed-precision HBM option (see pack_problem). cfg.rsplit=0
+    dispatches the full eta-coordinate kernel variant."""
     p = pack_problem(state, derived, geom, hv, cfg, storage=storage)
     scal = _scalars(dt2, eta_ave_w, hv)
-    u1, v1, t1, dp1, phi, vn0u, vn0v, omg = caar_pallas_packed(
-        scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"], p["meta"],
-        p["u0"], p["v0"], p["t0"], p["dp0"],
-        p["um1"], p["vm1"], p["tm1"], p["dpm1"],
-        p["qdp"], p["pecnd"], p["vn0u"], p["vn0v"], p["omg"],
-        eb=cfg.elem_block, nlev=cfg.nlev, moist=moist, interpret=interpret,
-    )
+    common = (scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"])
+    fields = (p["u0"], p["v0"], p["t0"], p["dp0"],
+              p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+              p["qdp"], p["pecnd"], p["vn0u"], p["vn0v"], p["omg"])
+    eta_new = None
+    if cfg.rsplit > 0:
+        u1, v1, t1, dp1, phi, vn0u, vn0v, omg = caar_pallas_packed(
+            *common, p["meta"], *fields,
+            eb=cfg.elem_block, nlev=cfg.nlev, moist=moist,
+            interpret=interpret,
+        )
+    else:
+        hyb = jnp.stack([
+            jnp.asarray(hv.hybi[: cfg.nlev], jnp.float32),
+            jnp.asarray(hv.hybi[1: cfg.nlev + 1], jnp.float32),
+        ])
+        etaacc = pack_field(
+            jnp.asarray(derived.eta_dot_dpdn, jnp.float32)[:, 1:]
+        )
+        (u1, v1, t1, dp1, phi, vn0u, vn0v, omg,
+         eta_new) = caar_pallas_packed_rsplit0(
+            *common, hyb, p["meta"], *fields, etaacc,
+            eb=cfg.elem_block, nlev=cfg.nlev, moist=moist,
+            interpret=interpret,
+        )
     ne = cfg.nelem
     np1 = cfg.np1
     f = lambda x: jnp.asarray(x, u1.dtype)
@@ -397,6 +516,14 @@ def caar_pallas(state: State, derived: Derived, geom: Geometry,
         vn0_u=unpack_field(vn0u, ne), vn0_v=unpack_field(vn0v, ne),
         phi=unpack_field(phi, ne), omega_p=unpack_field(omg, ne),
     )
+    if eta_new is not None:
+        old = jnp.asarray(derived.eta_dot_dpdn, u1.dtype)
+        new_derived = dataclasses.replace(
+            new_derived,
+            eta_dot_dpdn=jnp.concatenate(
+                [old[:, :1], unpack_field(eta_new, ne)], axis=1
+            ),
+        )
     return new_state, new_derived
 
 
