@@ -117,3 +117,27 @@ def test_caar_structured_step_matches_gather_step():
                     np.asarray(got[i]), np.asarray(ref[i]),
                     rtol=1e-5, atol=1e-5,
                     err_msg=f"field {i} chunks={chunks} stack={stack}")
+
+
+def test_field_wrappers_match_dss(ne=3):
+    from tinman_sandbox_tpu.dist.dss import dss_project
+    from tinman_sandbox_tpu.dist.structured_dss import (
+        dss_project_structured_field, dss_scaled_structured_field,
+    )
+
+    cs = build_cubed_sphere(ne)
+    plan = make_structured_plan(cs.gdof, ne)
+    g = cs.geometry
+    x = RNG.standard_normal((cs.nelem, 4, 2, 4, 4))    # extra tracer axis
+    ref = dss_scaled(jnp.asarray(x), jnp.asarray(cs.gdof), cs.ndof,
+                     g.rspheremp)
+    got = dss_scaled_structured_field(jnp.asarray(x), plan, g.rspheremp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-13, atol=1e-13)
+
+    refp = dss_project(jnp.asarray(x), jnp.asarray(cs.gdof), cs.ndof,
+                       g.spheremp, g.rspheremp)
+    gotp = dss_project_structured_field(jnp.asarray(x), plan, g.spheremp,
+                                        g.rspheremp)
+    np.testing.assert_allclose(np.asarray(gotp), np.asarray(refp),
+                               rtol=1e-13, atol=1e-13)

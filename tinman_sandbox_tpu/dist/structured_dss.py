@@ -202,3 +202,44 @@ def dss_structured_scaled(x, plan: StructuredDssPlan, rsp_rows):
     """rspheremp * DSS(x) for packed [e*16, k] fields — drop-in for
     dist.step_pallas.dss_scaled_packed's role without any row gathers."""
     return rsp_rows * dss_structured(x, plan)
+
+
+# -- field-layout wrappers (for the RK / hyperviscosity / tracer paths) ------
+
+def _to_packed_cols(x):
+    """[nelem, *mid, np, np] -> ([nelem*16, M], mid) in packed row order."""
+    ne = x.shape[0]
+    mid = x.shape[1:-2]
+    cols = x.reshape(ne, -1, NP, NP)
+    cols = jnp.moveaxis(cols, 1, 3)                 # [ne, np, np, M]
+    return cols.reshape(ne * NPSQ, -1), mid
+
+
+def _from_packed_cols(cols, ne, mid):
+    x = cols.reshape(ne, NP, NP, -1)
+    x = jnp.moveaxis(x, 3, 1)
+    return x.reshape(ne, *mid, NP, NP)
+
+
+def _rows(per_elem):
+    """[nelem, np, np] -> [nelem*16, 1]."""
+    return jnp.asarray(per_elem).reshape(-1, 1)
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def dss_scaled_structured_field(x, plan: StructuredDssPlan, rspheremp):
+    """rspheremp * DSS(x) on [nelem, *mid, np, np] fields — the gather-free
+    drop-in for dist.dss.dss_scaled on the full (unsharded) grid."""
+    cols, mid = _to_packed_cols(x)
+    out = _rows(rspheremp).astype(cols.dtype) * dss_structured(cols, plan)
+    return _from_packed_cols(out, x.shape[0], mid)
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def dss_project_structured_field(x, plan: StructuredDssPlan, spheremp,
+                                 rspheremp):
+    """rspheremp * DSS(spheremp * x) — dist.dss.dss_project drop-in."""
+    cols, mid = _to_packed_cols(x)
+    cols = _rows(spheremp).astype(cols.dtype) * cols
+    out = _rows(rspheremp).astype(cols.dtype) * dss_structured(cols, plan)
+    return _from_packed_cols(out, x.shape[0], mid)
