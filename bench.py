@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--gather-dss", action="store_true",
                     help="use the round-1 alias-gather DSS instead of the "
                          "structured sweeps (for comparison)")
+    ap.add_argument("--layout", default="row", choices=("row", "t"),
+                    help="packed kernel layout: 'row' = [E16, nlev] "
+                         "(lane-padded at nlev=72), 't' = transposed "
+                         "[nlev, E16] (padding-free; raw-kernel path only)")
     ap.add_argument("--storage", default="f32",
                     choices=("f32", "bf16_aux", "bf16_ro"),
                     help="mixed-precision HBM storage for read-only kernel "
@@ -124,12 +128,28 @@ def main() -> None:
             _scalars, caar_pallas_packed, pack_problem,
         )
 
-        p = pack_problem(state, derived, geom, hv, cfg, storage=args.storage)
-        scal = _scalars(dt2, eta, hv)
-        const = (scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"],
-                 p["meta"], p["u0"], p["v0"], p["t0"], p["dp0"],
-                 p["um1"], p["vm1"], p["tm1"], p["dpm1"],
-                 p["qdp"], p["pecnd"])
+        transposed = args.layout == "t"
+        if transposed:
+            assert cs is None, "--layout t supports the raw-kernel path only"
+            from tinman_sandbox_tpu.kernels.caar_pallas_t import (
+                caar_pallas_packed_t, pack_problem_t,
+            )
+
+            p = pack_problem_t(state, derived, geom, hv, cfg,
+                               storage=args.storage)
+            scal = _scalars(dt2, eta, hv)
+            const = (scal, p["dxbt"], p["dybt"], p["ainct"], p["astrt"],
+                     p["bstrt"], p["meta"], p["u0"], p["v0"], p["t0"],
+                     p["dp0"], p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+                     p["qdp"], p["pecnd"])
+        else:
+            p = pack_problem(state, derived, geom, hv, cfg,
+                             storage=args.storage)
+            scal = _scalars(dt2, eta, hv)
+            const = (scal, p["dxb"], p["dyb"], p["ainc"], p["astr"],
+                     p["bstr"], p["meta"], p["u0"], p["v0"], p["t0"],
+                     p["dp0"], p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+                     p["qdp"], p["pecnd"])
 
         chunk = max(1, args.chunk)
 
@@ -166,24 +186,31 @@ def main() -> None:
                         nlev=cfg.nlev, chunks=args.grid_chunks)
         else:
             gchunks = max(1, args.grid_chunks)
-            e16_all = p["u0"].shape[0]
+            eax = 1 if transposed else 0      # element axis in the layout
+            e16_all = p["u0"].shape[eax]
             rows = e16_all // gchunks
             assert e16_all % gchunks == 0, (e16_all, gchunks)
+            packed_call = caar_pallas_packed_t if transposed \
+                else caar_pallas_packed
+            esl = (lambda x, sl: x[:, sl]) if transposed \
+                else (lambda x, sl: x[sl])
+            msl = (lambda x, sl: x[:, sl]) if transposed \
+                else (lambda x, sl: x[sl])
 
             def one(acc):
                 if gchunks == 1:
-                    return caar_pallas_packed(*const, *acc,
-                                              eb=cfg.elem_block,
-                                              nlev=cfg.nlev)
+                    return packed_call(*const, *acc,
+                                       eb=cfg.elem_block,
+                                       nlev=cfg.nlev)
                 outs = []
                 for c in range(gchunks):
                     sl = slice(c * rows, (c + 1) * rows)
-                    outs.append(caar_pallas_packed(
-                        scal, *const[1:6], const[6][sl],
-                        *(const[i][sl] for i in range(7, 17)),
-                        *(a[sl] for a in acc),
+                    outs.append(packed_call(
+                        scal, *const[1:6], msl(const[6], sl),
+                        *(esl(const[i], sl) for i in range(7, 17)),
+                        *(esl(a, sl) for a in acc),
                         eb=cfg.elem_block, nlev=cfg.nlev))
-                return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                return tuple(jnp.concatenate([o[i] for o in outs], axis=eax)
                              for i in range(8))
 
         @jax.jit
@@ -269,7 +296,7 @@ def main() -> None:
         if sweep:
             best_name = min(
                 (k for k, v in sweep.items() if isinstance(v, dict)
-                 and "us_per_step" in v and k != "kernel_only"),
+                 and "us_per_step" in v and not k.startswith("kernel_only")),
                 key=lambda k: sweep[k]["us_per_step"], default=None)
             if best_name:
                 assembled = dict(sweep[best_name], variant=best_name,
@@ -283,6 +310,7 @@ def main() -> None:
         "unit": "gridpoints/s",
         "vs_baseline": round(gps / baseline, 2) if baseline else None,
         "config": f"{args.nelem}x{args.nlev}x16 {args.dtype} nexec={args.nexec} kernel={kernel}"
+                  + (" layout=t" if args.layout == "t" else "")
                   + (f" storage={args.storage}" if args.storage != "f32" else "")
                   + ((" dss=segment-sum" if kernel != "pallas" else
                       f" dss={'gather' if args.gather_dss else 'structured'}"

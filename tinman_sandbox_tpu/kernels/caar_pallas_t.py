@@ -1,0 +1,387 @@
+"""Fused Pallas CAAR kernel on the transposed "[K, E16]" layout.
+
+Same math as kernels/caar_pallas.py (routine_mod.F90:7-193 /
+CaarFunctor.hpp:40-562) with levels on SUBLANES and packed element-GLL
+points on LANES:
+
+  * zero tile padding: nlev=72 = 9 sublane tiles exactly; eb=8 elements
+    = 128 lanes exactly. The "[E16, K]" layout pads 72 lanes to 128 —
+    1.78x HBM footprint and a measured ~1.3x bandwidth penalty on v5e
+    (404-409 GB/s transposed vs 308-319 GB/s padded in the triad probe);
+  * the Dvv contractions become right-multiplications by the transposed
+    block-diagonal operators: F_T @ DXB^T ([nlev,128] @ [128,128] MXU);
+  * the vertical scans become left-multiplications by the transposed
+    triangular operators: A^T @ F_T ([nlev,nlev] @ [nlev,128]);
+  * the dp3d interface stencil and the rsplit=0 vertical advection use
+    sublane shifts instead of lane shifts.
+
+This is the round-2 headline layout; the "[E16, K]" twin is kept for the
+structured-DSS assembled path until its epilogue is retargeted.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import NPSQ, Config
+from ..constants import CONSTANTS
+from ..grid import Geometry, HybridVCoord
+from ..state import Derived, State
+from .layout import (
+    META_COLS,
+    block_derivative_ops,
+    pack_field_t,
+    pack_meta_t,
+    scan_matrices,
+    unpack_field_t,
+)
+
+__all__ = [
+    "caar_pallas_t",
+    "caar_pallas_packed_t",
+    "caar_pallas_packed_rsplit0_t",
+    "pack_problem_t",
+]
+
+_MC = {name: i for i, name in enumerate(META_COLS)}
+
+
+def _caar_kernel_t(moist, rgas, kappa, rv_factor, rrearth, rsplit0, *refs):
+    if rsplit0:
+        (scal_ref, dxbt_ref, dybt_ref, ainct_ref, astrt_ref, bstrt_ref,
+         hyb_ref, meta_ref,
+         u0_ref, v0_ref, t0_ref, dp0_ref,
+         um1_ref, vm1_ref, tm1_ref, dpm1_ref,
+         qdp_ref, pecnd_ref,
+         vn0u_ref, vn0v_ref, omg_ref, etaacc_ref,
+         u1_ref, v1_ref, t1_ref, dp1_ref, phi_ref,
+         vn0u_out, vn0v_out, omg_out, eta_out) = refs
+    else:
+        (scal_ref, dxbt_ref, dybt_ref, ainct_ref, astrt_ref, bstrt_ref,
+         meta_ref,
+         u0_ref, v0_ref, t0_ref, dp0_ref,
+         um1_ref, vm1_ref, tm1_ref, dpm1_ref,
+         qdp_ref, pecnd_ref,
+         vn0u_ref, vn0v_ref, omg_ref,
+         u1_ref, v1_ref, t1_ref, dp1_ref, phi_ref,
+         vn0u_out, vn0v_out, omg_out) = refs
+    f32 = jnp.float32
+    dt2 = scal_ref[0, 0]
+    eta = scal_ref[0, 1]
+    hyai0ps0 = scal_ref[0, 2]
+
+    dxbt = dxbt_ref[:]
+    dybt = dybt_ref[:]
+
+    def dot(a, b):
+        return jax.lax.dot(a, b, preferred_element_type=f32)
+
+    def row(name):
+        i = _MC[name]
+        return meta_ref[i:i + 1, :]                  # [1, EB16]
+
+    dinv00, dinv01 = row("dinv00"), row("dinv01")
+    dinv10, dinv11 = row("dinv10"), row("dinv11")
+    metdet, rmetdet = row("metdet"), row("rmetdet")
+    rr = f32(rrearth)
+
+    def grad(s):
+        v1 = dot(s, dxbt) * rr
+        v2 = dot(s, dybt) * rr
+        return dinv00 * v1 + dinv10 * v2, dinv01 * v1 + dinv11 * v2
+
+    def div(a, b):
+        gv1 = metdet * (dinv00 * a + dinv01 * b)
+        gv2 = metdet * (dinv10 * a + dinv11 * b)
+        return (dot(gv1, dxbt) + dot(gv2, dybt)) * (rmetdet * rr)
+
+    ld = lambda ref: ref[:].astype(f32)
+
+    u, v = u0_ref[:], v0_ref[:]
+    t, dp = t0_ref[:], dp0_ref[:]
+
+    # 1. midpoint pressure: p = hyai0*ps0 + cumsum_k(dp) - dp/2
+    p = hyai0ps0 + dot(ainct_ref[:], dp) - 0.5 * dp
+
+    # 2. grad p / v.grad p / mass flux
+    gp1, gp2 = grad(p)
+    vgrad_p = u * gp1 + v * gp2
+    vdp1, vdp2 = u * dp, v * dp
+
+    # 3. div(v*dp) + vorticity
+    divdp = div(vdp1, vdp2)
+    vco1 = row("d00") * u + row("d10") * v
+    vco2 = row("d01") * u + row("d11") * v
+    vort = (dot(vco2, dxbt) - dot(vco1, dybt)) * (rmetdet * rr)
+
+    # 4. virtual temperature
+    if moist:
+        t_v = t * (1.0 + f32(rv_factor) * (ld(qdp_ref) / dp))
+    else:
+        t_v = t
+
+    # 5. hydrostatic: phi = phis + revcumsum_strict(q) + q/2
+    q = f32(rgas) * t_v * (dp / p)
+    phi = row("phis") + dot(bstrt_ref[:], q) + 0.5 * q
+
+    # 6. omega/p
+    cum_strict = dot(astrt_ref[:], divdp)
+    omega_p = (vgrad_p - cum_strict - 0.5 * divdp) / p
+
+    # 7. vertical mass flux + advection (rsplit=0 only)
+    if rsplit0:
+        k = u0_ref.shape[0]
+        cum_inc = cum_strict + divdp
+        sdot = cum_inc[k - 1:k, :]                   # [1, EB16] column total
+        lev = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+        eta_lo = jnp.where(lev > 0,
+                           hyb_ref[:, 0:1] * sdot - cum_strict, 0.0)
+        eta_hi = jnp.where(lev < k - 1,
+                           hyb_ref[:, 1:2] * sdot - cum_inc, 0.0)
+        rpdel = 1.0 / dp
+        facp = 0.5 * rpdel * eta_hi
+        facm = 0.5 * rpdel * eta_lo
+
+        def vadv(x):
+            dxp = x[1:, :] - x[:-1, :]               # x(k+1)-x(k) on sublanes
+            z = jnp.zeros_like(x[:1, :])
+            up = jnp.concatenate([dxp, z], axis=0)
+            dn = jnp.concatenate([z, dxp], axis=0)
+            return facp * up + facm * dn
+
+        t_vadv, u_vadv, v_vadv = vadv(t), vadv(u), vadv(v)
+        d_eta_int = eta_hi - eta_lo
+    else:
+        t_vadv = u_vadv = v_vadv = 0.0
+        d_eta_int = 0.0
+
+    # 8. tendencies
+    ephi = 0.5 * (u * u + v * v) + phi + ld(pecnd_ref)
+    gt1, gt2 = grad(t)
+    ge1, ge2 = grad(ephi)
+    gpterm = f32(rgas) * (t_v / p)
+    fcor_vort = row("fcor") + vort
+    vtens1 = -u_vadv + v * fcor_vort - ge1 - gpterm * gp1
+    vtens2 = -v_vadv - (u * fcor_vort) - ge2 - gpterm * gp2
+    ttens = -t_vadv - (u * gt1 + v * gt2) + f32(kappa) * t_v * omega_p
+
+    # 9. apply + accumulate
+    sph = row("spheremp")
+    u1_ref[:] = sph * (ld(um1_ref) + dt2 * vtens1)
+    v1_ref[:] = sph * (ld(vm1_ref) + dt2 * vtens2)
+    t1_ref[:] = sph * (ld(tm1_ref) + dt2 * ttens)
+    dp1_ref[:] = sph * (ld(dpm1_ref) - dt2 * (divdp + d_eta_int))
+    phi_ref[:] = phi
+    vn0u_out[:] = vn0u_ref[:] + eta * vdp1
+    vn0v_out[:] = vn0v_ref[:] + eta * vdp2
+    omg_out[:] = omg_ref[:] + eta * omega_p
+    if rsplit0:
+        eta_out[:] = etaacc_ref[:] + eta * eta_hi
+
+
+@partial(jax.jit, static_argnames=("eb", "nlev", "moist", "interpret"))
+def caar_pallas_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                         u0, v0, t0, dp0, um1, vm1, tm1, dpm1,
+                         qdp, pecnd, vn0u, vn0v, omg,
+                         eb: int, nlev: int, moist: bool = True,
+                         interpret: bool = False):
+    """Fused kernel on transposed [nlev, E16] arrays (rsplit>0 path).
+
+    Returns (u1, v1, t1, dp1, phi, vn0u', vn0v', omega_p').
+    """
+    k, e16 = u0.shape
+    eb16 = eb * NPSQ
+    assert e16 % eb16 == 0, (e16, eb16)
+    assert k == nlev
+    nblocks = e16 // eb16
+    f = jnp.float32
+
+    fld = lambda: pl.BlockSpec((k, eb16), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((k, e16), f) for _ in range(8)]
+
+    kernel = partial(
+        _caar_kernel_t, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
+        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, False,
+    )
+    flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            rep((eb16, eb16)), rep((eb16, eb16)),
+            rep((k, k)), rep((k, k)), rep((k, k)),
+            pl.BlockSpec((len(META_COLS), eb16), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            fld(), fld(), fld(), fld(),          # n0
+            fld(), fld(), fld(), fld(),          # nm1
+            fld(), fld(),                        # qdp, pecnd
+            fld(), fld(), fld(),                 # accumulators
+        ],
+        out_specs=[fld() for _ in range(8)],
+        out_shape=out_shape,
+        input_output_aliases={17: 5, 18: 6, 19: 7},
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * flops_per_block,
+            bytes_accessed=(14 + 8) * e16 * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+      u0, v0, t0, dp0, um1, vm1, tm1, dpm1, qdp, pecnd, vn0u, vn0v, omg)
+
+
+@partial(jax.jit, static_argnames=("eb", "nlev", "moist", "interpret"))
+def caar_pallas_packed_rsplit0_t(scal, dxbt, dybt, ainct, astrt, bstrt,
+                                 hyb, meta,
+                                 u0, v0, t0, dp0, um1, vm1, tm1, dpm1,
+                                 qdp, pecnd, vn0u, vn0v, omg, etaacc,
+                                 eb: int, nlev: int, moist: bool = True,
+                                 interpret: bool = False):
+    """rsplit=0 (full eta-coordinate) transposed variant. ``hyb`` is
+    [nlev, 2] with column 0 = hybi[k], column 1 = hybi[k+1]."""
+    k, e16 = u0.shape
+    eb16 = eb * NPSQ
+    assert e16 % eb16 == 0, (e16, eb16)
+    nblocks = e16 // eb16
+    f = jnp.float32
+
+    fld = lambda: pl.BlockSpec((k, eb16), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = partial(
+        _caar_kernel_t, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
+        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, True,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            rep((eb16, eb16)), rep((eb16, eb16)),
+            rep((k, k)), rep((k, k)), rep((k, k)),
+            rep((k, 2)),                         # hybi columns
+            pl.BlockSpec((len(META_COLS), eb16), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            fld(), fld(), fld(), fld(),          # n0
+            fld(), fld(), fld(), fld(),          # nm1
+            fld(), fld(),                        # qdp, pecnd
+            fld(), fld(), fld(), fld(),          # accumulators (+etaacc)
+        ],
+        out_specs=[fld() for _ in range(9)],
+        out_shape=[jax.ShapeDtypeStruct((k, e16), f) for _ in range(9)],
+        input_output_aliases={18: 5, 19: 6, 20: 7, 21: 8},
+        interpret=interpret,
+    )(scal, dxbt, dybt, ainct, astrt, bstrt, hyb, meta,
+      u0, v0, t0, dp0, um1, vm1, tm1, dpm1, qdp, pecnd,
+      vn0u, vn0v, omg, etaacc)
+
+
+def pack_problem_t(state: State, derived: Derived, geom: Geometry,
+                   hv: HybridVCoord, cfg: Config, dtype=jnp.float32,
+                   storage: str = "f32"):
+    """Pack into the transposed kernel layout (same contract/storage options
+    as caar_pallas.pack_problem; see that docstring for the bf16 modes)."""
+    assert storage in ("f32", "bf16_aux", "bf16_ro"), storage
+    eb = cfg.elem_block
+    f = lambda x: jnp.asarray(x, dtype)
+    aux = (lambda x: jnp.asarray(x, jnp.bfloat16)) if storage != "f32" else f
+    ro = (lambda x: jnp.asarray(x, jnp.bfloat16)) if storage == "bf16_ro" \
+        else f
+    dxb, dyb = block_derivative_ops(eb, geom.dvv, np.float32)
+    ainc, astr, bstr = scan_matrices(cfg.nlev, np.float32)
+    meta = pack_meta_t(geom, state.phis, dtype)
+    n0, nm1, qn0 = cfg.n0, cfg.nm1, cfg.qn0
+    return dict(
+        dxbt=f(dxb).T, dybt=f(dyb).T,
+        ainct=f(ainc.T), astrt=f(astr.T), bstrt=f(bstr.T),
+        meta=f(meta),
+        u0=pack_field_t(f(state.u[n0])), v0=pack_field_t(f(state.v[n0])),
+        t0=pack_field_t(f(state.t[n0])), dp0=pack_field_t(f(state.dp3d[n0])),
+        um1=pack_field_t(ro(state.u[nm1])),
+        vm1=pack_field_t(ro(state.v[nm1])),
+        tm1=pack_field_t(ro(state.t[nm1])),
+        dpm1=pack_field_t(ro(state.dp3d[nm1])),
+        qdp=pack_field_t(aux(state.qdp[qn0, :, 0])),
+        pecnd=pack_field_t(aux(derived.pecnd)),
+        vn0u=pack_field_t(f(derived.vn0_u)),
+        vn0v=pack_field_t(f(derived.vn0_v)),
+        omg=pack_field_t(f(derived.omega_p)),
+    )
+
+
+def _scalars(dt2, eta_ave_w, hv, dtype=jnp.float32):
+    return jnp.stack([
+        jnp.asarray(dt2, dtype), jnp.asarray(eta_ave_w, dtype),
+        jnp.asarray(hv.hyai[0] * hv.ps0, dtype), jnp.zeros((), dtype),
+    ]).reshape(1, 4)
+
+
+def caar_pallas_t(state: State, derived: Derived, geom: Geometry,
+                  hv: HybridVCoord, cfg: Config, dt2, eta_ave_w,
+                  moist: bool = True, interpret: bool = False,
+                  storage: str = "f32"):
+    """Full-state wrapper with the same contract as kernels.caar_xla /
+    kernels.caar_pallas, on the transposed layout. cfg.rsplit=0 dispatches
+    the full eta-coordinate kernel variant."""
+    p = pack_problem_t(state, derived, geom, hv, cfg, storage=storage)
+    scal = _scalars(dt2, eta_ave_w, hv)
+    common = (scal, p["dxbt"], p["dybt"], p["ainct"], p["astrt"], p["bstrt"])
+    fields = (p["u0"], p["v0"], p["t0"], p["dp0"],
+              p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+              p["qdp"], p["pecnd"], p["vn0u"], p["vn0v"], p["omg"])
+    eta_new = None
+    if cfg.rsplit > 0:
+        u1, v1, t1, dp1, phi, vn0u, vn0v, omg = caar_pallas_packed_t(
+            *common, p["meta"], *fields,
+            eb=cfg.elem_block, nlev=cfg.nlev, moist=moist,
+            interpret=interpret,
+        )
+    else:
+        hyb = jnp.stack([
+            jnp.asarray(hv.hybi[: cfg.nlev], jnp.float32),
+            jnp.asarray(hv.hybi[1: cfg.nlev + 1], jnp.float32),
+        ], axis=1)
+        etaacc = pack_field_t(
+            jnp.asarray(derived.eta_dot_dpdn, jnp.float32)[:, 1:]
+        )
+        (u1, v1, t1, dp1, phi, vn0u, vn0v, omg,
+         eta_new) = caar_pallas_packed_rsplit0_t(
+            *common, hyb, p["meta"], *fields, etaacc,
+            eb=cfg.elem_block, nlev=cfg.nlev, moist=moist,
+            interpret=interpret,
+        )
+    ne = cfg.nelem
+    np1 = cfg.np1
+    f = lambda x: jnp.asarray(x, u1.dtype)
+    new_state = dataclasses.replace(
+        state,
+        u=f(state.u).at[np1].set(unpack_field_t(u1, ne)),
+        v=f(state.v).at[np1].set(unpack_field_t(v1, ne)),
+        t=f(state.t).at[np1].set(unpack_field_t(t1, ne)),
+        dp3d=f(state.dp3d).at[np1].set(unpack_field_t(dp1, ne)),
+    )
+    new_derived = dataclasses.replace(
+        derived,
+        vn0_u=unpack_field_t(vn0u, ne), vn0_v=unpack_field_t(vn0v, ne),
+        phi=unpack_field_t(phi, ne), omega_p=unpack_field_t(omg, ne),
+    )
+    if eta_new is not None:
+        old = jnp.asarray(derived.eta_dot_dpdn, u1.dtype)
+        new_derived = dataclasses.replace(
+            new_derived,
+            eta_dot_dpdn=jnp.concatenate(
+                [old[:, :1], unpack_field_t(eta_new, ne)], axis=1
+            ),
+        )
+    return new_state, new_derived

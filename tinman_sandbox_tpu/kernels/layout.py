@@ -29,7 +29,10 @@ from ..config import NP, NPSQ
 __all__ = [
     "pack_field",
     "unpack_field",
+    "pack_field_t",
+    "unpack_field_t",
     "pack_meta",
+    "pack_meta_t",
     "block_derivative_ops",
     "scan_matrices",
     "META_COLS",
@@ -62,6 +65,31 @@ def unpack_field(x, nelem):
     assert e16 == nelem * NPSQ
     xt = jnp.asarray(x).reshape(*lead, nelem, NP, NP, k)
     return jnp.moveaxis(xt, -1, -3)
+
+
+def pack_field_t(x):
+    """[..., e, k, np, np] -> [..., k, e*16] (transposed packed layout).
+
+    The "[K, E16]" layout is lane-padding-free on TPU: nlev=72 is an exact
+    multiple of the 8-sublane tile and e*16 is a multiple of 128 lanes for
+    any e % 8 == 0, whereas "[E16, K]" pads 72 lanes to 128 (1.78x HBM
+    footprint and a measured ~1.3x bandwidth penalty on v5e).
+    """
+    import jax.numpy as jnp
+
+    return jnp.swapaxes(pack_field(x), -1, -2)
+
+
+def unpack_field_t(x, nelem):
+    """[..., k, e*16] -> [..., e, k, np, np]."""
+    import jax.numpy as jnp
+
+    return unpack_field(jnp.swapaxes(jnp.asarray(x), -1, -2), nelem)
+
+
+def pack_meta_t(geom, phis, dtype=None):
+    """Transposed pack_meta: [16, e*16] (META_COLS on sublanes)."""
+    return pack_meta(geom, phis, dtype).T
 
 
 def pack_2d(x):
