@@ -80,7 +80,14 @@ def main() -> None:
         args.nelem = cs.nelem
     cfg = Config(nelem=args.nelem, nlev=args.nlev, dtype=args.dtype,
                  elem_block=args.eb)
-    if args.nelem >= 16384 and dtype == np.float32:
+    # ne120-class grids on the transposed layout: build the packed problem
+    # directly on device; the unpacked [tl, nelem, nlev, 4, 4] state (~8 GB)
+    # plus the packed copy would overflow the 16 GB HBM
+    direct_packed = (args.layout == "t" and cs is None
+                     and args.nelem >= 16384 and dtype == np.float32)
+    if direct_packed:
+        state = derived = geom = None
+    elif args.nelem >= 16384 and dtype == np.float32:
         # large grids: generate the multi-GB state on device (staging host
         # arrays through the tunnel takes minutes at this size)
         import jax.numpy as jnp
@@ -97,9 +104,11 @@ def main() -> None:
         cast = lambda tree: jax.tree.map(lambda x: np.asarray(x, dtype), tree)
         state = cast(random_state(cfg, seed=7))
         derived = cast(zero_derived(cfg))
-    cast_g = lambda tree: jax.tree.map(lambda x: np.asarray(x, dtype), tree)
-    geom = cast_g(cs.geometry if cs is not None
-                  else random_geometry(cfg, seed=8))
+    if not direct_packed:
+        cast_g = lambda tree: jax.tree.map(lambda x: np.asarray(x, dtype),
+                                           tree)
+        geom = cast_g(cs.geometry if cs is not None
+                      else random_geometry(cfg, seed=8))
     hv = analytic_hvcoord(cfg).astype(dtype)
 
     kernel = "xla"
@@ -114,6 +123,10 @@ def main() -> None:
                 kernel = "pallas"
         except ImportError:
             pass
+
+    if direct_packed and kernel != "pallas":
+        raise SystemExit("--layout t at >=16384 elements requires the "
+                         "Pallas kernel (TPU backend or --pallas)")
 
     dt2, eta = dtype.type(0.1), dtype.type(1.0)
 
@@ -130,13 +143,18 @@ def main() -> None:
 
         transposed = args.layout == "t"
         if transposed:
-            assert cs is None, "--layout t supports the raw-kernel path only"
             from tinman_sandbox_tpu.kernels.caar_pallas_t import (
                 caar_pallas_packed_t, pack_problem_t,
+                random_packed_problem_t,
             )
 
-            p = pack_problem_t(state, derived, geom, hv, cfg,
-                               storage=args.storage)
+            if direct_packed:
+                assert args.storage == "f32", \
+                    "direct packed init is f32-only"
+                p = random_packed_problem_t(cfg, seed=7)
+            else:
+                p = pack_problem_t(state, derived, geom, hv, cfg,
+                                   storage=args.storage)
             scal = _scalars(dt2, eta, hv)
             const = (scal, p["dxbt"], p["dybt"], p["ainct"], p["astrt"],
                      p["bstrt"], p["meta"], p["u0"], p["v0"], p["t0"],
@@ -153,7 +171,24 @@ def main() -> None:
 
         chunk = max(1, args.chunk)
 
-        if cs is not None:
+        if cs is not None and transposed:
+            # assembled step on the transposed padding-free layout
+            from tinman_sandbox_tpu.dist.step_pallas import (
+                caar_dss_structured_packed_t,
+            )
+            from tinman_sandbox_tpu.dist.structured_dss import (
+                make_structured_plan,
+            )
+
+            plan = make_structured_plan(cs.gdof, args.ne)
+            rsp = jnp.asarray(geom.rspheremp, jnp.float32).reshape(
+                1, cfg.nelem * 16)
+
+            def one(acc):
+                return caar_dss_structured_packed_t(
+                    *const, *acc, plan, rsp, eb=cfg.elem_block,
+                    nlev=cfg.nlev)
+        elif cs is not None:
             # assembled step: fused kernel + DSS epilogue each iteration
             if args.gather_dss:
                 from tinman_sandbox_tpu.dist.step_pallas import (

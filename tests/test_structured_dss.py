@@ -141,3 +141,86 @@ def test_field_wrappers_match_dss(ne=3):
                                         g.rspheremp)
     np.testing.assert_allclose(np.asarray(gotp), np.asarray(refp),
                                rtol=1e-13, atol=1e-13)
+
+
+@pytest.mark.parametrize("ne", [2, 3, 5])
+def test_structured_t_matches_segment_sum(ne):
+    from tinman_sandbox_tpu.dist.structured_dss import dss_structured_t
+    from tinman_sandbox_tpu.kernels.layout import pack_field_t, unpack_field_t
+
+    cs = build_cubed_sphere(ne)
+    plan = make_structured_plan(cs.gdof, ne)
+    nlev = 7
+    x = RNG.standard_normal((cs.nelem, nlev, 4, 4))
+
+    ref = dss_sum(jnp.asarray(x), jnp.asarray(cs.gdof), cs.ndof)
+    got = unpack_field_t(dss_structured_t(pack_field_t(jnp.asarray(x)), plan),
+                         cs.nelem)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_caar_structured_t_step_matches_row_step():
+    """Transposed assembled step == row-layout assembled step (interpret
+    mode, real ne=2 sphere), both stack variants, plus the full-state
+    caar_dss_pallas(dss="structured_t") wrapper vs dss="structured"."""
+    import jax
+
+    from tinman_sandbox_tpu import (
+        Config, analytic_hvcoord, random_state, zero_derived,
+    )
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_pallas, caar_dss_structured_packed,
+        caar_dss_structured_packed_t,
+    )
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars, pack_problem
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+    from tinman_sandbox_tpu.kernels.layout import unpack_field, unpack_field_t
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=4)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=8))
+    dv = cast(zero_derived(cfg))
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    g = cast(cs.geometry)
+    plan = make_structured_plan(cs.gdof, 2)
+
+    p = pack_problem(st, dv, g, hv, cfg)
+    scal = _scalars(0.5, 1.0, hv)
+    rsp_rows = pack_field(jnp.broadcast_to(
+        jnp.asarray(g.rspheremp)[:, None], (cs.nelem, 1, 4, 4)))
+    ref = caar_dss_structured_packed(
+        scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"],
+        p["meta"], p["u0"], p["v0"], p["t0"], p["dp0"],
+        p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+        p["qdp"], p["pecnd"], p["vn0u"], p["vn0v"], p["omg"],
+        plan, rsp_rows, eb=4, nlev=4, interpret=True)
+
+    pt = pack_problem_t(st, dv, g, hv, cfg)
+    rsp_lanes = rsp_rows.reshape(1, -1)
+    for stack in (True, False):
+        got = caar_dss_structured_packed_t(
+            scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], pt["u0"], pt["v0"], pt["t0"], pt["dp0"],
+            pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"],
+            pt["qdp"], pt["pecnd"], pt["vn0u"], pt["vn0v"], pt["omg"],
+            plan, rsp_lanes, eb=4, nlev=4, interpret=True, stack_dss=stack)
+        for i in range(8):
+            a = np.asarray(unpack_field_t(got[i], cs.nelem))
+            b = np.asarray(unpack_field(ref[i], cs.nelem))
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"field {i} stack={stack}")
+
+    # full-state wrapper equivalence
+    s_row, d_row = caar_dss_pallas(st, dv, g, hv, cs.gdof, cs.ndof, cfg,
+                                   0.5, 1.0, interpret=True,
+                                   dss="structured", ne=2)
+    s_t, d_t = caar_dss_pallas(st, dv, g, hv, cs.gdof, cs.ndof, cfg,
+                               0.5, 1.0, interpret=True,
+                               dss="structured_t", ne=2)
+    for name in ("u", "v", "t", "dp3d"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_t, name)[cfg.np1]),
+            np.asarray(getattr(s_row, name)[cfg.np1]),
+            rtol=1e-5, atol=1e-5, err_msg=name)

@@ -20,7 +20,7 @@ from ..kernels.caar_pallas import _scalars, caar_pallas_packed, pack_problem
 from ..state import Derived, State
 
 __all__ = ["dss_scaled_packed", "caar_dss_pallas_packed", "make_packed_dss",
-           "caar_dss_structured_packed"]
+           "caar_dss_structured_packed", "caar_dss_structured_packed_t"]
 
 
 def make_packed_dss(gdof, rspheremp):
@@ -140,6 +140,41 @@ def caar_dss_structured_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
     return assembled + o[4:]
 
 
+@partial(jax.jit, static_argnames=("eb", "nlev", "plan", "moist",
+                                   "interpret", "stack_dss"))
+def caar_dss_structured_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                                 u0, v0, t0, dp0, um1, vm1, tm1, dpm1,
+                                 qdp, pecnd, vn0u, vn0v, omg,
+                                 plan, rsp_lanes,
+                                 eb: int, nlev: int,
+                                 moist: bool = True, interpret: bool = False,
+                                 stack_dss: bool = True):
+    """Transposed-layout assembled step: padding-free fused kernel
+    (kernels/caar_pallas_t.py) + structured DSS on [nlev, E16] arrays.
+    No grid chunking — the transposed kernel has no long-grid pathology.
+    ``stack_dss`` concatenates the four np1 fields on the SUBLANE axis so
+    one sweep pass assembles all four."""
+    from ..kernels.caar_pallas_t import caar_pallas_packed_t
+    from .structured_dss import dss_structured_t, dss_structured_scaled_t
+
+    o = caar_pallas_packed_t(
+        scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+        u0, v0, t0, dp0, um1, vm1, tm1, dpm1,
+        qdp, pecnd, vn0u, vn0v, omg,
+        eb=eb, nlev=nlev, moist=moist, interpret=interpret)
+
+    if stack_dss:
+        stacked = jnp.concatenate(o[:4], axis=0)            # [4*nlev, E16]
+        assembled_all = rsp_lanes * dss_structured_t(stacked, plan)
+        assembled = tuple(assembled_all[i * nlev:(i + 1) * nlev]
+                          for i in range(4))
+    else:
+        assembled = tuple(
+            dss_structured_scaled_t(o[i], plan, rsp_lanes) for i in range(4)
+        )
+    return assembled + o[4:]
+
+
 def caar_dss_pallas(state: State, derived: Derived, geom: Geometry,
                     hv: HybridVCoord, gdof, ndof: int, cfg: Config,
                     dt2, eta_ave_w, moist: bool = True,
@@ -147,12 +182,17 @@ def caar_dss_pallas(state: State, derived: Derived, geom: Geometry,
                     ne: int | None = None, chunks: int = 1):
     """Full-state wrapper: pack -> fused kernel + packed DSS -> unpack.
     Contract of dist.step.caar_dss_step on the Pallas fast path (f32).
-    ``dss="structured"`` (requires ``ne``) uses the gather-free sweeps —
-    the fastest single-chip assembly (BENCH_LOCAL ne30_assembled_sweep_r2)."""
+    ``dss="structured"`` (requires ``ne``) uses the gather-free sweeps;
+    ``dss="structured_t"`` runs kernel + sweeps on the transposed
+    padding-free [nlev, E16] layout — the fastest single-chip assembly."""
     import dataclasses
 
     from ..kernels.layout import pack_field, unpack_field
 
+    if dss == "structured_t":
+        return _caar_dss_pallas_t(state, derived, geom, hv, gdof, cfg,
+                                  dt2, eta_ave_w, moist=moist,
+                                  interpret=interpret, ne=ne)
     p = pack_problem(state, derived, geom, hv, cfg)
     scal = _scalars(dt2, eta_ave_w, hv)
     common = (scal, p["dxb"], p["dyb"], p["ainc"], p["astr"], p["bstr"],
@@ -191,5 +231,48 @@ def caar_dss_pallas(state: State, derived: Derived, geom: Geometry,
         derived,
         vn0_u=unpack_field(vn0u, ne), vn0_v=unpack_field(vn0v, ne),
         phi=unpack_field(phi, ne), omega_p=unpack_field(omg, ne),
+    )
+    return new_state, new_derived
+
+
+def _caar_dss_pallas_t(state: State, derived: Derived, geom: Geometry,
+                       hv: HybridVCoord, gdof, cfg: Config, dt2, eta_ave_w,
+                       moist: bool = True, interpret: bool = False,
+                       ne: int | None = None):
+    """Full-state transposed assembled step (pack_t -> kernel_t + DSS_t ->
+    unpack_t); dispatched from caar_dss_pallas(dss="structured_t")."""
+    import dataclasses
+
+    from ..kernels.caar_pallas_t import pack_problem_t
+    from ..kernels.layout import unpack_field_t
+    from .structured_dss import make_structured_plan
+
+    assert ne is not None, "structured DSS needs the cubed-sphere ne"
+    p = pack_problem_t(state, derived, geom, hv, cfg)
+    scal = _scalars(dt2, eta_ave_w, hv)
+    plan = make_structured_plan(np.asarray(gdof), ne)
+    # packed row order is e*16 + i*4 + j == rspheremp[e, i, j] flattened
+    rsp = jnp.asarray(geom.rspheremp, jnp.float32).reshape(1, cfg.nelem * 16)
+    u1, v1, t1, dp1, phi, vn0u, vn0v, omg = caar_dss_structured_packed_t(
+        scal, p["dxbt"], p["dybt"], p["ainct"], p["astrt"], p["bstrt"],
+        p["meta"], p["u0"], p["v0"], p["t0"], p["dp0"],
+        p["um1"], p["vm1"], p["tm1"], p["dpm1"],
+        p["qdp"], p["pecnd"], p["vn0u"], p["vn0v"], p["omg"],
+        plan, rsp, eb=cfg.elem_block, nlev=cfg.nlev,
+        moist=moist, interpret=interpret,
+    )
+    nelem, np1 = cfg.nelem, cfg.np1
+    f = lambda x: jnp.asarray(x, u1.dtype)
+    new_state = dataclasses.replace(
+        state,
+        u=f(state.u).at[np1].set(unpack_field_t(u1, nelem)),
+        v=f(state.v).at[np1].set(unpack_field_t(v1, nelem)),
+        t=f(state.t).at[np1].set(unpack_field_t(t1, nelem)),
+        dp3d=f(state.dp3d).at[np1].set(unpack_field_t(dp1, nelem)),
+    )
+    new_derived = dataclasses.replace(
+        derived,
+        vn0_u=unpack_field_t(vn0u, nelem), vn0_v=unpack_field_t(vn0v, nelem),
+        phi=unpack_field_t(phi, nelem), omega_p=unpack_field_t(omg, nelem),
     )
     return new_state, new_derived

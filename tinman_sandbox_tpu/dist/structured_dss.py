@@ -43,7 +43,8 @@ import numpy as np
 from ..config import NP, NPSQ
 
 __all__ = ["StructuredDssPlan", "make_structured_plan", "dss_structured",
-           "dss_structured_scaled"]
+           "dss_structured_scaled", "dss_structured_t",
+           "dss_structured_scaled_t"]
 
 _SIDES = ("W", "E", "S", "N")
 
@@ -202,6 +203,82 @@ def dss_structured_scaled(x, plan: StructuredDssPlan, rsp_rows):
     """rspheremp * DSS(x) for packed [e*16, k] fields — drop-in for
     dist.step_pallas.dss_scaled_packed's role without any row gathers."""
     return rsp_rows * dss_structured(x, plan)
+
+
+# -- transposed ([k, e16]) layout ---------------------------------------------
+
+def _get_line_t(x6, ne: int, face: int, side: str):
+    """Face-side GLL line as [..., k, ne*4] from the transposed
+    [..., k, 6, ne, ne, 4, 4] view."""
+    if side == "W":
+        ln = x6[..., face, :, 0, 0, :]
+    elif side == "E":
+        ln = x6[..., face, :, ne - 1, NP - 1, :]
+    elif side == "S":
+        ln = x6[..., face, 0, :, :, 0]
+    else:  # N
+        ln = x6[..., face, ne - 1, :, :, NP - 1]
+    shape = ln.shape
+    return ln.reshape(*shape[:-2], ne * NP)
+
+
+def _set_line_t(x6, ne: int, face: int, side: str, val):
+    val = val.reshape(*val.shape[:-1], ne, NP)
+    if side == "W":
+        return x6.at[..., face, :, 0, 0, :].set(val)
+    if side == "E":
+        return x6.at[..., face, :, ne - 1, NP - 1, :].set(val)
+    if side == "S":
+        return x6.at[..., face, 0, :, :, 0].set(val)
+    return x6.at[..., face, ne - 1, :, :, NP - 1].set(val)
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def dss_structured_t(x, plan: StructuredDssPlan):
+    """DSS (unscaled shared-dof sum) of a transposed [k, e*16] field —
+    the same sweep algebra as dss_structured with the element axis on
+    lanes (kernels/caar_pallas_t.py layout)."""
+    ne = plan.ne
+    k, e16 = x.shape
+    assert e16 == 6 * ne * ne * NPSQ, (e16, ne)
+    x6 = x.reshape(k, 6, ne, ne, NP, NP)
+
+    # 1. alpha sweep (ei-neighbors share the i=3 / i=0 GLL columns)
+    t = x6[:, :, :, :-1, NP - 1, :] + x6[:, :, :, 1:, 0, :]
+    x6 = x6.at[:, :, :, :-1, NP - 1, :].set(t).at[:, :, :, 1:, 0, :].set(t)
+
+    # 2. beta sweep on the result
+    t = x6[:, :, :-1, :, :, NP - 1] + x6[:, :, 1:, :, :, 0]
+    x6 = x6.at[:, :, :-1, :, :, NP - 1].set(t).at[:, :, 1:, :, :, 0].set(t)
+
+    # 3. cube-edge line exchanges
+    for fa, sa, fb, sb, flip in plan.edges:
+        la = _get_line_t(x6, ne, fa, sa)
+        lb = _get_line_t(x6, ne, fb, sb)
+        lbo = jnp.flip(lb, axis=-1) if flip else lb
+        s = la + lbo
+        sa_new = la.at[:, 1:-1].set(s[:, 1:-1])
+        sb_new = lb.at[:, 1:-1].set(
+            (jnp.flip(s, axis=-1) if flip else s)[:, 1:-1]
+        )
+        x6 = _set_line_t(x6, ne, fa, sa, sa_new)
+        x6 = _set_line_t(x6, ne, fb, sb, sb_new)
+
+    # 4. cube corners (from pre-exchange values — untouched by steps 1-3)
+    flat = x6.reshape(k, e16)
+    rows = jnp.asarray(np.asarray(plan.corner_rows))        # [8, 3]
+    vals = x[:, rows[:, 0]] + x[:, rows[:, 1]] + x[:, rows[:, 2]]  # [k, 8]
+    flat = flat.at[:, rows[:, 0]].set(vals) \
+               .at[:, rows[:, 1]].set(vals) \
+               .at[:, rows[:, 2]].set(vals)
+    return flat
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def dss_structured_scaled_t(x, plan: StructuredDssPlan, rsp_lanes):
+    """rspheremp * DSS(x) for transposed [k, e*16] fields
+    (``rsp_lanes``: [1, e*16])."""
+    return rsp_lanes * dss_structured_t(x, plan)
 
 
 # -- field-layout wrappers (for the RK / hyperviscosity / tracer paths) ------

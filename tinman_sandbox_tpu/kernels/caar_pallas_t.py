@@ -385,3 +385,48 @@ def caar_pallas_t(state: State, derived: Derived, geom: Geometry,
             ),
         )
     return new_state, new_derived
+
+
+def random_packed_problem_t(cfg: Config, seed: int = 1):
+    """Benchmark-only: generate the packed transposed problem dict DIRECTLY
+    on device at [nlev, E16] — never materializes the unpacked [tl, nelem,
+    nlev, 4, 4] state. This is what makes the ne120-class grid (86,400
+    elements, BASELINE.md) fit one chip: the padded row layout costs 1.78x
+    HBM on every field, and skipping the unpacked state saves another ~8 GB.
+    Distributions mirror state.random_state_device (positive dp3d, O(1)
+    metric terms)."""
+    e16 = cfg.nelem * NPSQ
+    k = cfg.nlev
+    ks = jax.random.split(jax.random.PRNGKey(seed), 16)
+    u = lambda key, lo, hi, sh: jax.random.uniform(
+        key, sh, jnp.float32, minval=lo, maxval=hi)
+    fld = lambda key, lo, hi: u(key, lo, hi, (k, e16))
+
+    dxb, dyb = block_derivative_ops(cfg.elem_block, _dvv_f32(), np.float32)
+    ainc, astr, bstr = scan_matrices(k, np.float32)
+
+    # meta: O(1) well-conditioned metric terms (throughput benchmarking)
+    met = u(ks[0], 0.5, 1.5, (len(META_COLS), e16))
+    met = met.at[_MC["rmetdet"]].set(1.0 / met[_MC["metdet"]])
+    met = met.at[_MC["pad0"]:].set(0.0)
+
+    return dict(
+        dxbt=jnp.asarray(dxb).T, dybt=jnp.asarray(dyb).T,
+        ainct=jnp.asarray(ainc.T), astrt=jnp.asarray(astr.T),
+        bstrt=jnp.asarray(bstr.T),
+        meta=met,
+        u0=fld(ks[1], -1, 1), v0=fld(ks[2], -1, 1),
+        t0=fld(ks[3], 250, 300), dp0=fld(ks[4], 10, 20),
+        um1=fld(ks[5], -1, 1), vm1=fld(ks[6], -1, 1),
+        tm1=fld(ks[7], 250, 300), dpm1=fld(ks[8], 10, 20),
+        qdp=fld(ks[9], 0, 1), pecnd=fld(ks[10], 0, 1),
+        vn0u=jnp.zeros((k, e16), jnp.float32),
+        vn0v=jnp.zeros((k, e16), jnp.float32),
+        omg=jnp.zeros((k, e16), jnp.float32),
+    )
+
+
+def _dvv_f32():
+    from ..grid import dvv_matrix
+
+    return dvv_matrix(np.float32)

@@ -117,8 +117,39 @@ def main():
         return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
                      for i in range(8))
 
+    # -- transposed-layout variants (kernels/caar_pallas_t.py) --
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_structured_packed_t,
+    )
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import (
+        caar_pallas_packed_t, pack_problem_t,
+    )
+
+    pt = pack_problem_t(st, dv, geom, hv, cfg)
+    ops_t = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+             pt["bstrt"], pt["meta"], pt["u0"], pt["v0"], pt["t0"],
+             pt["dp0"], pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"],
+             pt["qdp"], pt["pecnd"])
+    acc0_t = (pt["vn0u"], pt["vn0v"], pt["omg"])
+    rsp_t = jnp.asarray(geom.rspheremp, jnp.float32).reshape(1, -1)
+
+    def v_t_kernel_only(acc):
+        return caar_pallas_packed_t(*ops_t, *acc, eb=args.eb, nlev=args.nlev)
+
+    def v_t_structured(acc):
+        return caar_dss_structured_packed_t(*ops_t, *acc, plan, rsp_t,
+                                            eb=args.eb, nlev=args.nlev)
+
+    def v_t_structured_nostack(acc):
+        return caar_dss_structured_packed_t(*ops_t, *acc, plan, rsp_t,
+                                            eb=args.eb, nlev=args.nlev,
+                                            stack_dss=False)
+
     variants = {
         "kernel_only": v_kernel_only,
+        "t_kernel_only": v_t_kernel_only,
+        "t_structured": v_t_structured,
+        "t_structured_nostack": v_t_structured_nostack,
         "kernel_only_chunks5": v_kernel_only_c5,
         "structured": v_structured,
         "structured_chunks5": v_structured_c5,
@@ -147,7 +178,7 @@ def main():
 
         def run(nsteps):
             nchunks = -(-nsteps // chunk)
-            acc = acc0
+            acc = acc0_t if name.startswith("t_") else acc0
             for _ in range(nchunks):
                 acc, o = multi(acc)
             float(jnp.sum(o[0][:: max(1, o[0].shape[0] // 8)]))  # readback
