@@ -184,9 +184,9 @@ def main() -> None:
             rsp = jnp.asarray(geom.rspheremp, jnp.float32).reshape(
                 1, cfg.nelem * 16)
 
-            def one(acc):
+            def one(cst, acc):
                 return caar_dss_structured_packed_t(
-                    *const, *acc, plan, rsp, eb=cfg.elem_block,
+                    *cst, *acc, plan, rsp, eb=cfg.elem_block,
                     nlev=cfg.nlev)
         elif cs is not None:
             # assembled step: fused kernel + DSS epilogue each iteration
@@ -197,9 +197,9 @@ def main() -> None:
 
                 gdof_rows, rsp_g = make_packed_dss(cs.gdof, geom.rspheremp)
 
-                def one(acc):
+                def one(cst, acc):
                     return caar_dss_pallas_packed(
-                        *const, *acc, gdof_rows, rsp_g, eb=cfg.elem_block,
+                        *cst, *acc, gdof_rows, rsp_g, eb=cfg.elem_block,
                         nlev=cfg.nlev, ndof=cs.ndof)
             else:
                 from tinman_sandbox_tpu.dist.step_pallas import (
@@ -215,9 +215,9 @@ def main() -> None:
                     jnp.asarray(geom.rspheremp, jnp.float32)[:, None],
                     (cfg.nelem, 1, 4, 4)))
 
-                def one(acc):
+                def one(cst, acc):
                     return caar_dss_structured_packed(
-                        *const, *acc, plan, rsp, eb=cfg.elem_block,
+                        *cst, *acc, plan, rsp, eb=cfg.elem_block,
                         nlev=cfg.nlev, chunks=args.grid_chunks)
         else:
             gchunks = max(1, args.grid_chunks)
@@ -232,26 +232,26 @@ def main() -> None:
             msl = (lambda x, sl: x[:, sl]) if transposed \
                 else (lambda x, sl: x[sl])
 
-            def one(acc):
+            def one(cst, acc):
                 if gchunks == 1:
-                    return packed_call(*const, *acc,
+                    return packed_call(*cst, *acc,
                                        eb=cfg.elem_block,
                                        nlev=cfg.nlev)
                 outs = []
                 for c in range(gchunks):
                     sl = slice(c * rows, (c + 1) * rows)
                     outs.append(packed_call(
-                        scal, *const[1:6], msl(const[6], sl),
-                        *(esl(const[i], sl) for i in range(7, 17)),
+                        cst[0], *cst[1:6], msl(cst[6], sl),
+                        *(esl(cst[i], sl) for i in range(7, 17)),
                         *(esl(a, sl) for a in acc),
                         eb=cfg.elem_block, nlev=cfg.nlev))
                 return tuple(jnp.concatenate([o[i] for o in outs], axis=eax)
                              for i in range(8))
 
         @jax.jit
-        def multi(acc):
+        def multi(cst, acc):
             for _ in range(chunk):
-                o = one(acc)
+                o = one(cst, acc)
                 acc = (o[5], o[6], o[7])
             return acc, o
 
@@ -261,7 +261,7 @@ def main() -> None:
             nchunks = -(-nsteps // chunk)
             acc = (p["vn0u"], p["vn0v"], p["omg"])
             for _ in range(nchunks):
-                acc, o = multi(acc)
+                acc, o = multi(const, acc)
             # device-to-host readback forces REAL completion (through the
             # remote-TPU tunnel block_until_ready can return early)
             float(jnp.sum(o[0][:: max(1, o[0].shape[0] // 8)]))

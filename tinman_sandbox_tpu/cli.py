@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="float64 (oracle, CPU) or float32 (fast path)")
     ap.add_argument("--kernel", default="auto",
                     choices=("auto", "xla", "pallas"))
+    ap.add_argument("--layout", default="t", choices=("t", "row"),
+                    help="Pallas packed layout: 't' = transposed [nlev, E16]"
+                         " (padding-free, ~1.5x faster; default), 'row' = "
+                         "[E16, nlev]")
     ap.add_argument("--init", default="analytic",
                     choices=("analytic", "random"),
                     help="analytic = golden-comparable init (main.F90:103-154)")
@@ -156,10 +160,12 @@ def main(argv=None) -> int:
     elif pallas_dss:
         from .dist.step_pallas import caar_dss_pallas
 
+        dss_kind = "structured_t" if args.layout == "t" else "structured"
+
         def one_step(s, d, c):
             return caar_dss_pallas(s, d, geom, hv, cs.gdof, cs.ndof, c,
                                    dt2, eta, interpret=pallas_interpret,
-                                   dss="structured", ne=cs.ne)
+                                   dss=dss_kind, ne=cs.ne)
     elif args.dss:
         from .dist import caar_dss_step
 
@@ -168,11 +174,14 @@ def main(argv=None) -> int:
         def one_step(s, d, c):
             return caar_dss_step(s, d, geom, hv, gdof, cs.ndof, c, dt2, eta)
     elif use_pallas:
-        from .kernels.caar_pallas import caar_pallas
+        if args.layout == "t":
+            from .kernels.caar_pallas_t import caar_pallas_t as _caar_fast
+        else:
+            from .kernels.caar_pallas import caar_pallas as _caar_fast
 
         def one_step(s, d, c):
-            return caar_pallas(s, d, geom, hv, c, dt2, eta,
-                               interpret=pallas_interpret)
+            return _caar_fast(s, d, geom, hv, c, dt2, eta,
+                              interpret=pallas_interpret)
     else:
         def one_step(s, d, c):
             return caar_xla(s, d, geom, hv, c, dt2, eta)

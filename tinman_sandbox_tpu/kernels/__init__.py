@@ -19,6 +19,10 @@ def __getattr__(name):
         from . import caar_pallas as _m
 
         return getattr(_m, name)
+    if name == "caar_pallas_t":
+        from .caar_pallas_t import caar_pallas_t
+
+        return caar_pallas_t
     raise AttributeError(name)
 
 
