@@ -46,7 +46,7 @@ def main() -> None:
     ap.add_argument("--gather-dss", action="store_true",
                     help="use the round-1 alias-gather DSS instead of the "
                          "structured sweeps (for comparison)")
-    ap.add_argument("--layout", default="row", choices=("row", "t"),
+    ap.add_argument("--layout", default="t", choices=("row", "t"),
                     help="packed kernel layout: 'row' = [E16, nlev] "
                          "(lane-padded at nlev=72), 't' = transposed "
                          "[nlev, E16] (padding-free; raw-kernel path only)")
@@ -322,16 +322,19 @@ def main() -> None:
     gbs = bytes_per_step * executed / best / 1e9
     triad = None
     assembled = None
+    ne120 = None
     lp = os.path.join(here, "BENCH_LOCAL.json")
     if os.path.exists(lp):
         with open(lp) as f:
             local = json.load(f)
         triad = local.get("saxpby_triad", {}).get("gb_per_s")
+        ne120 = local.get("ne120_caar_86400elem")
         sweep = local.get("ne30_assembled_sweep_r2", {})
         if sweep:
             best_name = min(
                 (k for k, v in sweep.items() if isinstance(v, dict)
-                 and "us_per_step" in v and not k.startswith("kernel_only")),
+                 and "us_per_step" in v and "kernel_only" not in k
+                 and not k.endswith("_note")),
                 key=lambda k: sweep[k]["us_per_step"], default=None)
             if best_name:
                 assembled = dict(sweep[best_name], variant=best_name,
@@ -360,6 +363,7 @@ def main() -> None:
         # from tools/bench_assembled.py (BENCH_LOCAL.json) — re-measure
         # with `python bench.py --ne 30`
         "ne30_assembled_recorded": assembled,
+        "ne120_recorded": ne120,
         "backend": jax.default_backend(),
     }))
 
