@@ -359,6 +359,10 @@ def main() -> None:
         "bytes_per_step": bytes_per_step,
         "achieved_gb_per_s": round(gbs, 1),
         "fraction_of_triad": round(gbs / triad, 3) if triad else None,
+        # v5e HBM peak is ~819 GB/s; the saxpby triad probe (413 GB/s)
+        # underestimates it, so >1.0 fractions of triad are possible
+        "fraction_of_hw_peak": round(gbs / 819.0, 3)
+        if jax.default_backend() == "tpu" else None,
         # best recorded ne30 ASSEMBLED-step measurement (kernel + DSS),
         # from tools/bench_assembled.py (BENCH_LOCAL.json) — re-measure
         # with `python bench.py --ne 30`

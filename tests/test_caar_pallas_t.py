@@ -120,3 +120,37 @@ def test_bf16_storage_t_tolerances():
             scale = np.max(np.abs(b))
             np.testing.assert_allclose(a / scale, b / scale, atol=rtol,
                                        err_msg=f"{name} {storage}")
+
+
+def test_run_leapfrog_pallas_t_matches_xla_leapfrog():
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import run_leapfrog_pallas_t
+    from tinman_sandbox_tpu.timeloop import run_leapfrog
+
+    cfg, st, dv, geom, hv = _setup(nelem=8, nlev=6, eb=4, seed=33)
+    cfg = Config(nelem=8, nlev=6, elem_block=4, dt=0.05)
+    ps, pd, pc = run_leapfrog_pallas_t(st, dv, geom, hv, cfg, nsteps=7,
+                                       interpret=True)
+    xs, xd, xc = run_leapfrog(st, dv, geom, hv, cfg, nsteps=7)
+    assert (pc.n0, pc.np1, pc.nm1) == (xc.n0, xc.np1, xc.nm1)
+    for name in ("u", "v", "t", "dp3d"):
+        a = np.asarray(getattr(ps, name))
+        b = np.asarray(getattr(xs, name))
+        scale = np.max(np.abs(b)) + 1.0
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-5,
+                                   err_msg=name)
+    a, b = np.asarray(pd.omega_p), np.asarray(xd.omega_p)
+    scale = np.max(np.abs(b)) + 1.0
+    np.testing.assert_allclose(a / scale, b / scale, atol=2e-5)
+
+
+def test_run_leapfrog_pallas_t_rejects_rsplit0():
+    import dataclasses
+
+    import pytest
+
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import run_leapfrog_pallas_t
+
+    cfg, st, dv, geom, hv = _setup(nelem=8, nlev=4, eb=4)
+    cfg = dataclasses.replace(cfg, rsplit=0)
+    with pytest.raises(NotImplementedError):
+        run_leapfrog_pallas_t(st, dv, geom, hv, cfg, 2, interpret=True)

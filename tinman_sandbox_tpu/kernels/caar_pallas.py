@@ -31,6 +31,7 @@ from ..config import NPSQ, Config
 from ..constants import CONSTANTS
 from ..grid import Geometry, HybridVCoord
 from ..state import Derived, State
+from .fdot import make_dots
 from .layout import (
     META_COLS,
     block_derivative_ops,
@@ -64,7 +65,7 @@ def _require_lagrangian(cfg: Config):
         )
 
 
-def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth, rsplit0,
+def _caar_kernel(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
                  *refs):
     if rsplit0:
         (scal_ref, dxb_ref, dyb_ref, ainc_ref, astr_ref, bstr_ref,
@@ -92,8 +93,7 @@ def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth, rsplit0,
     dxb = dxb_ref[:]
     dyb = dyb_ref[:]
 
-    def dot(a, b):
-        return jax.lax.dot(a, b, preferred_element_type=f32)
+    dot, _, dot_rx = make_dots(split)
 
     def col(name):
         return meta_ref[:, _MC[name]][:, None]       # [EB16, 1]
@@ -121,7 +121,7 @@ def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth, rsplit0,
     t, dp = t0_ref[:], dp0_ref[:]
 
     # 1. midpoint pressure: p = hyai0*ps0 + cumsum(dp) - dp/2
-    p = hyai0ps0 + dot(dp, ainc_ref[:]) - 0.5 * dp
+    p = hyai0ps0 + dot_rx(dp, ainc_ref[:]) - 0.5 * dp
 
     # 2. grad p / v.grad p / mass flux
     gp1, gp2 = grad(p)
@@ -142,10 +142,10 @@ def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth, rsplit0,
 
     # 5. hydrostatic: phi = phis + revcumsum_strict(q) + q/2, q = Rgas*T_v*dp/p
     q = f32(rgas) * t_v * (dp / p)
-    phi = col("phis") + dot(q, bstr_ref[:]) + 0.5 * q
+    phi = col("phis") + dot_rx(q, bstr_ref[:]) + 0.5 * q
 
     # 6. omega/p: (vgrad_p - cumsum_strict(divdp) - divdp/2) / p
-    cum_strict = dot(divdp, astr_ref[:])
+    cum_strict = dot_rx(divdp, astr_ref[:])
     omega_p = (vgrad_p - cum_strict - 0.5 * divdp) / p
 
     # 7. vertical mass flux + advection (rsplit=0 only; rsplit>0 is
@@ -204,7 +204,7 @@ def _caar_kernel(moist, rgas, kappa, rv_factor, rrearth, rsplit0,
         eta_out[:] = etaacc_ref[:] + eta * eta_hi
 
 
-def _caar_kernel_fused(moist, rgas, kappa, rv_factor, rrearth,
+def _caar_kernel_fused(split, moist, rgas, kappa, rv_factor, rrearth,
                        scal_ref, dxb_ref, dyb_ref, ainc_ref, astr_ref,
                        bstr_ref, meta_ref,
                        u0_ref, v0_ref, t0_ref, dp0_ref,
@@ -225,8 +225,7 @@ def _caar_kernel_fused(moist, rgas, kappa, rv_factor, rrearth,
     dxb = dxb_ref[:]
     dyb = dyb_ref[:]
 
-    def dot(a, b):
-        return jax.lax.dot(a, b, preferred_element_type=f32)
+    dot, _, dot_rx = make_dots(split)
 
     def col(name):
         return meta_ref[:, _MC[name]][:, None]
@@ -240,7 +239,7 @@ def _caar_kernel_fused(moist, rgas, kappa, rv_factor, rrearth,
     t, dp = t0_ref[:], dp0_ref[:]
 
     # pressure scan (one lane matmul)
-    p = hyai0ps0 + dot(dp, ainc_ref[:]) - 0.5 * dp
+    p = hyai0ps0 + dot_rx(dp, ainc_ref[:]) - 0.5 * dp
 
     vdp1, vdp2 = u * dp, v * dp
     gv1 = metdet * (dinv00 * vdp1 + dinv01 * vdp2)
@@ -278,7 +277,7 @@ def _caar_kernel_fused(moist, rgas, kappa, rv_factor, rrearth,
         jnp.concatenate([bstr_ref[:], zk], axis=1),
         jnp.concatenate([zk, astr_ref[:]], axis=1),
     ], axis=0)
-    scans = dot(jnp.concatenate([q, divdp], axis=1), sblk)
+    scans = dot_rx(jnp.concatenate([q, divdp], axis=1), sblk)
     rev_q, cum_div = scans[:, :k], scans[:, k:]
     phi = col("phis") + rev_q + 0.5 * q
     omega_p = (vgrad_p - cum_div - 0.5 * divdp) / p
@@ -328,7 +327,8 @@ def caar_pallas_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
     out_shape = [jax.ShapeDtypeStruct((e16, k), f) for _ in range(8)]
 
     kernel = partial(
-        _caar_kernel_fused if fused else _caar_kernel, moist, CONSTANTS.Rgas,
+        _caar_kernel_fused if fused else _caar_kernel, not interpret,
+        moist, CONSTANTS.Rgas,
         CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
     )
     if not fused:
@@ -385,7 +385,7 @@ def caar_pallas_packed_rsplit0(scal, dxb, dyb, ainc, astr, bstr, hyb, meta,
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     kernel = partial(
-        _caar_kernel, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
+        _caar_kernel, not interpret, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
         CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, True,
     )
     return pl.pallas_call(

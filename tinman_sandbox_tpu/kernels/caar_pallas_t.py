@@ -33,6 +33,7 @@ from ..config import NPSQ, Config
 from ..constants import CONSTANTS
 from ..grid import Geometry, HybridVCoord
 from ..state import Derived, State
+from .fdot import make_dots
 from .layout import (
     META_COLS,
     block_derivative_ops,
@@ -52,7 +53,8 @@ __all__ = [
 _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
-def _caar_kernel_t(moist, rgas, kappa, rv_factor, rrearth, rsplit0, *refs):
+def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
+                   *refs):
     if rsplit0:
         (scal_ref, dxbt_ref, dybt_ref, ainct_ref, astrt_ref, bstrt_ref,
          hyb_ref, meta_ref,
@@ -79,8 +81,7 @@ def _caar_kernel_t(moist, rgas, kappa, rv_factor, rrearth, rsplit0, *refs):
     dxbt = dxbt_ref[:]
     dybt = dybt_ref[:]
 
-    def dot(a, b):
-        return jax.lax.dot(a, b, preferred_element_type=f32)
+    dot, dot_lx, _ = make_dots(split)
 
     def row(name):
         i = _MC[name]
@@ -107,7 +108,7 @@ def _caar_kernel_t(moist, rgas, kappa, rv_factor, rrearth, rsplit0, *refs):
     t, dp = t0_ref[:], dp0_ref[:]
 
     # 1. midpoint pressure: p = hyai0*ps0 + cumsum_k(dp) - dp/2
-    p = hyai0ps0 + dot(ainct_ref[:], dp) - 0.5 * dp
+    p = hyai0ps0 + dot_lx(ainct_ref[:], dp) - 0.5 * dp
 
     # 2. grad p / v.grad p / mass flux
     gp1, gp2 = grad(p)
@@ -128,10 +129,10 @@ def _caar_kernel_t(moist, rgas, kappa, rv_factor, rrearth, rsplit0, *refs):
 
     # 5. hydrostatic: phi = phis + revcumsum_strict(q) + q/2
     q = f32(rgas) * t_v * (dp / p)
-    phi = row("phis") + dot(bstrt_ref[:], q) + 0.5 * q
+    phi = row("phis") + dot_lx(bstrt_ref[:], q) + 0.5 * q
 
     # 6. omega/p
-    cum_strict = dot(astrt_ref[:], divdp)
+    cum_strict = dot_lx(astrt_ref[:], divdp)
     omega_p = (vgrad_p - cum_strict - 0.5 * divdp) / p
 
     # 7. vertical mass flux + advection (rsplit=0 only)
@@ -209,7 +210,7 @@ def caar_pallas_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     out_shape = [jax.ShapeDtypeStruct((k, e16), f) for _ in range(8)]
 
     kernel = partial(
-        _caar_kernel_t, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
+        _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
         CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, False,
     )
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
@@ -260,7 +261,7 @@ def caar_pallas_packed_rsplit0_t(scal, dxbt, dybt, ainct, astrt, bstrt,
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     kernel = partial(
-        _caar_kernel_t, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
+        _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
         CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, True,
     )
     return pl.pallas_call(
@@ -430,3 +431,131 @@ def _dvv_f32():
     from ..grid import dvv_matrix
 
     return dvv_matrix(np.float32)
+
+
+# -- production leapfrog loop on the transposed layout ------------------------
+
+_LF_NAMES = ("u", "v", "t", "dp3d")
+
+
+@jax.jit
+def _pack_state_bufs_t(u, v, t, dp3d):
+    """All 12 time-level packs in ONE dispatch (eager ops through the
+    remote-TPU tunnel cost ~30 ms latency each)."""
+    pk = lambda x: pack_field_t(jnp.asarray(x, jnp.float32))
+    return {
+        n: tuple(pk(arr[tl]) for tl in range(3))
+        for n, arr in zip(_LF_NAMES, (u, v, t, dp3d))
+    }
+
+
+@partial(jax.jit, static_argnames=("nelem",))
+def _unpack_all_t(bufs, acc, phi, nelem):
+    un = lambda x: unpack_field_t(x, nelem)
+    stacked = {
+        n: jnp.stack([un(bufs[n][tl]) for tl in range(3)]) for n in _LF_NAMES
+    }
+    return stacked, (un(acc[0]), un(acc[1]), un(acc[2]), un(phi))
+
+
+def _leapfrog_step_t(scal, const, fixed, carry, c, moist, interpret=False):
+    """One transposed packed CAAR call at time-level phase ``c``."""
+    bufs, acc, _ = carry
+    out = caar_pallas_packed_t(
+        scal, *const,
+        *(bufs[n][c.n0] for n in _LF_NAMES),
+        *(bufs[n][c.nm1] for n in _LF_NAMES),
+        *fixed, *acc,
+        eb=c.elem_block, nlev=c.nlev, moist=moist, interpret=interpret,
+    )
+    bufs = {
+        n: tuple(out[i] if tl == c.np1 else bufs[n][tl] for tl in range(3))
+        for i, n in enumerate(_LF_NAMES)
+    }
+    return bufs, (out[5], out[6], out[7]), out[4]
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _leapfrog_cycle_t(cycle: int, phase, eb: int, nlev: int, moist: bool):
+    from ..timeloop.driver import rotated
+
+    c0 = Config(n0=phase[0], np1=phase[1], nm1=phase[2],
+                elem_block=eb, nlev=nlev)
+
+    @jax.jit
+    def multi(scal, const, fixed, carry):
+        c = c0
+        for _ in range(cycle):
+            carry = _leapfrog_step_t(scal, const, fixed, carry, c, moist)
+            c = rotated(c)
+        return carry
+
+    return multi
+
+
+_pack_problem_t_jit = partial(jax.jit,
+                              static_argnames=("cfg", "dtype", "storage"))(
+    pack_problem_t
+)
+
+
+def run_leapfrog_pallas_t(state: State, derived: Derived, geom: Geometry,
+                          hv: HybridVCoord, cfg: Config, nsteps: int,
+                          moist: bool = True, interpret: bool = False,
+                          chunk: int = 6):
+    """Transposed-layout production leapfrog loop — the contract of
+    kernels.caar_pallas.run_leapfrog_pallas (pack once, rotate packed buffer
+    triples, unpack once) on the padding-free [nlev, E16] layout."""
+    from ..timeloop.driver import rotated
+
+    if cfg.rsplit <= 0:
+        raise NotImplementedError(
+            "the packed leapfrog loop supports only rsplit > 0; call "
+            "caar_pallas_t/caar_xla for the rsplit=0 path"
+        )
+    dt2 = jnp.float32(2.0 * cfg.dt)
+    eta = jnp.float32(1.0 / max(nsteps, 1))
+    p = _pack_problem_t_jit(state, derived, geom, hv, cfg)
+    scal = _scalars(dt2, eta, hv)
+    const = (p["dxbt"], p["dybt"], p["ainct"], p["astrt"], p["bstrt"],
+             p["meta"])
+    fixed = (p["qdp"], p["pecnd"])
+    acc = (p["vn0u"], p["vn0v"], p["omg"])
+
+    c = cfg
+    bufs = _pack_state_bufs_t(state.u, state.v, state.t, state.dp3d)
+    phi = p["vn0u"]  # placeholder, overwritten by the first step
+
+    cycle = 3 * max(1, chunk // 3)
+    carry = (bufs, acc, phi)
+    if interpret or nsteps < cycle:
+        for _ in range(nsteps):
+            carry = _leapfrog_step_t(scal, const, fixed, carry, c, moist,
+                                     interpret)
+            c = rotated(c)
+    else:
+        multi = _leapfrog_cycle_t(cycle, (c.n0, c.np1, c.nm1), c.elem_block,
+                                  c.nlev, moist)
+        done = 0
+        while done + cycle <= nsteps:
+            carry = multi(scal, const, fixed, carry)
+            done += cycle
+        for _ in range(nsteps - done):
+            carry = _leapfrog_step_t(scal, const, fixed, carry, c, moist,
+                                     interpret)
+            c = rotated(c)
+    bufs, acc, phi = carry
+
+    stacked, (vn0u, vn0v, omg, phi_u) = _unpack_all_t(bufs, acc, phi,
+                                                      nelem=cfg.nelem)
+    new_state = dataclasses.replace(
+        state,
+        u=stacked["u"], v=stacked["v"], t=stacked["t"], dp3d=stacked["dp3d"],
+    )
+    new_derived = dataclasses.replace(
+        derived, vn0_u=vn0u, vn0_v=vn0v, omega_p=omg, phi=phi_u,
+    )
+    return new_state, new_derived, c

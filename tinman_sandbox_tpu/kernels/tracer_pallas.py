@@ -21,12 +21,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import NPSQ, Config
 from .caar_pallas import _MC
+from .fdot import make_dots
 from .layout import META_COLS, block_derivative_ops, pack_field
 
 __all__ = ["euler_step_pallas", "euler_step_pallas_packed"]
 
 
-def _tracer_kernel(rrearth, scal_ref, dxb_ref, dyb_ref, meta_ref,
+def _tracer_kernel(split, rrearth, scal_ref, dxb_ref, dyb_ref, meta_ref,
                    vu_ref, vv_ref, qdp_ref, out_ref):
     f32 = jnp.float32
     dt = scal_ref[0, 0]
@@ -37,8 +38,7 @@ def _tracer_kernel(rrearth, scal_ref, dxb_ref, dyb_ref, meta_ref,
     def col(name):
         return meta_ref[:, _MC[name]][:, None]
 
-    def dot(a, b):
-        return jax.lax.dot(a, b, preferred_element_type=f32)
+    dot, _, _ = make_dots(split)
 
     # broadcast the advective velocity over tracers along lanes
     vu = jnp.concatenate([vu_ref[:]] * nq, axis=1) if nq > 1 else vu_ref[:]
@@ -75,7 +75,7 @@ def euler_step_pallas_packed(scal, dxb, dyb, meta, vu, vv, qdp,
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_tracer_kernel, CONSTANTS.rrearth),
+        partial(_tracer_kernel, not interpret, CONSTANTS.rrearth),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -39,25 +39,29 @@ __all__ = [
 
 
 # -- contraction primitives ---------------------------------------------------
+# precision="highest": TPU MXU default truncates f32 operands to bf16
+# mantissas; the spectral derivative needs full f32 (measured 4e-3 relative
+# error in u/v/omega_p on chip otherwise — TPU_EQUIV.json). HBM-bound, so
+# the extra MXU passes are free; no-op on CPU.
 
 def _dx(dvv, s):
     """Strong derivative along axis -2: out[..., l, j] = sum_i Dvv[i,l] s[..., i, j]."""
-    return jnp.einsum("il,...ij->...lj", dvv, s)
+    return jnp.einsum("il,...ij->...lj", dvv, s, precision="highest")
 
 
 def _dy(dvv, s):
     """Strong derivative along axis -1: out[..., j, l] = sum_i Dvv[i,l] s[..., j, i]."""
-    return jnp.einsum("...ji,il->...jl", s, dvv)
+    return jnp.einsum("...ji,il->...jl", s, dvv, precision="highest")
 
 
 def _ax(dvv, x):
     """Weak (adjoint) contraction along axis -2: out[..., m, n] = sum_s Dvv[m,s] x[..., s, n]."""
-    return jnp.einsum("ms,...sn->...mn", dvv, x)
+    return jnp.einsum("ms,...sn->...mn", dvv, x, precision="highest")
 
 
 def _ay(dvv, x):
     """Weak (adjoint) contraction along axis -1: out[..., m, n] = sum_s x[..., m, s] Dvv[n,s]."""
-    return jnp.einsum("...ms,ns->...mn", x, dvv)
+    return jnp.einsum("...ms,ns->...mn", x, dvv, precision="highest")
 
 
 def _t(dinv, a, b):

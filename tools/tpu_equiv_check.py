@@ -102,7 +102,46 @@ def main():
     print("assembled step rel-max vs XLA+segment-sum DSS:",
           json.dumps(assembled), flush=True)
 
-    worst = max(list(kernel.values()) + list(assembled.values()))
+    # -- transposed layout: raw kernel + assembled step ----------------------
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_structured_packed_t,
+    )
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import (
+        caar_pallas_t, pack_problem_t,
+    )
+    from tinman_sandbox_tpu.kernels.layout import unpack_field_t
+
+    ts, td = caar_pallas_t(st, dv, geom, hv, cfg, 0.1, 1.0)    # compiled!
+    jax.block_until_ready(ts)
+    kernel_t = {
+        name: relmax(getattr(ts, name)[cfg.np1], getattr(xs, name)[cfg.np1])
+        for name in ("u", "v", "t", "dp3d")
+    }
+    kernel_t["omega_p"] = relmax(td.omega_p, xd.omega_p)
+    report["raw_kernel_t_relmax"] = kernel_t
+    print("transposed kernel rel-max vs XLA:", json.dumps(kernel_t),
+          flush=True)
+
+    pt = pack_problem_t(st2, dv2, geom2, hv, cfg2)
+    rsp_t = jnp.asarray(geom2.rspheremp, jnp.float32).reshape(1, -1)
+    ot = caar_dss_structured_packed_t(
+        scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
+        pt["meta"], pt["u0"], pt["v0"], pt["t0"], pt["dp0"],
+        pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"],
+        pt["qdp"], pt["pecnd"], pt["vn0u"], pt["vn0v"], pt["omg"],
+        plan, rsp_t, eb=cfg2.elem_block, nlev=cfg2.nlev)
+    jax.block_until_ready(ot)
+    assembled_t = {
+        name: relmax(unpack_field_t(ot[i], cfg2.nelem),
+                     getattr(rs, name)[cfg2.np1])
+        for i, name in enumerate(("u", "v", "t", "dp3d"))
+    }
+    report["assembled_step_t_relmax"] = assembled_t
+    print("transposed assembled step rel-max vs XLA+segment-sum DSS:",
+          json.dumps(assembled_t), flush=True)
+
+    worst = max(list(kernel.values()) + list(assembled.values())
+                + list(kernel_t.values()) + list(assembled_t.values()))
     report["worst_relmax"] = worst
     report["pass"] = bool(worst < 5e-5)   # f32 fp-reorder tolerance
     out = args.out or os.path.join(os.path.dirname(os.path.dirname(
