@@ -224,3 +224,24 @@ def test_caar_structured_t_step_matches_row_step():
             np.asarray(getattr(s_t, name)[cfg.np1]),
             np.asarray(getattr(s_row, name)[cfg.np1]),
             rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("ne", [2, 3, 5])
+def test_dss_pallas_t_matches_reference(ne):
+    """All three transposed-DSS engines (slice / roll / pallas sweep kernel
+    + compact fixup) agree on real cubed-sphere grids."""
+    from tinman_sandbox_tpu.dist.structured_dss import (
+        dss_structured_scaled_t, dss_structured_t_roll)
+    from tinman_sandbox_tpu.kernels.dss_pallas import dss_structured_t_pallas
+
+    cs = build_cubed_sphere(ne)
+    plan = make_structured_plan(cs.gdof, ne)
+    x = jnp.asarray(RNG.standard_normal((6, cs.nelem * 16)), jnp.float32)
+    rsp = jnp.asarray(
+        np.asarray(cs.geometry.rspheremp, np.float32).reshape(1, -1))
+
+    ref = np.asarray(dss_structured_scaled_t(x, plan, rsp))
+    roll = np.asarray(rsp * dss_structured_t_roll(x, plan))
+    pall = np.asarray(dss_structured_t_pallas(x, plan, rsp, interpret=True))
+    np.testing.assert_allclose(roll, ref, rtol=2e-6, atol=2e-5)
+    np.testing.assert_allclose(pall, ref, rtol=2e-6, atol=2e-5)

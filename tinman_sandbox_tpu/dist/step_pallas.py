@@ -141,21 +141,28 @@ def caar_dss_structured_packed(scal, dxb, dyb, ainc, astr, bstr, meta,
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "moist",
-                                   "interpret", "stack_dss"))
+                                   "interpret", "stack_dss", "impl"))
 def caar_dss_structured_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                                  u0, v0, t0, dp0, um1, vm1, tm1, dpm1,
                                  qdp, pecnd, vn0u, vn0v, omg,
                                  plan, rsp_lanes,
                                  eb: int, nlev: int,
                                  moist: bool = True, interpret: bool = False,
-                                 stack_dss: bool = True):
+                                 stack_dss: bool | None = None,
+                                 impl: str = "pallas"):
     """Transposed-layout assembled step: padding-free fused kernel
     (kernels/caar_pallas_t.py) + structured DSS on [nlev, E16] arrays.
     No grid chunking — the transposed kernel has no long-grid pathology.
     ``stack_dss`` concatenates the four np1 fields on the SUBLANE axis so
-    one sweep pass assembles all four."""
+    one sweep pass assembles all four — a win for the XLA engines (fewer
+    launches) but a LOSS for "pallas" (the concat+split cost two full
+    passes; measured 3897 vs 3306 us/step at ne30); default is per-impl.
+    ``impl`` selects the DSS engine: "pallas" (sweep kernel +
+    one-gather/one-scatter fixup, the fast path), "slice" (XLA strided
+    slice-updates), "roll" (XLA masked lane rolls)."""
     from ..kernels.caar_pallas_t import caar_pallas_packed_t
-    from .structured_dss import dss_structured_t, dss_structured_scaled_t
+    from ..kernels.dss_pallas import dss_structured_t_pallas
+    from .structured_dss import dss_structured_t, dss_structured_t_roll
 
     o = caar_pallas_packed_t(
         scal, dxbt, dybt, ainct, astrt, bstrt, meta,
@@ -163,15 +170,23 @@ def caar_dss_structured_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         qdp, pecnd, vn0u, vn0v, omg,
         eb=eb, nlev=nlev, moist=moist, interpret=interpret)
 
+    assert impl in ("pallas", "slice", "roll"), impl
+    if stack_dss is None:
+        stack_dss = impl != "pallas"
+    if impl == "pallas":
+        dss = lambda x, p: dss_structured_t_pallas(x, p, rsp_lanes,
+                                                   interpret=interpret)
+    elif impl == "roll":
+        dss = lambda x, p: rsp_lanes * dss_structured_t_roll(x, p)
+    else:
+        dss = lambda x, p: rsp_lanes * dss_structured_t(x, p)
     if stack_dss:
         stacked = jnp.concatenate(o[:4], axis=0)            # [4*nlev, E16]
-        assembled_all = rsp_lanes * dss_structured_t(stacked, plan)
+        assembled_all = dss(stacked, plan)
         assembled = tuple(assembled_all[i * nlev:(i + 1) * nlev]
                           for i in range(4))
     else:
-        assembled = tuple(
-            dss_structured_scaled_t(o[i], plan, rsp_lanes) for i in range(4)
-        )
+        assembled = tuple(dss(o[i], plan) for i in range(4))
     return assembled + o[4:]
 
 

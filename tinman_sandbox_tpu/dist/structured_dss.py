@@ -281,6 +281,68 @@ def dss_structured_scaled_t(x, plan: StructuredDssPlan, rsp_lanes):
     return rsp_lanes * dss_structured_t(x, plan)
 
 
+def _sweep_masks_t(ne: int, e16: int):
+    """0/1 lane masks selecting the in-face shared GLL columns, for the
+    roll-based sweeps (lane = ((f*ne + ej)*ne + ei)*16 + i*4 + j)."""
+    lane = jnp.arange(e16, dtype=jnp.int32)[None, :]
+    i = (lane // NP) % NP
+    j = lane % NP
+    ei = (lane // NPSQ) % ne
+    ej = (lane // (NPSQ * ne)) % ne
+    f32 = jnp.float32
+    m_a_hi = ((i == NP - 1) & (ei < ne - 1)).astype(f32)   # partner +4 lanes
+    m_a_lo = ((i == 0) & (ei > 0)).astype(f32)             # partner -4 lanes
+    m_b_hi = ((j == NP - 1) & (ej < ne - 1)).astype(f32)   # +(16*ne - 3)
+    m_b_lo = ((j == 0) & (ej > 0)).astype(f32)             # -(16*ne - 3)
+    return m_a_hi, m_a_lo, m_b_hi, m_b_lo
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def dss_structured_t_roll(x, plan: StructuredDssPlan):
+    """dss_structured_t with the alpha/beta sweeps as masked lane ROLLS
+    instead of strided slice-updates: the in-face alpha partner of a lane
+    is exactly 4 lanes away (i=3 <-> next element's i=0) and the beta
+    partner 16*ne-3 lanes away, so each sweep is two cyclic lane shifts
+    + masked adds — one fused elementwise pass over the array, no
+    sublane/lane relayouts. Edge lines + cube corners as in
+    dss_structured_t."""
+    ne = plan.ne
+    k, e16 = x.shape
+    assert e16 == 6 * ne * ne * NPSQ, (e16, ne)
+    m_a_hi, m_a_lo, m_b_hi, m_b_lo = _sweep_masks_t(ne, e16)
+
+    # 1+2. alpha then beta sweep, each as two masked rolls
+    y = (x + m_a_hi * jnp.roll(x, -NP, axis=1)
+           + m_a_lo * jnp.roll(x, NP, axis=1))
+    db = NPSQ * ne - (NP - 1)
+    z = (y + m_b_hi * jnp.roll(y, -db, axis=1)
+           + m_b_lo * jnp.roll(y, db, axis=1))
+
+    x6 = z.reshape(k, 6, ne, ne, NP, NP)
+
+    # 3. cube-edge line exchanges
+    for fa, sa, fb, sb, flip in plan.edges:
+        la = _get_line_t(x6, ne, fa, sa)
+        lb = _get_line_t(x6, ne, fb, sb)
+        lbo = jnp.flip(lb, axis=-1) if flip else lb
+        s = la + lbo
+        sa_new = la.at[:, 1:-1].set(s[:, 1:-1])
+        sb_new = lb.at[:, 1:-1].set(
+            (jnp.flip(s, axis=-1) if flip else s)[:, 1:-1]
+        )
+        x6 = _set_line_t(x6, ne, fa, sa, sa_new)
+        x6 = _set_line_t(x6, ne, fb, sb, sb_new)
+
+    # 4. cube corners (from pre-sweep values)
+    flat = x6.reshape(k, e16)
+    rows = jnp.asarray(np.asarray(plan.corner_rows))        # [8, 3]
+    vals = x[:, rows[:, 0]] + x[:, rows[:, 1]] + x[:, rows[:, 2]]  # [k, 8]
+    flat = flat.at[:, rows[:, 0]].set(vals) \
+               .at[:, rows[:, 1]].set(vals) \
+               .at[:, rows[:, 2]].set(vals)
+    return flat
+
+
 # -- field-layout wrappers (for the RK / hyperviscosity / tracer paths) ------
 
 def _to_packed_cols(x):

@@ -71,48 +71,48 @@ def main():
 
     ops_f32, acc0 = operands("f32")
 
-    def v_kernel_only(acc):
-        return caar_pallas_packed(*ops_f32, *acc, eb=args.eb, nlev=args.nlev)
+    def v_kernel_only(ops, acc):
+        return caar_pallas_packed(*ops, *acc, eb=args.eb, nlev=args.nlev)
 
-    def v_structured(acc):
-        return caar_dss_structured_packed(*ops_f32, *acc, plan, rsp,
+    def v_structured(ops, acc):
+        return caar_dss_structured_packed(*ops, *acc, plan, rsp,
                                           eb=args.eb, nlev=args.nlev)
 
-    def v_structured_c5(acc):
-        return caar_dss_structured_packed(*ops_f32, *acc, plan, rsp,
+    def v_structured_c5(ops, acc):
+        return caar_dss_structured_packed(*ops, *acc, plan, rsp,
                                           eb=args.eb, nlev=args.nlev,
                                           chunks=5)
 
-    def v_structured_nostack(acc):
-        return caar_dss_structured_packed(*ops_f32, *acc, plan, rsp,
+    def v_structured_nostack(ops, acc):
+        return caar_dss_structured_packed(*ops, *acc, plan, rsp,
                                           eb=args.eb, nlev=args.nlev,
                                           stack_dss=False)
 
-    def v_gather(acc):
-        return caar_dss_pallas_packed(*ops_f32, *acc, gdof_rows, rsp_g,
+    def v_gather(ops, acc):
+        return caar_dss_pallas_packed(*ops, *acc, gdof_rows, rsp_g,
                                       eb=args.eb, nlev=args.nlev,
                                       ndof=cs.ndof)
 
     ops_bf16 = None
 
-    def v_structured_bf16(acc):
-        return caar_dss_structured_packed(*ops_bf16, *acc, plan, rsp,
+    def v_structured_bf16(ops, acc):
+        return caar_dss_structured_packed(*ops, *acc, plan, rsp,
                                           eb=args.eb, nlev=args.nlev)
 
-    def v_structured_bf16_c5(acc):
-        return caar_dss_structured_packed(*ops_bf16, *acc, plan, rsp,
+    def v_structured_bf16_c5(ops, acc):
+        return caar_dss_structured_packed(*ops, *acc, plan, rsp,
                                           eb=args.eb, nlev=args.nlev,
                                           chunks=5)
 
-    def v_kernel_only_c5(acc):
-        e16 = ops_f32[7].shape[0]
+    def v_kernel_only_c5(ops, acc):
+        e16 = ops[7].shape[0]
         rows = e16 // 5
         outs = []
         for c in range(5):
             sl = slice(c * rows, (c + 1) * rows)
             outs.append(caar_pallas_packed(
-                ops_f32[0], *ops_f32[1:6], ops_f32[6][sl],
-                *(ops_f32[i][sl] for i in range(7, 17)),
+                ops[0], *ops[1:6], ops[6][sl],
+                *(ops[i][sl] for i in range(7, 17)),
                 *(a[sl] for a in acc), eb=args.eb, nlev=args.nlev))
         return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
                      for i in range(8))
@@ -126,29 +126,41 @@ def main():
     )
 
     pt = pack_problem_t(st, dv, geom, hv, cfg)
-    ops_t = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
-             pt["bstrt"], pt["meta"], pt["u0"], pt["v0"], pt["t0"],
-             pt["dp0"], pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"],
-             pt["qdp"], pt["pecnd"])
+    ops0_t = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+              pt["bstrt"], pt["meta"], pt["u0"], pt["v0"], pt["t0"],
+              pt["dp0"], pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"],
+              pt["qdp"], pt["pecnd"])
     acc0_t = (pt["vn0u"], pt["vn0v"], pt["omg"])
     rsp_t = jnp.asarray(geom.rspheremp, jnp.float32).reshape(1, -1)
 
-    def v_t_kernel_only(acc):
-        return caar_pallas_packed_t(*ops_t, *acc, eb=args.eb, nlev=args.nlev)
+    def v_t_kernel_only(ops, acc):
+        return caar_pallas_packed_t(*ops, *acc, eb=args.eb, nlev=args.nlev)
 
-    def v_t_structured(acc):
-        return caar_dss_structured_packed_t(*ops_t, *acc, plan, rsp_t,
+    def v_t_structured(ops, acc):
+        return caar_dss_structured_packed_t(*ops, *acc, plan, rsp_t,
                                             eb=args.eb, nlev=args.nlev)
 
-    def v_t_structured_nostack(acc):
-        return caar_dss_structured_packed_t(*ops_t, *acc, plan, rsp_t,
+    def v_t_structured_slice(ops, acc):
+        return caar_dss_structured_packed_t(*ops, *acc, plan, rsp_t,
+                                            eb=args.eb, nlev=args.nlev,
+                                            impl="slice")
+
+    def v_t_structured_roll(ops, acc):
+        return caar_dss_structured_packed_t(*ops, *acc, plan, rsp_t,
+                                            eb=args.eb, nlev=args.nlev,
+                                            impl="roll")
+
+    def v_t_structured_nostack(ops, acc):
+        return caar_dss_structured_packed_t(*ops, *acc, plan, rsp_t,
                                             eb=args.eb, nlev=args.nlev,
                                             stack_dss=False)
 
     variants = {
         "kernel_only": v_kernel_only,
         "t_kernel_only": v_t_kernel_only,
-        "t_structured": v_t_structured,
+        "t_structured": v_t_structured,          # impl=pallas (default)
+        "t_structured_slice": v_t_structured_slice,
+        "t_structured_roll": v_t_structured_roll,
         "t_structured_nostack": v_t_structured_nostack,
         "kernel_only_chunks5": v_kernel_only_c5,
         "structured": v_structured,
@@ -169,18 +181,31 @@ def main():
 
         import functools
 
+        # HONEST chaining: the assembled np1 fields must feed the next
+        # step's n0 (leapfrog rotation), otherwise XLA dead-code-eliminates
+        # the DSS epilogue for every unrolled iteration but the last and the
+        # sweep reports kernel-only numbers (the round-2 1851/1528 us
+        # entries were inflated this way). Kernel-only variants have no
+        # epilogue, so the same rotation keeps them comparable.
         @functools.partial(jax.jit, static_argnames=())
-        def multi(acc, fn=fn):
+        def multi(ops, acc, fn=fn):
             for _ in range(chunk):
-                o = fn(acc)
+                o = fn(ops, acc)
+                # rotate: np1 -> n0, n0 -> nm1 (cast to the nm1 slots'
+                # storage dtype so bf16_ro variants stay dtype-stable)
+                nm1 = tuple(jnp.asarray(x, d.dtype)
+                            for x, d in zip(ops[7:11], ops[11:15]))
+                ops = ops[:7] + tuple(o[:4]) + nm1 + ops[15:17]
                 acc = (o[5], o[6], o[7])
-            return acc, o
+            return ops, acc, o
 
         def run(nsteps):
             nchunks = -(-nsteps // chunk)
+            ops = ops0_t if name.startswith("t_") else \
+                (ops_bf16 if "bf16" in name else ops_f32)
             acc = acc0_t if name.startswith("t_") else acc0
             for _ in range(nchunks):
-                acc, o = multi(acc)
+                ops, acc, o = multi(ops, acc)
             float(jnp.sum(o[0][:: max(1, o[0].shape[0] // 8)]))  # readback
             return nchunks * chunk
 
