@@ -82,11 +82,14 @@ def main() -> None:
                  elem_block=args.eb)
     # ne120-class grids on the transposed layout: build the packed problem
     # directly on device; the unpacked [tl, nelem, nlev, 4, 4] state (~8 GB)
-    # plus the packed copy would overflow the 16 GB HBM
-    direct_packed = (args.layout == "t" and cs is None
+    # plus the packed copy would overflow the 16 GB HBM. Works for the
+    # ASSEMBLED (--ne) mode too: the real geometry's metric terms ride in
+    # as the packed meta and only the state fields are random.
+    direct_packed = (args.layout == "t"
                      and args.nelem >= 16384 and dtype == np.float32)
     if direct_packed:
-        state = derived = geom = None
+        state = derived = None
+        geom = cs.geometry if cs is not None else None
     elif args.nelem >= 16384 and dtype == np.float32:
         # large grids: generate the multi-GB state on device (staging host
         # arrays through the tunnel takes minutes at this size)
@@ -151,7 +154,7 @@ def main() -> None:
             if direct_packed:
                 assert args.storage == "f32", \
                     "direct packed init is f32-only"
-                p = random_packed_problem_t(cfg, seed=7)
+                p = random_packed_problem_t(cfg, seed=7, geom=geom)
             else:
                 p = pack_problem_t(state, derived, geom, hv, cfg,
                                    storage=args.storage)

@@ -388,14 +388,17 @@ def caar_pallas_t(state: State, derived: Derived, geom: Geometry,
     return new_state, new_derived
 
 
-def random_packed_problem_t(cfg: Config, seed: int = 1):
+def random_packed_problem_t(cfg: Config, seed: int = 1,
+                            geom: Geometry | None = None):
     """Benchmark-only: generate the packed transposed problem dict DIRECTLY
     on device at [nlev, E16] — never materializes the unpacked [tl, nelem,
     nlev, 4, 4] state. This is what makes the ne120-class grid (86,400
     elements, BASELINE.md) fit one chip: the padded row layout costs 1.78x
     HBM on every field, and skipping the unpacked state saves another ~8 GB.
     Distributions mirror state.random_state_device (positive dp3d, O(1)
-    metric terms)."""
+    metric terms). Pass ``geom`` (e.g. a real cubed sphere) to use its
+    metric terms instead of random ones — required for an assembled
+    (DSS) benchmark, where rspheremp/spheremp must be consistent."""
     e16 = cfg.nelem * NPSQ
     k = cfg.nlev
     ks = jax.random.split(jax.random.PRNGKey(seed), 16)
@@ -406,10 +409,14 @@ def random_packed_problem_t(cfg: Config, seed: int = 1):
     dxb, dyb = block_derivative_ops(cfg.elem_block, _dvv_f32(), np.float32)
     ainc, astr, bstr = scan_matrices(k, np.float32)
 
-    # meta: O(1) well-conditioned metric terms (throughput benchmarking)
-    met = u(ks[0], 0.5, 1.5, (len(META_COLS), e16))
-    met = met.at[_MC["rmetdet"]].set(1.0 / met[_MC["metdet"]])
-    met = met.at[_MC["pad0"]:].set(0.0)
+    if geom is not None:
+        met = jnp.asarray(pack_meta_t(
+            geom, np.zeros((cfg.nelem, 4, 4), np.float32), np.float32))
+    else:
+        # meta: O(1) well-conditioned metric terms (throughput benchmarking)
+        met = u(ks[0], 0.5, 1.5, (len(META_COLS), e16))
+        met = met.at[_MC["rmetdet"]].set(1.0 / met[_MC["metdet"]])
+        met = met.at[_MC["pad0"]:].set(0.0)
 
     return dict(
         dxbt=jnp.asarray(dxb).T, dybt=jnp.asarray(dyb).T,
