@@ -175,9 +175,11 @@ def main() -> None:
         chunk = max(1, args.chunk)
 
         if cs is not None and transposed:
-            # assembled step on the transposed padding-free layout
+            # assembled step on the transposed padding-free layout, in the
+            # stacked-state form: prognostics ride ONE [4*nlev, E16] buffer
+            # per time level, one Pallas DSS pass, no concat/split
             from tinman_sandbox_tpu.dist.step_pallas import (
-                caar_dss_structured_packed_t,
+                caar_dss_structured_packed_t4,
             )
             from tinman_sandbox_tpu.dist.structured_dss import (
                 make_structured_plan,
@@ -186,11 +188,24 @@ def main() -> None:
             plan = make_structured_plan(cs.gdof, args.ne)
             rsp = jnp.asarray(geom.rspheremp, jnp.float32).reshape(
                 1, cfg.nelem * 16)
+            s0_0 = jnp.concatenate(
+                [p["u0"], p["v0"], p["t0"], p["dp0"]], axis=0)
+            sm1_0 = jnp.concatenate(
+                [p["um1"], p["vm1"], p["tm1"], p["dpm1"]], axis=0)
+            const = const[:7] + (s0_0, sm1_0, p["qdp"], p["pecnd"])
+            # drop the unstacked prognostics (3.2 GB at ne120) — only the
+            # accumulators are still needed below
+            p = {k: p[k] for k in ("vn0u", "vn0v", "omg")}
 
             def one(cst, acc):
-                return caar_dss_structured_packed_t(
+                return caar_dss_structured_packed_t4(
                     *cst, *acc, plan, rsp, eb=cfg.elem_block,
                     nlev=cfg.nlev)
+
+            def rotate(cst, o):
+                return cst[:7] + (o[0], cst[7]) + cst[9:11]
+
+            acc_of = lambda o: (o[2], o[3], o[4])
         elif cs is not None:
             # assembled step: fused kernel + DSS epilogue each iteration
             if args.gather_dss:
@@ -204,6 +219,8 @@ def main() -> None:
                     return caar_dss_pallas_packed(
                         *cst, *acc, gdof_rows, rsp_g, eb=cfg.elem_block,
                         nlev=cfg.nlev, ndof=cs.ndof)
+
+                rotate = acc_of = None
             else:
                 from tinman_sandbox_tpu.dist.step_pallas import (
                     caar_dss_structured_packed,
@@ -222,6 +239,8 @@ def main() -> None:
                     return caar_dss_structured_packed(
                         *cst, *acc, plan, rsp, eb=cfg.elem_block,
                         nlev=cfg.nlev, chunks=args.grid_chunks)
+
+                rotate = acc_of = None
         else:
             gchunks = max(1, args.grid_chunks)
             eax = 1 if transposed else 0      # element axis in the layout
@@ -257,24 +276,38 @@ def main() -> None:
             # dead-code-eliminates the DSS epilogue for all but the last
             # unrolled iteration and the "assembled" number degenerates to
             # kernel-only (this inflated the early round-2 records).
-            @jax.jit
+            from functools import partial as _partial
+
+            # donate the chained buffers: the honest rotation otherwise
+            # keeps two generations of the prognostic set alive and ne120
+            # (8.5 GB working set) exhausts HBM
+            if rotate is None:
+                def rotate(cst, o):
+                    nm1 = tuple(jnp.asarray(x, d.dtype)
+                                for x, d in zip(cst[7:11], cst[11:15]))
+                    return cst[:7] + tuple(o[:4]) + nm1 + cst[15:17]
+
+                acc_of = lambda o: (o[5], o[6], o[7])
+
+            @_partial(jax.jit, donate_argnums=(0, 1))
             def multi(cst, acc):
                 for _ in range(chunk):
                     o = one(cst, acc)
-                    nm1 = tuple(jnp.asarray(x, d.dtype)
-                                for x, d in zip(cst[7:11], cst[11:15]))
-                    cst = cst[:7] + tuple(o[:4]) + nm1 + cst[15:17]
-                    acc = (o[5], o[6], o[7])
+                    cst = rotate(cst, o)
+                    acc = acc_of(o)
                 return cst, acc, o
+
+            # persistent chain: donation invalidates the previous buffers,
+            # so reps continue the integration instead of restarting
+            chain = {"cst": const, "acc": (p["vn0u"], p["vn0v"], p["omg"])}
 
             def run(nsteps):
                 import jax.numpy as jnp
 
                 nchunks = -(-nsteps // chunk)
-                cst = const
-                acc = (p["vn0u"], p["vn0v"], p["omg"])
                 for _ in range(nchunks):
-                    cst, acc, o = multi(cst, acc)
+                    chain["cst"], chain["acc"], o = multi(chain["cst"],
+                                                          chain["acc"])
                 float(jnp.sum(o[0][:: max(1, o[0].shape[0] // 8)]))
                 return nchunks * chunk
         else:

@@ -245,3 +245,56 @@ def test_dss_pallas_t_matches_reference(ne):
     pall = np.asarray(dss_structured_t_pallas(x, plan, rsp, interpret=True))
     np.testing.assert_allclose(roll, ref, rtol=2e-6, atol=2e-5)
     np.testing.assert_allclose(pall, ref, rtol=2e-6, atol=2e-5)
+
+
+def test_caar_structured_t4_matches_t():
+    """Stacked-state assembled step (one [4*nlev, E16] buffer, single DSS
+    pass) == the per-field transposed assembled step (interpret mode)."""
+    import jax
+
+    from tinman_sandbox_tpu import (
+        Config, analytic_hvcoord, random_state, zero_derived,
+    )
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_structured_packed_t, caar_dss_structured_packed_t4,
+    )
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=4)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=8))
+    dv = cast(zero_derived(cfg))
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    g = cast(cs.geometry)
+    plan = make_structured_plan(cs.gdof, 2)
+    pt = pack_problem_t(st, dv, g, hv, cfg)
+    scal = _scalars(0.5, 1.0, hv)
+    rsp = jnp.asarray(g.rspheremp, jnp.float32).reshape(1, -1)
+
+    ref = caar_dss_structured_packed_t(
+        scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
+        pt["meta"], pt["u0"], pt["v0"], pt["t0"], pt["dp0"],
+        pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"],
+        pt["qdp"], pt["pecnd"], pt["vn0u"], pt["vn0v"], pt["omg"],
+        plan, rsp, eb=4, nlev=4, interpret=True)
+
+    s0 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    sm1 = jnp.concatenate([pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"]],
+                          axis=0)
+    s1, phi, vn0u, vn0v, omg = caar_dss_structured_packed_t4(
+        scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
+        pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+        pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp,
+        eb=4, nlev=4, interpret=True)
+
+    k = 4
+    for i, name in enumerate(("u", "v", "t", "dp3d")):
+        np.testing.assert_allclose(
+            np.asarray(s1[i * k:(i + 1) * k]), np.asarray(ref[i]),
+            rtol=1e-6, atol=1e-6, err_msg=name)
+    for a, b in ((phi, ref[4]), (vn0u, ref[5]), (vn0v, ref[6]),
+                 (omg, ref[7])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

@@ -20,7 +20,8 @@ from ..kernels.caar_pallas import _scalars, caar_pallas_packed, pack_problem
 from ..state import Derived, State
 
 __all__ = ["dss_scaled_packed", "caar_dss_pallas_packed", "make_packed_dss",
-           "caar_dss_structured_packed", "caar_dss_structured_packed_t"]
+           "caar_dss_structured_packed", "caar_dss_structured_packed_t",
+           "caar_dss_structured_packed_t4"]
 
 
 def make_packed_dss(gdof, rspheremp):
@@ -188,6 +189,30 @@ def caar_dss_structured_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     else:
         assembled = tuple(dss(o[i], plan) for i in range(4))
     return assembled + o[4:]
+
+
+@partial(jax.jit, static_argnames=("eb", "nlev", "plan", "moist",
+                                   "interpret"))
+def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
+                                  meta, s0, sm1, qdp, pecnd,
+                                  vn0u, vn0v, omg, plan, rsp_lanes,
+                                  eb: int, nlev: int, moist: bool = True,
+                                  interpret: bool = False):
+    """Stacked-state assembled step: the four prognostics ride in ONE
+    [4*nlev, E16] buffer per time level (kernels.caar_pallas_t.
+    caar_pallas_packed_t4), so the Pallas DSS runs ONCE over the stacked
+    kernel output with no concat/split passes. Returns
+    (s1_assembled, phi, vn0u', vn0v', omega_p')."""
+    from ..kernels.caar_pallas_t import caar_pallas_packed_t4
+    from ..kernels.dss_pallas import dss_structured_t_pallas
+
+    s1, phi, vn0u1, vn0v1, omg1 = caar_pallas_packed_t4(
+        scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+        s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+        eb=eb, nlev=nlev, moist=moist, interpret=interpret)
+    assembled = dss_structured_t_pallas(s1, plan, rsp_lanes,
+                                        interpret=interpret)
+    return assembled, phi, vn0u1, vn0v1, omg1
 
 
 def caar_dss_pallas(state: State, derived: Derived, geom: Geometry,

@@ -54,7 +54,8 @@ _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
 def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
-                   *refs):
+                   stacked, *refs):
+    assert not (stacked and rsplit0)
     if rsplit0:
         (scal_ref, dxbt_ref, dybt_ref, ainct_ref, astrt_ref, bstrt_ref,
          hyb_ref, meta_ref,
@@ -64,6 +65,18 @@ def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
          vn0u_ref, vn0v_ref, omg_ref, etaacc_ref,
          u1_ref, v1_ref, t1_ref, dp1_ref, phi_ref,
          vn0u_out, vn0v_out, omg_out, eta_out) = refs
+    elif stacked:
+        # n0/nm1 prognostics ride in ONE [4*nlev, EB16] block each (the
+        # wrapper passes the stacked array 4x with row-offset index maps
+        # is not needed: a single 4k-row block is sliced here); output
+        # likewise one stacked block — lets the DSS epilogue run once
+        # with no concat/split passes
+        (scal_ref, dxbt_ref, dybt_ref, ainct_ref, astrt_ref, bstrt_ref,
+         meta_ref, s0_ref, sm1_ref,
+         qdp_ref, pecnd_ref,
+         vn0u_ref, vn0v_ref, omg_ref,
+         s1_ref, phi_ref,
+         vn0u_out, vn0v_out, omg_out) = refs
     else:
         (scal_ref, dxbt_ref, dybt_ref, ainct_ref, astrt_ref, bstrt_ref,
          meta_ref,
@@ -104,8 +117,19 @@ def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
 
     ld = lambda ref: ref[:].astype(f32)
 
-    u, v = u0_ref[:], v0_ref[:]
-    t, dp = t0_ref[:], dp0_ref[:]
+    if stacked:
+        k_ = s0_ref.shape[0] // 4
+        u, v = s0_ref[0:k_], s0_ref[k_:2 * k_]
+        t, dp = s0_ref[2 * k_:3 * k_], s0_ref[3 * k_:4 * k_]
+        um1x = sm1_ref[0:k_].astype(f32)
+        vm1x = sm1_ref[k_:2 * k_].astype(f32)
+        tm1x = sm1_ref[2 * k_:3 * k_].astype(f32)
+        dpm1x = sm1_ref[3 * k_:4 * k_].astype(f32)
+    else:
+        u, v = u0_ref[:], v0_ref[:]
+        t, dp = t0_ref[:], dp0_ref[:]
+        um1x, vm1x = ld(um1_ref), ld(vm1_ref)
+        tm1x, dpm1x = ld(tm1_ref), ld(dpm1_ref)
 
     # 1. midpoint pressure: p = hyai0*ps0 + cumsum_k(dp) - dp/2
     p = hyai0ps0 + dot_lx(ainct_ref[:], dp) - 0.5 * dp
@@ -174,10 +198,20 @@ def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
 
     # 9. apply + accumulate
     sph = row("spheremp")
-    u1_ref[:] = sph * (ld(um1_ref) + dt2 * vtens1)
-    v1_ref[:] = sph * (ld(vm1_ref) + dt2 * vtens2)
-    t1_ref[:] = sph * (ld(tm1_ref) + dt2 * ttens)
-    dp1_ref[:] = sph * (ld(dpm1_ref) - dt2 * (divdp + d_eta_int))
+    u1v = sph * (um1x + dt2 * vtens1)
+    v1v = sph * (vm1x + dt2 * vtens2)
+    t1v = sph * (tm1x + dt2 * ttens)
+    dp1v = sph * (dpm1x - dt2 * (divdp + d_eta_int))
+    if stacked:
+        s1_ref[0:k_] = u1v
+        s1_ref[k_:2 * k_] = v1v
+        s1_ref[2 * k_:3 * k_] = t1v
+        s1_ref[3 * k_:4 * k_] = dp1v
+    else:
+        u1_ref[:] = u1v
+        v1_ref[:] = v1v
+        t1_ref[:] = t1v
+        dp1_ref[:] = dp1v
     phi_ref[:] = phi
     vn0u_out[:] = vn0u_ref[:] + eta * vdp1
     vn0v_out[:] = vn0v_ref[:] + eta * vdp2
@@ -211,7 +245,7 @@ def caar_pallas_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
-        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, False,
+        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, False, False,
     )
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
     return pl.pallas_call(
@@ -242,6 +276,63 @@ def caar_pallas_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "moist", "interpret"))
+def caar_pallas_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                          s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+                          eb: int, nlev: int, moist: bool = True,
+                          interpret: bool = False):
+    """Stacked-state variant of caar_pallas_packed_t: the four prognostic
+    fields ride in ONE [4*nlev, E16] buffer per time level (row blocks
+    u/v/t/dp), and the output is likewise one stacked buffer — so the
+    structured-DSS epilogue runs ONCE over the stacked array with no
+    concat/split passes. Returns (s1, phi, vn0u', vn0v', omega_p')."""
+    k4, e16 = s0.shape
+    k = nlev
+    assert k4 == 4 * k, (k4, k)
+    eb16 = eb * NPSQ
+    assert e16 % eb16 == 0, (e16, eb16)
+    nblocks = e16 // eb16
+    f = jnp.float32
+
+    fld = lambda r: pl.BlockSpec((r, eb16), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = partial(
+        _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas,
+        CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
+        False, True,
+    )
+    flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
+    out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f),
+                 jax.ShapeDtypeStruct((k, e16), f)] + [
+        jax.ShapeDtypeStruct((k, e16), f) for _ in range(3)]
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            rep((eb16, eb16)), rep((eb16, eb16)),
+            rep((k, k)), rep((k, k)), rep((k, k)),
+            pl.BlockSpec((len(META_COLS), eb16), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            fld(4 * k), fld(4 * k),              # s0, sm1 (stacked)
+            fld(k), fld(k),                      # qdp, pecnd
+            fld(k), fld(k), fld(k),              # accumulators
+        ],
+        out_specs=[fld(4 * k), fld(k), fld(k), fld(k), fld(k)],
+        out_shape=out_shape,
+        input_output_aliases={11: 2, 12: 3, 13: 4},
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * flops_per_block,
+            bytes_accessed=(14 + 8) * e16 * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+      s0, sm1, qdp, pecnd, vn0u, vn0v, omg)
+
+
+@partial(jax.jit, static_argnames=("eb", "nlev", "moist", "interpret"))
 def caar_pallas_packed_rsplit0_t(scal, dxbt, dybt, ainct, astrt, bstrt,
                                  hyb, meta,
                                  u0, v0, t0, dp0, um1, vm1, tm1, dpm1,
@@ -262,7 +353,7 @@ def caar_pallas_packed_rsplit0_t(scal, dxbt, dybt, ainct, astrt, bstrt,
                                      memory_space=pltpu.VMEM)
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
-        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, True,
+        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, True, False,
     )
     return pl.pallas_call(
         kernel,

@@ -46,10 +46,13 @@ __all__ = ["dss_sweeps_pallas_t", "dss_structured_t_pallas"]
 
 
 @lru_cache(maxsize=None)
-def _sweep_masks_np(ne: int):
-    """[4, e16] f32 lane masks: alpha-hi/alpha-lo/beta-hi/beta-lo."""
-    e16 = 6 * ne * ne * NPSQ
-    lane = np.arange(e16)
+def _sweep_masks_np(ne: int, nf: int):
+    """[4, nf*face] lane masks (alpha-hi/alpha-lo/beta-hi/beta-lo) for a
+    block of ``nf`` whole faces — identical for every block (the masks
+    depend only on the face-local lane position). bf16: 0/1 exact, half
+    the VMEM of f32."""
+    lanes = nf * ne * ne * NPSQ
+    lane = np.arange(lanes)
     i = (lane // NP) % NP
     j = lane % NP
     ei = (lane // NPSQ) % ne
@@ -57,16 +60,19 @@ def _sweep_masks_np(ne: int):
     return np.stack([
         (i == NP - 1) & (ei < ne - 1), (i == 0) & (ei > 0),
         (j == NP - 1) & (ej < ne - 1), (j == 0) & (ej > 0),
-    ]).astype(np.float32)
+    ]).astype(jnp.bfloat16)
 
 
-def _sweep_kernel_t(db: int, tiles: tuple, e16: int, interpret: bool,
+def _sweep_kernel_t(db: int, tiles: tuple, lb: int, interpret: bool,
                     x_ref, m_ref, rsp_ref, vd_ref, dm_ref, out_ref):
+    # the block is an integral number of WHOLE faces, so the cyclic roll
+    # wrap (and any roll across an interior face boundary) only pollutes
+    # positions the masks zero out
     if interpret:
         roll = lambda a, s: jnp.roll(a, s, axis=1)
     else:
-        # pltpu.roll wants non-negative shifts; cyclic -s == e16 - s
-        roll = lambda a, s: pltpu.roll(a, shift=s % e16, axis=1)
+        # pltpu.roll wants non-negative shifts; cyclic -s == lb - s
+        roll = lambda a, s: pltpu.roll(a, shift=s % lb, axis=1)
 
     x = x_ref[:]
     y = x + m_ref[0:1] * roll(x, -NP) + m_ref[1:2] * roll(x, NP)
@@ -75,9 +81,10 @@ def _sweep_kernel_t(db: int, tiles: tuple, e16: int, interpret: bool,
     out_ref[:] = w
     # fused edge/corner merge: rewrite only the statically-known 128-lane
     # tiles that contain fix lanes (the tile-dense vals/mask operands are
-    # laid out one 128-lane slot per affected tile)
+    # laid out one 128-lane slot per affected tile; the tile pattern is
+    # face-local, hence identical for every block)
     for n, t in enumerate(tiles):
-        wdt = min(128, e16 - t * 128)
+        wdt = min(128, lb - t * 128)
         m = dm_ref[:, n * 128:n * 128 + wdt]
         out_ref[:, t * 128:t * 128 + wdt] = (
             w[:, t * 128:t * 128 + wdt] * (1.0 - m)
@@ -85,37 +92,48 @@ def _sweep_kernel_t(db: int, tiles: tuple, e16: int, interpret: bool,
         )
 
 
-@partial(jax.jit, static_argnames=("ne", "tiles", "interpret", "block_k"))
+@partial(jax.jit, static_argnames=("ne", "tiles", "nf", "interpret",
+                                   "block_k"))
 def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
-                        tiles: tuple, interpret: bool = False,
+                        tiles: tuple, nf: int, interpret: bool = False,
                         block_k: int = 16):
-    """rsp * (alpha+beta sweeps of x) with the edge/corner fix merged in:
-    ``vals_dense``/``dense_mask`` are [k, len(tiles)*128] / [1, ...]
-    tile-dense buffers (one 128-lane slot per affected tile)."""
+    """rsp * (alpha+beta sweeps of x) with the edge/corner fix merged in.
+    The grid is (k/bk, 6/nf): each block carries ``nf`` whole faces on the
+    lane axis (rolls never need to cross a face). ``vals_dense`` /
+    ``dense_mask`` are [k, (6/nf)*len(tiles)*128] / [1, len(tiles)*128]
+    tile-dense buffers (one 128-lane slot per affected face-local tile)."""
     k, e16 = x.shape
     assert e16 == 6 * ne * ne * NPSQ, (e16, ne)
-    bk = block_k
-    while k % bk:
-        bk //= 2
-    masks = jnp.asarray(_sweep_masks_np(ne))
+    lb = nf * ne * ne * NPSQ
+    assert nf == 6 or lb % 128 == 0, (lb, nf)
+    # VMEM budget: ~12 live [bk, lb] buffers (x/out double-buffered +
+    # Mosaic temps) must fit the ~100 MB limit; sublane blocks must be
+    # multiples of 8
+    bk_fit = max(8, 8 * int((100e6 / (lb * 4) - 3) // 96))
+    bk = min(block_k, bk_fit)
+    while bk > 8 and k % bk:
+        bk -= 8
+    if k % bk:
+        bk = k        # block == full sublane dim is always legal
+    masks = jnp.asarray(_sweep_masks_np(ne, nf))
     db = NPSQ * ne - (NP - 1)
     wd = len(tiles) * 128
     return pl.pallas_call(
-        partial(_sweep_kernel_t, db, tiles, e16, interpret),
-        grid=(k // bk,),
+        partial(_sweep_kernel_t, db, tiles, lb, interpret),
+        grid=(k // bk, 6 // nf),
         in_specs=[
-            pl.BlockSpec((bk, e16), lambda i: (i, 0),
+            pl.BlockSpec((bk, lb), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, e16), lambda i: (0, 0),
+            pl.BlockSpec((4, lb), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, e16), lambda i: (0, 0),
+            pl.BlockSpec((1, lb), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, wd), lambda i: (i, 0),
+            pl.BlockSpec((bk, wd), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wd), lambda i: (0, 0),
+            pl.BlockSpec((1, wd), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bk, e16), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bk, lb), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, e16), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -144,18 +162,42 @@ def _fixup_arrays(plan):
                                corner.reshape(-1)])
     assert len(idx_uniq) == len(np.unique(idx_uniq))
 
-    # tile-dense decomposition: the 128-lane tiles containing fix lanes
-    # (~38% of tiles at ne30), one dense 128-lane slot per tile
-    e16 = 6 * ne * ne * NPSQ
-    tiles = np.unique(idx_uniq // 128)
+    # lane blocking for the sweep kernel: nf whole faces per block, the
+    # largest nf whose block is both 128-lane aligned and VMEM-fitting
+    # bk=8 needs ~(12*8+3) live [8, lb] f32 buffers under the 100 MB cap.
+    # nf=6 = the full lane axis (always a legal block, no 128-alignment
+    # needed); smaller whole-face blocks must be 128-lane aligned.
+    face = ne * ne * NPSQ
+    if 6 * face <= 250_000:
+        nf = 6
+    else:
+        nf = next(n for n in (3, 2, 1)
+                  if (n * face) % 128 == 0 and n * face <= 250_000)
+    lb = nf * face
+
+    # tile-dense decomposition WITHIN a block: the 128-lane tiles that
+    # contain fix lanes (~38% at ne30). Fix-lane positions are face-local,
+    # so the affected-tile pattern is identical for every block; tiles =
+    # union over the block's faces of the per-face pattern.
+    block_local = idx_uniq % lb
+    tiles = np.unique(block_local // 128)
     tile_pos = {int(t): n for n, t in enumerate(tiles)}
+    wd = len(tiles) * 128
     dense_idx = np.asarray(
-        [tile_pos[int(l) // 128] * 128 + int(l) % 128 for l in idx_uniq],
+        [int(l) // lb * wd + tile_pos[int(l) % lb // 128] * 128
+         + int(l) % 128 for l in idx_uniq],
         np.int32)
-    dense_mask = np.zeros((1, len(tiles) * 128), np.float32)
-    dense_mask[0, dense_idx] = 1.0
+    dense_mask = np.zeros((1, wd), np.float32)
+    dense_mask[0, dense_idx % wd] = 1.0
+    # every block must see the SAME fix-lane pattern (face-locality): the
+    # shared [1, wd] mask is only correct if each block's position set is
+    # identical
+    pos0 = set((dense_idx[(idx_uniq // lb) == 0] % wd).tolist())
+    for b in range(1, 6 // nf):
+        posb = set((dense_idx[(idx_uniq // lb) == b] % wd).tolist())
+        assert posb == pos0, "fix-lane pattern differs between blocks"
     return (idx_lines, corner, idx_uniq, tuple(int(t) for t in tiles),
-            dense_idx, dense_mask)
+            nf, dense_idx, dense_mask)
 
 
 def dss_fixup_t(x_pre, rsp, plan):
@@ -202,10 +244,10 @@ def dss_structured_t_pallas(x, plan, rsp_lanes, interpret: bool = False):
     scatter into the big array costs a full copy, measured 44 vs 799 us
     at ne30), then ONE Pallas pass doing the sweeps + tile merge. Drop-in
     for dist.structured_dss.dss_structured_scaled_t."""
-    _, _, _, tiles, dense_idx, dense_mask = _fixup_arrays(plan)
+    _, _, _, tiles, nf, dense_idx, dense_mask = _fixup_arrays(plan)
     vals, _ = dss_fixup_t(x, rsp_lanes, plan)
     k = x.shape[0]
-    vd = jnp.zeros((k, len(tiles) * 128), jnp.float32).at[
+    vd = jnp.zeros((k, (6 // nf) * len(tiles) * 128), jnp.float32).at[
         :, jnp.asarray(dense_idx)].set(vals, unique_indices=True)
     return dss_sweeps_pallas_t(x, rsp_lanes, vd, jnp.asarray(dense_mask),
-                               plan.ne, tiles, interpret=interpret)
+                               plan.ne, tiles, nf, interpret=interpret)

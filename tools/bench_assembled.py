@@ -155,6 +155,22 @@ def main():
                                             eb=args.eb, nlev=args.nlev,
                                             stack_dss=False)
 
+    # stacked-state variant: prognostics in ONE [4*nlev, E16] buffer, one
+    # DSS pass, no concat/split. ops layout: (const[0:7], s0, sm1, qdp,
+    # pecnd); the rotation in multi() handles both layouts via slicing.
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_structured_packed_t4,
+    )
+
+    s0_0 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    sm1_0 = jnp.concatenate([pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"]],
+                            axis=0)
+    ops0_t4 = ops0_t[:7] + (s0_0, sm1_0, pt["qdp"], pt["pecnd"])
+
+    def v_t4_structured(ops, acc):
+        return caar_dss_structured_packed_t4(*ops, *acc, plan, rsp_t,
+                                             eb=args.eb, nlev=args.nlev)
+
     variants = {
         "kernel_only": v_kernel_only,
         "t_kernel_only": v_t_kernel_only,
@@ -162,6 +178,7 @@ def main():
         "t_structured_slice": v_t_structured_slice,
         "t_structured_roll": v_t_structured_roll,
         "t_structured_nostack": v_t_structured_nostack,
+        "t4_structured": v_t4_structured,
         "kernel_only_chunks5": v_kernel_only_c5,
         "structured": v_structured,
         "structured_chunks5": v_structured_c5,
@@ -187,23 +204,30 @@ def main():
         # sweep reports kernel-only numbers (the round-2 1851/1528 us
         # entries were inflated this way). Kernel-only variants have no
         # epilogue, so the same rotation keeps them comparable.
+        t4 = name.startswith("t4_")
+
         @functools.partial(jax.jit, static_argnames=())
-        def multi(ops, acc, fn=fn):
+        def multi(ops, acc, fn=fn, t4=t4):
             for _ in range(chunk):
                 o = fn(ops, acc)
-                # rotate: np1 -> n0, n0 -> nm1 (cast to the nm1 slots'
-                # storage dtype so bf16_ro variants stay dtype-stable)
-                nm1 = tuple(jnp.asarray(x, d.dtype)
-                            for x, d in zip(ops[7:11], ops[11:15]))
-                ops = ops[:7] + tuple(o[:4]) + nm1 + ops[15:17]
-                acc = (o[5], o[6], o[7])
+                if t4:
+                    # stacked layout: (consts, s0, sm1, qdp, pecnd)
+                    ops = ops[:7] + (o[0], ops[7]) + ops[9:11]
+                    acc = (o[2], o[3], o[4])
+                else:
+                    # rotate: np1 -> n0, n0 -> nm1 (cast to the nm1 slots'
+                    # storage dtype so bf16_ro variants stay dtype-stable)
+                    nm1 = tuple(jnp.asarray(x, d.dtype)
+                                for x, d in zip(ops[7:11], ops[11:15]))
+                    ops = ops[:7] + tuple(o[:4]) + nm1 + ops[15:17]
+                acc = (o[5], o[6], o[7]) if not t4 else acc
             return ops, acc, o
 
         def run(nsteps):
             nchunks = -(-nsteps // chunk)
-            ops = ops0_t if name.startswith("t_") else \
+            ops = ops0_t4 if t4 else ops0_t if name.startswith("t_") else \
                 (ops_bf16 if "bf16" in name else ops_f32)
-            acc = acc0_t if name.startswith("t_") else acc0
+            acc = acc0_t if (name.startswith("t_") or t4) else acc0
             for _ in range(nchunks):
                 ops, acc, o = multi(ops, acc)
             float(jnp.sum(o[0][:: max(1, o[0].shape[0] // 8)]))  # readback
