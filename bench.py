@@ -388,12 +388,14 @@ def main() -> None:
     triad = None
     assembled = None
     ne120 = None
+    ne120_dss = None
     lp = os.path.join(here, "BENCH_LOCAL.json")
     if os.path.exists(lp):
         with open(lp) as f:
             local = json.load(f)
         triad = local.get("saxpby_triad", {}).get("gb_per_s")
         ne120 = local.get("ne120_caar_86400elem")
+        ne120_dss = local.get("ne120_caar_dss_86400elem")
         sweep = local.get("ne30_assembled_honest_r2", {})
         if sweep:
             best_name = min(
@@ -432,6 +434,7 @@ def main() -> None:
         # with `python bench.py --ne 30`
         "ne30_assembled_recorded": assembled,
         "ne120_recorded": ne120,
+        "ne120_assembled_recorded": ne120_dss,
         "backend": jax.default_backend(),
     }))
 

@@ -15,19 +15,22 @@ restructures it to ~2.5 passes:
   The four masks are PREcomputed host-side and passed as one [4, e16]
   operand: in-kernel i32 div/mod mask math measured +60% kernel time
   (no hardware integer division on the VPU).
-* **edge/corner fixup** (`dss_fixup_t`): ONE compact gather of the 24
-  cube-edge lines + 8x3 corner lanes *from the pre-sweep field* (line
-  lanes only ever receive sweep contributions from within their own
-  line, so their post-sweep values are reconstructable compactly — and
-  the gather can overlap the sweep kernel), the junction/pair/corner
-  sums in compact space, then ONE duplicate-free scatter back over the
-  swept output. rspheremp is constant across the aliases of a shared
-  dof (the inverse of the globally assembled spheremp), so the pair
-  sums commute with the fused scaling.
+* **edge/corner fixup** (`extract_tiles_t` + `dss_fixup_tiles_t`): a
+  small Pallas kernel copies ONLY the affected 128-lane tiles out
+  TRANSPOSED (line lanes only ever receive sweep contributions from
+  within their own line, so their post-sweep values are reconstructable
+  compactly from the pre-sweep field); the junction/pair/corner sums
+  then run on that slab with MAJOR-axis row gathers — a lane-axis
+  gather from the big field makes XLA transpose-copy the ENTIRE field
+  first (361 us at ne30, ~5.8 ms at ne120). One duplicate-free scatter
+  into a tile-dense zeros buffer feeds the sweep kernel's fused merge.
+  rspheremp is constant across the aliases of a shared dof (the inverse
+  of the globally assembled spheremp), so the pair sums commute with
+  the fused scaling.
 
 Replaces HOMME's edge-buffer pack/exchange (element_mod.F90:234-236,
 the layer the reference stripped) for the single-chip assembled step.
-Measured at ne30 (stacked [288, 86400]): ~1.7 ms vs ~4.5 ms for the
+Measured at ne30 (stacked [288, 86400]): ~0.65 ms vs ~4.5 ms for the
 XLA slice formulation (saved in BENCH_LOCAL.json).
 """
 from __future__ import annotations
@@ -143,6 +146,41 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
     )(x, masks, rsp, vals_dense, dense_mask)
 
 
+def _tile_extract_kernel_t(gt_ref, x_ref, o_ref):
+    o_ref[:] = x_ref[:].T
+
+
+@partial(jax.jit, static_argnames=("gtiles", "interpret"))
+def extract_tiles_t(x, gtiles: tuple, interpret: bool = False):
+    """[k, e16] -> [len(gtiles)*128, k]: copy the given 128-lane tiles out
+    TRANSPOSED (in-VMEM transpose; tile list rides scalar prefetch).
+    Reads/writes only the affected tiles (~38% at ne30); the transposed
+    output makes the fixup's lane selections MAJOR-axis (row) gathers,
+    which XLA executes without relayout — a lane-axis gather from the big
+    field forces a column-major copy of the ENTIRE field first (measured
+    361 us at ne30, ~5.8 ms at ne120)."""
+    k, e16 = x.shape
+    nt = len(gtiles)
+    if interpret:
+        # OOB lanes of a partial final tile are clamped (read garbage,
+        # never referenced by the row maps)
+        idx = np.minimum(np.concatenate(
+            [np.arange(t * 128, t * 128 + 128) for t in gtiles]), e16 - 1)
+        return x[:, idx].T
+    gt = jnp.asarray(np.asarray(gtiles, np.int32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec((k, 128), lambda i, gt_ref: (0, gt_ref[i]))],
+        out_specs=pl.BlockSpec((128, k), lambda i, gt_ref: (i, 0)),
+    )
+    return pl.pallas_call(
+        _tile_extract_kernel_t,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt * 128, k), jnp.float32),
+    )(gt, x)
+
+
 @lru_cache(maxsize=None)
 def _fixup_arrays(plan):
     """Static index sets for the one-gather/one-scatter edge+corner fixup."""
@@ -200,6 +238,72 @@ def _fixup_arrays(plan):
             nf, dense_idx, dense_mask)
 
 
+@lru_cache(maxsize=None)
+def _fixup_arrays_t(plan):
+    """Transposed-slab companion to `_fixup_arrays`: the global affected
+    128-lane tiles, and the xd_t ROW index of every line/corner lane
+    (xd_t rows use the same block-major tile-dense layout as vd's lanes)."""
+    idx_lines, corner, _, tiles, nf, _, _ = _fixup_arrays(plan)
+    ne = plan.ne
+    lb = nf * ne * ne * NPSQ
+    wd = len(tiles) * 128
+    tile_pos = {int(t): n for n, t in enumerate(tiles)}
+
+    def pos(l):
+        return (int(l) // lb * wd + tile_pos[int(l) % lb // 128] * 128
+                + int(l) % 128)
+
+    row_lines = np.asarray([[pos(l) for l in row] for row in idx_lines],
+                           np.int32)
+    row_corner = np.asarray([[pos(l) for l in row] for row in corner],
+                            np.int32)
+    if nf == 6:
+        gtiles = tuple(int(t) for t in tiles)
+    else:
+        tpb = lb // 128
+        gtiles = tuple(b * tpb + int(t)
+                       for b in range(6 // nf) for t in tiles)
+    return gtiles, row_lines, row_corner
+
+
+def dss_fixup_tiles_t(xd_t, rsp, plan):
+    """Transposed fixup: final (scaled) values [nv, k] for the cube-edge
+    and corner lanes, computed from the TRANSPOSED affected-tile slab
+    ``xd_t`` [n_tiles*128, k] (see `extract_tiles_t`) — every lane
+    selection is a major-axis row gather, so XLA never relayouts a
+    [k, e16]-sized array."""
+    idx_lines, corner = _fixup_arrays(plan)[:2]
+    _, row_lines, row_corner = _fixup_arrays_t(plan)
+    k = xd_t.shape[1]
+    nl = idx_lines.shape[1]
+
+    g = xd_t[jnp.asarray(row_lines.reshape(-1))].reshape(24, nl, k)
+    # junction sums along each line: samples t=4m+3 / t=4m+4 share a dof
+    t = np.arange(nl)
+    mj_hi = jnp.asarray(((t % NP == NP - 1) & (t < nl - 1))
+                        .astype(np.float32))[:, None]
+    mj_lo = jnp.asarray(((t % NP == 0) & (t > 0))
+                        .astype(np.float32))[:, None]
+    zl = (g + mj_hi * jnp.roll(g, -1, axis=1)
+            + mj_lo * jnp.roll(g, 1, axis=1))
+
+    rsp_l = rsp[0, idx_lines.reshape(-1)].reshape(24, nl, 1)
+    outs = []
+    for p, (fa, sa, fb, sb, flip) in enumerate(plan.edges):
+        a, b = zl[2 * p], zl[2 * p + 1]
+        bo = jnp.flip(b, axis=0) if flip else b
+        s = a + bo
+        outs.append(s)
+        outs.append(jnp.flip(s, axis=0) if flip else s)
+    vals = jnp.stack(outs, axis=0) * rsp_l                  # [24, nl, k]
+
+    cg = xd_t[jnp.asarray(row_corner.reshape(-1))].reshape(8, 3, k)
+    cv = cg.sum(axis=1) * rsp[0, corner[:, 0]][:, None]     # [8, k]
+
+    return jnp.concatenate(
+        [vals[:, 1:-1].reshape(-1, k), jnp.repeat(cv, 3, axis=0)], axis=0)
+
+
 def dss_fixup_t(x_pre, rsp, plan):
     """Final (scaled) values + lane indices for the cube-edge and corner
     lanes, computed ENTIRELY from the pre-sweep field: one compact gather,
@@ -239,13 +343,18 @@ def dss_fixup_t(x_pre, rsp, plan):
 
 @partial(jax.jit, static_argnames=("plan", "interpret"))
 def dss_structured_t_pallas(x, plan, rsp_lanes, interpret: bool = False):
-    """rspheremp * DSS(x) on transposed [k, e16] fields — compact fixup
-    scattered into a small tile-dense buffer (scatter-into-zeros fuses;
-    scatter into the big array costs a full copy, measured 44 vs 799 us
-    at ne30), then ONE Pallas pass doing the sweeps + tile merge. Drop-in
-    for dist.structured_dss.dss_structured_scaled_t."""
+    """rspheremp * DSS(x) on transposed [k, e16] fields — three passes:
+    (1) `extract_tiles_t` copies only the affected 128-lane tiles out
+    TRANSPOSED, (2) the compact fixup (row gathers + line/corner sums)
+    runs on that slab and scatters into a small tile-dense buffer
+    (scatter-into-zeros fuses; scatter into the big array costs a full
+    copy, measured 44 vs 799 us at ne30), (3) ONE Pallas pass does the
+    sweeps + tile merge. Drop-in for
+    dist.structured_dss.dss_structured_scaled_t."""
     _, _, _, tiles, nf, dense_idx, dense_mask = _fixup_arrays(plan)
-    vals, _ = dss_fixup_t(x, rsp_lanes, plan)
+    gtiles, _, _ = _fixup_arrays_t(plan)
+    xd_t = extract_tiles_t(x, gtiles, interpret=interpret)
+    vals = dss_fixup_tiles_t(xd_t, rsp_lanes, plan).T
     k = x.shape[0]
     vd = jnp.zeros((k, (6 // nf) * len(tiles) * 128), jnp.float32).at[
         :, jnp.asarray(dense_idx)].set(vals, unique_indices=True)

@@ -140,8 +140,33 @@ def main():
     print("transposed assembled step rel-max vs XLA+segment-sum DSS:",
           json.dumps(assembled_t), flush=True)
 
+    # -- stacked-state (t4) assembled step ------------------------------------
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_structured_packed_t4,
+    )
+
+    s0 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    sm1 = jnp.concatenate([pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"]],
+                          axis=0)
+    s1, _, _, _, _ = caar_dss_structured_packed_t4(
+        scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
+        pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+        pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp_t,
+        eb=cfg2.elem_block, nlev=cfg2.nlev)
+    jax.block_until_ready(s1)
+    kk = cfg2.nlev
+    assembled_t4 = {
+        name: relmax(unpack_field_t(s1[i * kk:(i + 1) * kk], cfg2.nelem),
+                     getattr(rs, name)[cfg2.np1])
+        for i, name in enumerate(("u", "v", "t", "dp3d"))
+    }
+    report["assembled_step_t4_relmax"] = assembled_t4
+    print("stacked-state (t4) assembled step rel-max vs XLA+segment-sum DSS:",
+          json.dumps(assembled_t4), flush=True)
+
     worst = max(list(kernel.values()) + list(assembled.values())
-                + list(kernel_t.values()) + list(assembled_t.values()))
+                + list(kernel_t.values()) + list(assembled_t.values())
+                + list(assembled_t4.values()))
     report["worst_relmax"] = worst
     report["pass"] = bool(worst < 5e-5)   # f32 fp-reorder tolerance
     out = args.out or os.path.join(os.path.dirname(os.path.dirname(
