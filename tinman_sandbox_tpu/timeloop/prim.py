@@ -15,7 +15,9 @@ timeloop/hyperviscosity.py, timeloop/tracer.py, dist/dss.py).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 
 from ..config import Config
@@ -27,6 +29,39 @@ from .rk import ssprk3_step
 from .tracer import ssprk3_tracer_step
 
 __all__ = ["prim_run_step"]
+
+
+@partial(jax.jit, static_argnames=("cfg", "ndof", "nu", "qsplit", "moist",
+                                   "limit_tracers", "remap"))
+def _prim_step_body(state, derived, geom, hv, cfg, gdof, ndof, nu, qsplit,
+                    moist, limit_tracers, remap):
+    # one jit over the WHOLE cadence: composing the jitted pieces eagerly
+    # pays a device round-trip per op between them (measured 3.9 s/step vs
+    # 35 ms jitted at ne30 through the remote-dispatch tunnel)
+    state, derived = ssprk3_step(
+        state, derived, geom, hv, cfg, cfg.dt, gdof=gdof, ndof=ndof,
+        moist=moist,
+    )
+    if nu:
+        state = apply_hyperviscosity(state, geom, gdof, ndof, cfg, nu=nu,
+                                     dt=cfg.dt)
+
+    # tracers ride the updated winds, subcycled for CFL
+    np1_q = 1 - cfg.qn0
+    qdp = state.qdp[cfg.qn0]
+    vu, vv = state.u[cfg.np1], state.v[cfg.np1]
+    dt_q = cfg.dt / max(qsplit, 1)
+    for _ in range(max(qsplit, 1)):
+        qdp = ssprk3_tracer_step(qdp, vu, vv, geom, cfg, dt_q, gdof=gdof,
+                                 ndof=ndof, limit=limit_tracers)
+    state = dataclasses.replace(
+        state, qdp=jnp.asarray(state.qdp).at[np1_q].set(qdp)
+    )
+    if remap:
+        from ..ops.remap import vertical_remap
+
+        state = vertical_remap(state, hv, dataclasses.replace(cfg, qn0=np1_q))
+    return state, derived
 
 
 def prim_run_step(
@@ -52,29 +87,10 @@ def prim_run_step(
     with remap=True every rsplit-th step; requires a physically monotone
     hv, i.e. increasing interface pressures).
     """
-    state, derived = ssprk3_step(
-        state, derived, geom, hv, cfg, cfg.dt, gdof=gdof, ndof=ndof,
-        moist=moist,
+    state, derived = _prim_step_body(
+        state, derived, geom, hv, cfg, gdof, ndof, float(nu),
+        max(qsplit, 1), moist, limit_tracers, remap,
     )
-    if nu:
-        state = apply_hyperviscosity(state, geom, gdof, ndof, cfg, nu=nu,
-                                     dt=cfg.dt)
-
-    # tracers ride the updated winds, subcycled for CFL
-    np1_q = 1 - cfg.qn0
-    qdp = state.qdp[cfg.qn0]
-    vu, vv = state.u[cfg.np1], state.v[cfg.np1]
-    dt_q = cfg.dt / max(qsplit, 1)
-    for _ in range(max(qsplit, 1)):
-        qdp = ssprk3_tracer_step(qdp, vu, vv, geom, cfg, dt_q, gdof=gdof,
-                                 ndof=ndof, limit=limit_tracers)
-    state = dataclasses.replace(
-        state, qdp=jnp.asarray(state.qdp).at[np1_q].set(qdp)
-    )
-    if remap:
-        from ..ops.remap import vertical_remap
-
-        state = vertical_remap(state, hv, dataclasses.replace(cfg, qn0=np1_q))
     # the tracer time level flips with the dynamics rotation
-    new_cfg = dataclasses.replace(rotated(cfg), qn0=np1_q)
+    new_cfg = dataclasses.replace(rotated(cfg), qn0=1 - cfg.qn0)
     return state, derived, new_cfg
