@@ -43,6 +43,12 @@ def main() -> None:
     ap.add_argument("--grid-chunks", type=int, default=1,
                     help="pre-sliced pallas_call dispatches per step "
                          "(long-grid pipeline pathology mitigation)")
+    ap.add_argument("--prim", action="store_true",
+                    help="with --ne: benchmark the FULL prim cadence "
+                         "(SSPRK3 dynamics + biharmonic hyperviscosity + "
+                         "SSPRK3 tracers) on the packed Pallas path")
+    ap.add_argument("--nu", type=float, default=1e15,
+                    help="--prim hyperviscosity coefficient")
     ap.add_argument("--gather-dss", action="store_true",
                     help="use the round-1 alias-gather DSS instead of the "
                          "structured sweeps (for comparison)")
@@ -174,7 +180,34 @@ def main() -> None:
 
         chunk = max(1, args.chunk)
 
-        if cs is not None and transposed:
+        if cs is not None and transposed and args.prim:
+            # FULL prim cadence on the packed path: SSPRK3 dynamics +
+            # biharmonic hyperviscosity + SSPRK3 tracer transport
+            from tinman_sandbox_tpu.dist.step_pallas import (
+                prim_step_packed_t4,
+            )
+            from tinman_sandbox_tpu.dist.structured_dss import (
+                make_structured_plan,
+            )
+
+            plan = make_structured_plan(cs.gdof, args.ne)
+            rsp = jnp.asarray(geom.rspheremp, jnp.float32).reshape(
+                1, cfg.nelem * 16)
+            s0_0 = jnp.concatenate(
+                [p["u0"], p["v0"], p["t0"], p["dp0"]], axis=0)
+            const = const[:7] + (s0_0, p["qdp"], p["pecnd"])
+            p = {k: p[k] for k in ("vn0u", "vn0v", "omg")}
+
+            def one(cst, acc):
+                return prim_step_packed_t4(
+                    *cst, *acc, plan, rsp, args.nu, eb=cfg.elem_block,
+                    nlev=cfg.nlev)
+
+            def rotate(cst, o):
+                return cst[:7] + (o[0], o[1]) + cst[9:10]
+
+            acc_of = lambda o: (o[3], o[4], o[5])
+        elif cs is not None and transposed:
             # assembled step on the transposed padding-free layout, in the
             # stacked-state form: prognostics ride ONE [4*nlev, E16] buffer
             # per time level, one Pallas DSS pass, no concat/split
@@ -381,7 +414,12 @@ def main() -> None:
     # DSS epilogue at minimum re-reads + rewrites the 4 assembled fields.
     n_bf16 = {"f32": 0, "bf16_aux": 2, "bf16_ro": 6}[args.storage] \
         if kernel == "pallas" else 0
-    n_fields = (21 + 8) if cs is not None else 21
+    # --prim: 3 dynamics stages (kernel 21 + DSS 8 each) + 2 hypervis
+    # passes (vlap 6 + DSS 6 each) + 3 tracer stages per tracer (euler 4
+    # + DSS 2 each, q=1) + stage-combination passes (~24) — approximate.
+    n_fields = (3 * 29 + 2 * 12 + 3 * 6 + 24) if (cs is not None
+                                                  and args.prim) \
+        else (21 + 8) if cs is not None else 21
     bytes_per_step = ((n_fields - n_bf16) * dtype.itemsize + n_bf16 * 2) \
         * args.nelem * 16 * args.nlev
     gbs = bytes_per_step * executed / best / 1e9
@@ -407,13 +445,18 @@ def main() -> None:
                                  date=sweep.get("date"))
 
     print(json.dumps({
-        "metric": ("ne%d_caar_dss_gridpoint_updates_per_s_per_chip" % args.ne)
+        "metric": ("ne%d_prim_gridpoint_updates_per_s_per_chip" % args.ne)
+                  if (cs is not None and args.prim) else
+                  ("ne%d_caar_dss_gridpoint_updates_per_s_per_chip" % args.ne)
                   if cs is not None else
                   "caar_gridpoint_updates_per_s_per_chip",
         "value": round(gps, 1),
         "unit": "gridpoints/s",
         "vs_baseline": round(gps / baseline, 2) if baseline else None,
         "config": f"{args.nelem}x{args.nlev}x16 {args.dtype} nexec={args.nexec} kernel={kernel}"
+                  + (" prim(ssprk3+hypervis+tracers)" if (cs is not None
+                                                          and args.prim)
+                     else "")
                   + (" layout=t" if args.layout == "t" else "")
                   + (f" storage={args.storage}" if args.storage != "f32" else "")
                   + ((" dss=segment-sum" if kernel != "pallas" else

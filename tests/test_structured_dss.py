@@ -298,3 +298,187 @@ def test_caar_structured_t4_matches_t():
                  (omg, ref[7])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_ssprk3_packed_t4_matches_field_rk():
+    """Packed-Pallas SSPRK3 (3x fused kernel + Pallas DSS, interpret mode)
+    == timeloop.rk.ssprk3_step on a CONTINUOUS initial state."""
+    import dataclasses
+
+    import jax
+
+    from tinman_sandbox_tpu import (
+        Config, analytic_hvcoord, random_state, zero_derived,
+    )
+    from tinman_sandbox_tpu.dist.dss import dss_project
+    from tinman_sandbox_tpu.dist.step_pallas import ssprk3_packed_t4
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+    from tinman_sandbox_tpu.kernels.layout import unpack_field_t
+    from tinman_sandbox_tpu.timeloop.rk import ssprk3_step
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=4)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=12))
+    gdof = jnp.asarray(cs.gdof)
+    g = cast(cs.geometry)
+    # make U0 continuous: P U0 = U0 is the ssprk3_packed_t4 contract
+    proj = lambda x: np.asarray(dss_project(
+        jnp.asarray(x), gdof, cs.ndof, g.spheremp, g.rspheremp), np.float32)
+    n0 = cfg.n0
+    su, sv, stt, sdp = (np.array(st.u), np.array(st.v), np.array(st.t),
+                        np.array(st.dp3d))
+    su[n0], sv[n0] = proj(su[n0]), proj(sv[n0])
+    stt[n0], sdp[n0] = proj(stt[n0]), proj(sdp[n0])
+    st = dataclasses.replace(st, u=su, v=sv, t=stt, dp3d=sdp)
+    dv = cast(zero_derived(cfg))
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    dt = 0.02
+
+    rs, rd = ssprk3_step(st, dv, g, hv, cfg, dt, gdof=gdof, ndof=cs.ndof)
+
+    plan = make_structured_plan(cs.gdof, 2)
+    pt = pack_problem_t(st, dv, g, hv, cfg)
+    scal = _scalars(dt, 1.0, hv)
+    rsp = jnp.asarray(g.rspheremp, jnp.float32).reshape(1, -1)
+    s0 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    s1, phi, vn0u, vn0v, omg = ssprk3_packed_t4(
+        scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
+        pt["meta"], s0, pt["qdp"], pt["pecnd"],
+        pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp,
+        eb=4, nlev=4, interpret=True)
+
+    k = 4
+    np1 = cfg.np1
+    for i, (name, ref) in enumerate(
+            (("u", rs.u), ("v", rs.v), ("t", rs.t), ("dp3d", rs.dp3d))):
+        got = np.asarray(unpack_field_t(s1[i * k:(i + 1) * k], cfg.nelem))
+        np.testing.assert_allclose(got, np.asarray(ref[np1]),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    for got, ref in ((phi, rd.phi), (vn0u, rd.vn0_u), (vn0v, rd.vn0_v),
+                     (omg, rd.omega_p)):
+        np.testing.assert_allclose(
+            np.asarray(unpack_field_t(got, cfg.nelem)), np.asarray(ref),
+            rtol=2e-4, atol=2e-4)
+
+
+def test_hypervis_packed_t_matches_field():
+    """Packed Pallas biharmonic hyperviscosity (weak-Laplacian kernel +
+    Pallas DSS, interpret mode) == timeloop.hyperviscosity on the same
+    cubed-sphere state."""
+    import dataclasses
+
+    import jax
+
+    from tinman_sandbox_tpu import Config, random_state
+    from tinman_sandbox_tpu.dist.step_pallas import apply_hypervis_packed_t
+    from tinman_sandbox_tpu.kernels.layout import (
+        pack_field_t, pack_meta_t, unpack_field_t, block_derivative_ops,
+    )
+    from tinman_sandbox_tpu.timeloop.hyperviscosity import (
+        apply_hyperviscosity,
+    )
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=4)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=3))
+    g = cast(cs.geometry)
+    gdof = jnp.asarray(cs.gdof)
+    nu, dt = 2.5e-4, 0.1     # O(1) test scales (real nu ~1e15, dt ~100 s)
+
+    ref = apply_hyperviscosity(st, g, gdof, cs.ndof, cfg, nu=nu, dt=dt,
+                               subcycle=2)
+
+    plan = make_structured_plan(cs.gdof, 2)
+    np1 = cfg.np1
+    dxb, dyb = block_derivative_ops(cfg.elem_block, g.dvv, np.float32)
+    meta = jnp.asarray(pack_meta_t(g, st.phis, jnp.float32))
+    rsp = jnp.asarray(g.rspheremp, jnp.float32).reshape(1, -1)
+    uvt = jnp.concatenate([
+        pack_field_t(jnp.asarray(st.u[np1], jnp.float32)),
+        pack_field_t(jnp.asarray(st.v[np1], jnp.float32)),
+        pack_field_t(jnp.asarray(st.t[np1], jnp.float32)),
+    ], axis=0)
+    out = apply_hypervis_packed_t(
+        jnp.asarray(dxb).T, jnp.asarray(dyb).T, meta, uvt, plan, rsp,
+        nu, dt, eb=cfg.elem_block, nlev=cfg.nlev, subcycle=2,
+        interpret=True)
+
+    k = cfg.nlev
+    for i, (name, r) in enumerate(
+            (("u", ref.u), ("v", ref.v), ("t", ref.t))):
+        got = np.asarray(unpack_field_t(out[i * k:(i + 1) * k], cfg.nelem))
+        np.testing.assert_allclose(got, np.asarray(r[np1]),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_prim_step_packed_t4_matches_field():
+    """Full packed prim cadence (dynamics + hypervis + tracers, interpret
+    mode) == timeloop.prim.prim_run_step on a continuous initial state."""
+    import dataclasses
+
+    import jax
+
+    from tinman_sandbox_tpu import (
+        Config, analytic_hvcoord, random_state, zero_derived,
+    )
+    from tinman_sandbox_tpu.dist.dss import dss_project
+    from tinman_sandbox_tpu.dist.step_pallas import prim_step_packed_t4
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+    from tinman_sandbox_tpu.kernels.layout import pack_field_t, unpack_field_t
+    from tinman_sandbox_tpu.timeloop.prim import prim_run_step
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=4, qsize=2, dt=0.02)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=5))
+    g = cast(cs.geometry)
+    gdof = jnp.asarray(cs.gdof)
+    proj = lambda x: np.asarray(dss_project(
+        jnp.asarray(x), gdof, cs.ndof, g.spheremp, g.rspheremp), np.float32)
+    n0, qn0 = cfg.n0, cfg.qn0
+    su, sv, stt, sdp, sq = (np.array(st.u), np.array(st.v), np.array(st.t),
+                            np.array(st.dp3d), np.array(st.qdp))
+    su[n0], sv[n0] = proj(su[n0]), proj(sv[n0])
+    stt[n0], sdp[n0] = proj(stt[n0]), proj(sdp[n0])
+    sq[qn0] = proj(sq[qn0])
+    st = dataclasses.replace(st, u=su, v=sv, t=stt, dp3d=sdp, qdp=sq)
+    dv = cast(zero_derived(cfg))
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    nu = 2.5e-4
+
+    rs, rd, rcfg = prim_run_step(st, dv, g, hv, cfg, gdof, cs.ndof, nu=nu,
+                                 qsplit=2)
+
+    plan = make_structured_plan(cs.gdof, 2)
+    pt = pack_problem_t(st, dv, g, hv, cfg)
+    scal = _scalars(cfg.dt, 1.0, hv)
+    rsp = jnp.asarray(g.rspheremp, jnp.float32).reshape(1, -1)
+    s0 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    qdp0 = jnp.concatenate([
+        pack_field_t(jnp.asarray(st.qdp[qn0, :, q], jnp.float32))
+        for q in range(cfg.qsize)], axis=0)
+    s1, qdp1, phi, vn0u, vn0v, omg = prim_step_packed_t4(
+        scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
+        pt["meta"], s0, qdp0, pt["pecnd"],
+        pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp, nu,
+        eb=4, nlev=4, qsplit=2, interpret=True)
+
+    k = cfg.nlev
+    np1 = cfg.np1
+    for i, (name, ref) in enumerate(
+            (("u", rs.u), ("v", rs.v), ("t", rs.t), ("dp3d", rs.dp3d))):
+        got = np.asarray(unpack_field_t(s1[i * k:(i + 1) * k], cfg.nelem))
+        np.testing.assert_allclose(got, np.asarray(ref[np1]),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+    for q in range(cfg.qsize):
+        got = np.asarray(unpack_field_t(qdp1[q * k:(q + 1) * k], cfg.nelem))
+        np.testing.assert_allclose(
+            got, np.asarray(rs.qdp[1 - qn0, :, q]),
+            rtol=5e-4, atol=5e-4, err_msg=f"tracer {q}")
+    np.testing.assert_allclose(
+        np.asarray(unpack_field_t(phi, cfg.nelem)), np.asarray(rd.phi),
+        rtol=5e-4, atol=5e-4)

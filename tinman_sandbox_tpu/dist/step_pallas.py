@@ -21,7 +21,9 @@ from ..state import Derived, State
 
 __all__ = ["dss_scaled_packed", "caar_dss_pallas_packed", "make_packed_dss",
            "caar_dss_structured_packed", "caar_dss_structured_packed_t",
-           "caar_dss_structured_packed_t4"]
+           "caar_dss_structured_packed_t4", "ssprk3_packed_t4",
+           "apply_hypervis_packed_t", "ssprk3_tracer_packed_t",
+           "prim_step_packed_t4"]
 
 
 def make_packed_dss(gdof, rspheremp):
@@ -213,6 +215,152 @@ def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
     assembled = dss_structured_t_pallas(s1, plan, rsp_lanes,
                                         interpret=interpret)
     return assembled, phi, vn0u1, vn0v1, omg1
+
+
+@partial(jax.jit, static_argnames=("eb", "nlev", "plan", "moist",
+                                   "interpret"))
+def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                     s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
+                     eb: int, nlev: int, moist: bool = True,
+                     interpret: bool = False):
+    """SSPRK3 dynamics entirely on the packed transposed Pallas path: each
+    stage is one fused CAAR kernel + structured Pallas DSS
+    (`caar_dss_structured_packed_t4` with base == evaluation state), the
+    convex Shu-Osher combinations run outside:
+
+        U1 = P(U0 + dt L(U0))
+        U2 = 3/4 U0 + 1/4 P(U1 + dt L(U1))
+        U3 = 1/3 U0 + 2/3 P(U2 + dt L(U2))
+
+    This pulls the projection P inside the convex combinations, which is
+    exact when ``s0`` is CONTINUOUS (P U0 = U0) — true for any state
+    produced by an assembled step. The mean-flux accumulators are advanced
+    with the scheme's quadrature b = (1/6, 1/6, 2/3), composed onto scal's
+    eta_ave_w; phi is the last stage's (timeloop/rk.py semantics, reference
+    analog kokkos_init.cpp:97-99 which only repeats the raw call).
+
+    ``scal`` must carry dt (NOT the leapfrog 2*dt) in its dt2 slot.
+    Returns (s_np1 [4*nlev, E16], phi, vn0u', vn0v', omega_p')."""
+    B = (1.0 / 6.0, 1.0 / 6.0, 2.0 / 3.0)
+    f = s0.dtype
+
+    def stage(u, b, acc):
+        sc = scal.at[0, 1].set(scal[0, 1] * f.type(b))
+        return caar_dss_structured_packed_t4(
+            sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, u, qdp, pecnd,
+            *acc, plan, rsp_lanes, eb=eb, nlev=nlev, moist=moist,
+            interpret=interpret)
+
+    u1, _, *acc = stage(s0, B[0], (vn0u, vn0v, omg))
+    u2x, _, *acc = stage(u1, B[1], acc)
+    u2 = f.type(0.75) * s0 + f.type(0.25) * u2x
+    u3x, phi, *acc = stage(u2, B[2], acc)
+    u3 = f.type(1.0 / 3.0) * s0 + f.type(2.0 / 3.0) * u3x
+    return (u3, phi, *acc)
+
+
+@partial(jax.jit, static_argnames=("eb", "nlev", "plan", "subcycle",
+                                   "interpret"))
+def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
+                            nu, dt, eb: int, nlev: int, nu_ratio=1.0,
+                            subcycle: int = 1, interpret: bool = False):
+    """Biharmonic hyperviscosity on the stacked [3*nlev, E16] (u, v, T)
+    layout: per subcycle, two (packed weak-Laplacian Pallas kernel ->
+    structured Pallas DSS) passes, then X -= (dt/subcycle)*nu*grad^4(X)
+    (timeloop/hyperviscosity.py math on the fused fast path)."""
+    from ..kernels.dss_pallas import dss_structured_t_pallas
+    from ..kernels.hypervis_pallas_t import vlap_pallas_packed_t
+
+    f = uvt.dtype
+    sc = jnp.asarray(nu_ratio, jnp.float32).reshape(1, 1) * jnp.ones(
+        (1, 4), jnp.float32)
+    step = jnp.asarray(dt, f) / subcycle * jnp.asarray(nu, f)
+    x = uvt
+    for _ in range(subcycle):
+        l1 = vlap_pallas_packed_t(sc, dxbt, dybt, meta, x,
+                                  eb=eb, nlev=nlev, interpret=interpret)
+        a1 = dss_structured_t_pallas(l1, plan, rsp_lanes,
+                                     interpret=interpret)
+        l2 = vlap_pallas_packed_t(sc, dxbt, dybt, meta, a1,
+                                  eb=eb, nlev=nlev, interpret=interpret)
+        a2 = dss_structured_t_pallas(l2, plan, rsp_lanes,
+                                     interpret=interpret)
+        x = x - step * a2
+    return x
+
+
+@partial(jax.jit, static_argnames=("eb", "nlev", "plan", "interpret"))
+def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
+                           dt, eb: int, nlev: int, interpret: bool = False):
+    """SSPRK3 tracer transport on the packed path: each stage is the fused
+    Euler kernel (kernels/tracer_pallas_t.py, spheremp folded in) closed by
+    the structured Pallas DSS — together the continuous projection
+    P = rsp*DSS(sph*.) of timeloop/tracer.py::ssprk3_tracer_step. The
+    convex combinations assume a CONTINUOUS qdp (P q = q, true after any
+    projected step). No limiter on this path (use the field-layout step
+    when ``limit`` is required)."""
+    from ..kernels.dss_pallas import dss_structured_t_pallas
+    from ..kernels.tracer_pallas_t import tracer_euler_pallas_packed_t
+
+    f = qdp.dtype
+    scal = jnp.zeros((1, 4), jnp.float32).at[0, 0].set(
+        jnp.asarray(dt, jnp.float32))
+
+    def stage(q):
+        e = tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, q,
+                                         eb=eb, nlev=nlev,
+                                         interpret=interpret)
+        return dss_structured_t_pallas(e, plan, rsp_lanes,
+                                       interpret=interpret)
+
+    q1 = stage(qdp)
+    q2 = f.type(0.75) * qdp + f.type(0.25) * stage(q1)
+    return f.type(1.0 / 3.0) * qdp + f.type(2.0 / 3.0) * stage(q2)
+
+
+@partial(jax.jit, static_argnames=("nu", "eb", "nlev", "plan", "qsplit",
+                                   "moist", "subcycle", "interpret"))
+def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                        s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
+                        nu, eb: int, nlev: int, qsplit: int = 1,
+                        nu_ratio=1.0, moist: bool = True,
+                        subcycle: int = 1, interpret: bool = False):
+    """FULL prim cadence on the packed transposed Pallas path (the fused
+    fast-path analog of timeloop/prim.py::prim_run_step):
+
+      1. SSPRK3 dynamics (`ssprk3_packed_t4`) on the stacked prognostics;
+      2. biharmonic hyperviscosity on the updated (u, v, T) rows
+         (`apply_hypervis_packed_t`);
+      3. SSPRK3 tracer transport riding the updated winds, ``qsplit``
+         substeps (`ssprk3_tracer_packed_t`), tracers stacked
+         [qsize*nlev, E16].
+
+    ``scal`` carries dt in its dt2 slot; ``qdp`` rows [0:nlev] are the
+    moisture tracer read by the dynamics. Everything stays in the packed
+    layout across steps (chain s_np1 -> s0, qdp' -> qdp). Returns
+    (s_np1, qdp', phi, vn0u', vn0v', omega_p')."""
+    k = nlev
+    dt = scal[0, 0]
+
+    s1, phi, vn0u1, vn0v1, omg1 = ssprk3_packed_t4(
+        scal, dxbt, dybt, ainct, astrt, bstrt, meta, s0,
+        qdp[:k], pecnd, vn0u, vn0v, omg,
+        plan, rsp_lanes, eb=eb, nlev=nlev, moist=moist, interpret=interpret)
+
+    if nu:
+        uvt = apply_hypervis_packed_t(
+            dxbt, dybt, meta, s1[:3 * k], plan, rsp_lanes, nu, dt,
+            eb=eb, nlev=nlev, nu_ratio=nu_ratio, subcycle=subcycle,
+            interpret=interpret)
+        s1 = jnp.concatenate([uvt, s1[3 * k:]], axis=0)
+
+    vu, vv = s1[0:k], s1[k:2 * k]
+    dt_q = dt / max(qsplit, 1)
+    for _ in range(max(qsplit, 1)):
+        qdp = ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp,
+                                     plan, rsp_lanes, dt_q,
+                                     eb=eb, nlev=nlev, interpret=interpret)
+    return s1, qdp, phi, vn0u1, vn0v1, omg1
 
 
 def caar_dss_pallas(state: State, derived: Derived, geom: Geometry,

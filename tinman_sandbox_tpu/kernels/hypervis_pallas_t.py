@@ -1,0 +1,150 @@
+"""Packed-transposed Pallas kernel for the hyperviscosity Laplacians.
+
+One pass over the stacked [3*nlev, E16] (u, v, T) layout computes
+
+* the weak VECTOR Laplacian of (u, v) in the contravariant formulation
+  grad_wk(nu_ratio * div) - curl_wk(vort) + undamped rigid rotation
+  (ops/sphere.py::vlaplace_sphere_wk_contra; reference
+  SphereOperators.hpp:938-994), and
+* the weak SCALAR Laplacian of T, div_wk(grad(T))
+  (ops/sphere.py::laplace_simple; hpp:537-550),
+
+using the same block-diagonal MXU derivative matmuls as the CAAR kernel
+(kernels/layout.py::block_derivative_ops). The weak (adjoint)
+contractions `_ax`/`_ay` are the TRANSPOSES of the strong ones, so the
+kernel takes both orientations of the derivative blocks as operands.
+metinv is reconstructed in-kernel from Dinv (metinv = (D^T D)^-1 =
+Dinv Dinv^T — exact because Dinv is stored as the exact 2x2 inverse).
+
+This is the hot half of `timeloop/hyperviscosity.py::biharmonic_wk`:
+two (this kernel -> structured Pallas DSS) passes per subcycle.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import NPSQ
+from ..constants import CONSTANTS
+from .fdot import make_dots
+from .layout import META_COLS
+
+__all__ = ["vlap_pallas_packed_t"]
+
+_MC = {name: i for i, name in enumerate(META_COLS)}
+
+
+def _vlap_kernel_t(split, rrearth, scal_ref, dxbt_ref, dybt_ref,
+                   dxb_ref, dyb_ref, meta_ref, x_ref, o_ref):
+    f32 = jnp.float32
+    nu_ratio = scal_ref[0, 0]
+    dot, _, _ = make_dots(split)
+
+    def row(name):
+        i = _MC[name]
+        return meta_ref[i:i + 1, :]
+
+    dxbt, dybt = dxbt_ref[:], dybt_ref[:]
+    dxb, dyb = dxb_ref[:], dyb_ref[:]
+    dinv00, dinv01 = row("dinv00"), row("dinv01")
+    dinv10, dinv11 = row("dinv10"), row("dinv11")
+    d00, d01, d10, d11 = row("d00"), row("d01"), row("d10"), row("d11")
+    metdet, rmetdet = row("metdet"), row("rmetdet")
+    sph, mp = row("spheremp"), row("mp")
+    rr = f32(rrearth)
+
+    # metinv = Dinv Dinv^T (the [2,2] contravariant metric)
+    mi00 = dinv00 * dinv00 + dinv01 * dinv01
+    mi01 = dinv00 * dinv10 + dinv01 * dinv11
+    mi11 = dinv10 * dinv10 + dinv11 * dinv11
+
+    k = x_ref.shape[0] // 3
+    u, v = x_ref[0:k], x_ref[k:2 * k]
+    t = x_ref[2 * k:3 * k]
+
+    # -- scalar: laplace_simple(T) = div_wk(grad(T)) --------------------------
+    v1 = dot(t, dxbt) * rr
+    v2 = dot(t, dybt) * rr
+    g1 = dinv00 * v1 + dinv10 * v2
+    g2 = dinv01 * v1 + dinv11 * v2
+    c1 = dinv00 * g1 + dinv01 * g2
+    c2 = dinv10 * g1 + dinv11 * g2
+    lap_t = -rr * (dot(sph * c1, dxb) + dot(sph * c2, dyb))
+
+    # -- vector: vlaplace_sphere_wk_contra(u, v) ------------------------------
+    gv1 = metdet * (dinv00 * u + dinv01 * v)
+    gv2 = metdet * (dinv10 * u + dinv11 * v)
+    div = (dot(gv1, dxbt) + dot(gv2, dybt)) * (rmetdet * rr)
+    vco1 = d00 * u + d10 * v
+    vco2 = d01 * u + d11 * v
+    vort = (dot(vco2, dxbt) - dot(vco1, dybt)) * (rmetdet * rr)
+
+    # grad_sphere_wk_testcov(nu_ratio * div)
+    xg = mp * (nu_ratio * div)
+    axg = dot(xg, dxb)
+    ayg = dot(xg, dyb)
+    b0 = -metdet * (mi00 * axg + mi01 * ayg)
+    b1 = -metdet * (mi01 * axg + mi11 * ayg)
+    gw1 = (d00 * b0 + d01 * b1) * rr
+    gw2 = (d10 * b0 + d11 * b1) * rr
+
+    # curl_sphere_wk_testcov(vort)
+    xc = mp * vort
+    c0 = -dot(xc, dyb)
+    c1c = dot(xc, dxb)
+    cw1 = (d00 * c0 + d01 * c1c) * rr
+    cw2 = (d10 * c0 + d11 * c1c) * rr
+
+    rigid = (2.0 * rr * rr) * sph
+    o_ref[0:k] = rigid * u + (gw1 - cw1)
+    o_ref[k:2 * k] = rigid * v + (gw2 - cw2)
+    o_ref[2 * k:3 * k] = lap_t
+
+
+@partial(jax.jit, static_argnames=("eb", "nlev", "interpret"))
+def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
+                         eb: int, nlev: int, interpret: bool = False):
+    """Weak (vlaplace_u, vlaplace_v, laplace_T) of the stacked [3*nlev, E16]
+    field ``x`` — spheremp-weighted residuals, to be closed by
+    rspheremp * DSS. ``scal[0, 0]`` carries nu_ratio (hpp:938 nu_div/nu)."""
+    k3, e16 = x.shape
+    k = nlev
+    assert k3 == 3 * k, (k3, k)
+    eb16 = eb * NPSQ
+    assert e16 % eb16 == 0, (e16, eb16)
+    nblocks = e16 // eb16
+    f = jnp.float32
+
+    fld = lambda r: pl.BlockSpec((r, eb16), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = partial(_vlap_kernel_t, not interpret, CONSTANTS.rrearth)
+    # 8 strong/adjoint derivative matmuls per block
+    flops_per_block = 8 * 2 * eb16 * eb16 * k
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            rep((eb16, eb16)), rep((eb16, eb16)),
+            rep((eb16, eb16)), rep((eb16, eb16)),
+            pl.BlockSpec((len(META_COLS), eb16), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            fld(3 * k),
+        ],
+        out_specs=fld(3 * k),
+        out_shape=jax.ShapeDtypeStruct((3 * k, e16), f),
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * flops_per_block,
+            bytes_accessed=6 * e16 * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scal, dxbt, dybt,
+      jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x)

@@ -43,7 +43,7 @@ META_COLS = (
     "dinv00", "dinv01", "dinv10", "dinv11",
     "d00", "d01", "d10", "d11",
     "metdet", "rmetdet", "fcor", "spheremp",
-    "phis", "pad0", "pad1", "pad2",
+    "phis", "mp", "pad1", "pad2",
 )
 
 
@@ -114,7 +114,7 @@ def pack_meta(geom, phis, dtype=None):
         "d10": geom.d[:, 1, 0], "d11": geom.d[:, 1, 1],
         "metdet": geom.metdet, "rmetdet": geom.rmetdet,
         "fcor": geom.fcor, "spheremp": geom.spheremp,
-        "phis": phis,
+        "phis": phis, "mp": geom.mp,
     }
     zeros = jnp.zeros((e * NPSQ,), dtype)
     stacked = [

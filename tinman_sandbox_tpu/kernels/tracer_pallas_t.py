@@ -1,0 +1,96 @@
+"""Packed-transposed Pallas tracer advection (EulerStepFunctor analog).
+
+Reference parity: EulerStepFunctor.hpp:33-69 — qdp_out = qdp - dt *
+div(vstar * qdp) per tracer, via the fused alpha/beta divergence update
+(SphereOperators.hpp:362-403). Here the tracers ride the SUBLANE axis of
+the transposed packed layout ([qsize*nlev, E16]), so one kernel advects
+every tracer with the same block-diagonal MXU derivative matmuls as the
+CAAR kernel; spheremp is folded into the output so the structured Pallas
+DSS (kernels/dss_pallas.py) completes the continuous projection
+rsp * DSS(sph * x) without an extra pass.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import NPSQ
+from ..constants import CONSTANTS
+from .fdot import make_dots
+from .layout import META_COLS
+
+__all__ = ["tracer_euler_pallas_packed_t"]
+
+_MC = {name: i for i, name in enumerate(META_COLS)}
+
+
+def _tracer_kernel_t(split, rrearth, nq, scal_ref, dxbt_ref, dybt_ref,
+                     meta_ref, vu_ref, vv_ref, q_ref, o_ref):
+    f32 = jnp.float32
+    dt = scal_ref[0, 0]
+    dot, _, _ = make_dots(split)
+
+    def row(name):
+        i = _MC[name]
+        return meta_ref[i:i + 1, :]
+
+    dxbt, dybt = dxbt_ref[:], dybt_ref[:]
+    dinv00, dinv01 = row("dinv00"), row("dinv01")
+    dinv10, dinv11 = row("dinv10"), row("dinv11")
+    metdet, rmetdet = row("metdet"), row("rmetdet")
+    sph = row("spheremp")
+    rr = f32(rrearth)
+    vu, vv = vu_ref[:], vv_ref[:]
+    k = vu.shape[0]
+
+    for t in range(nq):
+        q = q_ref[t * k:(t + 1) * k]
+        vq1, vq2 = vu * q, vv * q
+        gv1 = metdet * (dinv00 * vq1 + dinv01 * vq2)
+        gv2 = metdet * (dinv10 * vq1 + dinv11 * vq2)
+        div = (dot(gv1, dxbt) + dot(gv2, dybt)) * (rmetdet * rr)
+        o_ref[t * k:(t + 1) * k] = sph * (q - dt * div)
+
+
+@partial(jax.jit, static_argnames=("eb", "nlev", "interpret"))
+def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
+                                 eb: int, nlev: int,
+                                 interpret: bool = False):
+    """spheremp * (qdp - dt*div(vstar*qdp)) for the stacked
+    [qsize*nlev, E16] tracer block; ``scal[0, 0]`` carries dt."""
+    qk, e16 = qdp.shape
+    k = nlev
+    assert qk % k == 0, (qk, k)
+    nq = qk // k
+    eb16 = eb * NPSQ
+    assert e16 % eb16 == 0, (e16, eb16)
+    nblocks = e16 // eb16
+
+    fld = lambda r: pl.BlockSpec((r, eb16), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = partial(_tracer_kernel_t, not interpret, CONSTANTS.rrearth, nq)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            rep((eb16, eb16)), rep((eb16, eb16)),
+            pl.BlockSpec((len(META_COLS), eb16), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            fld(k), fld(k), fld(qk),
+        ],
+        out_specs=fld(qk),
+        out_shape=jax.ShapeDtypeStruct((qk, e16), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * nq * 2 * 2 * eb16 * eb16 * k,
+            bytes_accessed=2 * (qk + k) * e16 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scal, dxbt, dybt, meta, vu, vv, qdp)
