@@ -79,3 +79,24 @@ def test_cli_dss_pallas_structured(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "pallas+structured-dss" in out
+
+
+def test_cli_prim_packed(capsys):
+    """--prim on the packed pallas path (interpret off-TPU) runs the full
+    cadence and reports finite norms."""
+    rc = main(["--ne", "2", "--nlev", "4", "--num-exec", "2", "--init",
+               "random", "--prim", "--hypervis-nu", "1e-4", "--dt", "0.02",
+               "--dtype", "float32", "--kernel", "pallas"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "prim-packed(ssprk3+hypervis+tracers)" in out
+    assert "Final" in out
+
+
+def test_cli_prim_field(capsys):
+    """--prim on the field-layout path (timeloop.prim)."""
+    rc = main(["--ne", "2", "--nlev", "4", "--num-exec", "2", "--init",
+               "random", "--prim", "--dt", "0.02", "--kernel", "xla"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "prim(ssprk3+hypervis+tracers)" in out

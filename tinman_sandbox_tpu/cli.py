@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rotate time levels each step (real integration)")
     ap.add_argument("--dss", action="store_true",
                     help="assemble shared dofs each step (needs --ne)")
+    ap.add_argument("--prim", action="store_true",
+                    help="full prim cadence (SSPRK3 dynamics + biharmonic "
+                         "hyperviscosity via --hypervis-nu + SSPRK3 "
+                         "tracers); fused packed Pallas path when the "
+                         "kernel resolves to pallas, else timeloop.prim")
     ap.add_argument("--rk", action="store_true",
                     help="SSPRK3 integration instead of the CAAR apply")
     ap.add_argument("--hypervis-nu", type=float, default=0.0,
@@ -126,7 +131,12 @@ def main(argv=None) -> int:
         and args.dtype == "float32" and not args.rk
     )
     pallas_dss = args.dss and use_pallas and nelem % cfg.elem_block == 0
-    mode = ("ssprk3+dss" if args.rk
+    prim_packed = (args.prim and use_pallas and args.layout == "t"
+                   and args.dtype == "float32"
+                   and nelem % cfg.elem_block == 0)
+    mode = ("prim-packed(ssprk3+hypervis+tracers)" if prim_packed
+            else "prim(ssprk3+hypervis+tracers)" if args.prim
+            else "ssprk3+dss" if args.rk
             else "pallas+structured-dss" if pallas_dss
             else "caar+dss" if args.dss
             else "pallas" if use_pallas else "xla")
@@ -142,11 +152,80 @@ def main(argv=None) -> int:
     from .kernels import caar_xla
     from .timeloop import check_dp3d, rotated
 
-    if (args.dss or args.rk or args.hypervis_nu) and cs is None:
-        print("error: --dss/--rk/--hypervis-nu require --ne", file=sys.stderr)
+    if (args.dss or args.rk or args.hypervis_nu or args.prim) and cs is None:
+        print("error: --dss/--rk/--prim/--hypervis-nu require --ne",
+              file=sys.stderr)
         return 1
 
-    if args.rk:
+    if args.prim and not prim_packed:
+        from .timeloop.prim import prim_run_step
+
+        gdof = jnp.asarray(cs.gdof)
+        # prim_run_step returns the rotated cfg; track it across the loop
+        # (the freshest time level after the loop is the LAST-USED np1)
+        prim_cfg = {"c": cfg, "used": cfg}
+
+        def one_step(s, d, c):
+            prim_cfg["used"] = prim_cfg["c"]
+            s, d, c2 = prim_run_step(s, d, geom, hv, prim_cfg["c"], gdof,
+                                     cs.ndof, nu=args.hypervis_nu)
+            prim_cfg["c"] = c2
+            return s, d
+    elif args.prim:
+        import dataclasses as _dc
+
+        from .dist.step_pallas import prim_step_packed_t4
+        from .dist.structured_dss import make_structured_plan
+        from .kernels.caar_pallas import _scalars as _scal
+        from .kernels.caar_pallas_t import pack_problem_t
+        from .kernels.layout import pack_field_t, unpack_field_t
+
+        plan = make_structured_plan(cs.gdof, cs.ne)
+        pt = pack_problem_t(state, derived, geom, hv, cfg)
+        scal_p = _scal(args.dt, 1.0, hv)
+        rsp_p = jnp.asarray(geom.rspheremp, jnp.float32).reshape(1, -1)
+        prim_chain = {
+            "s": jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]],
+                                 axis=0),
+            "q": jnp.concatenate(
+                [pack_field_t(jnp.asarray(state.qdp[cfg.qn0, :, q],
+                                          jnp.float32))
+                 for q in range(cfg.qsize)], axis=0),
+            "acc": (pt["vn0u"], pt["vn0v"], pt["omg"]),
+        }
+
+        def one_step(s, d, c):
+            # chain entirely in the packed layout; unpack once at the end
+            # (prim_finalize) — per-step unpacking would cost more than
+            # the step itself
+            s1, q1, phi, a, b, cc = prim_step_packed_t4(
+                scal_p, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+                pt["bstrt"], pt["meta"], prim_chain["s"], prim_chain["q"],
+                pt["pecnd"], *prim_chain["acc"], plan, rsp_p,
+                args.hypervis_nu, eb=cfg.elem_block, nlev=cfg.nlev,
+                interpret=pallas_interpret)
+            prim_chain.update(s=s1, q=q1, acc=(a, b, cc), phi=phi)
+            return s, d
+
+        def prim_finalize(s, d, c):
+            k = cfg.nlev
+            s1, q1 = prim_chain["s"], prim_chain["q"]
+            a, b, cc = prim_chain["acc"]
+            unp = lambda x: unpack_field_t(x, cfg.nelem).astype(s.u.dtype)
+            s = _dc.replace(
+                s,
+                u=jnp.asarray(s.u).at[c.np1].set(unp(s1[0:k])),
+                v=jnp.asarray(s.v).at[c.np1].set(unp(s1[k:2 * k])),
+                t=jnp.asarray(s.t).at[c.np1].set(unp(s1[2 * k:3 * k])),
+                dp3d=jnp.asarray(s.dp3d).at[c.np1].set(unp(s1[3 * k:])),
+                qdp=jnp.asarray(s.qdp).at[1 - c.qn0].set(jnp.stack(
+                    [unp(q1[q * k:(q + 1) * k])
+                     for q in range(cfg.qsize)], axis=1)),
+            )
+            d = _dc.replace(d, phi=unp(prim_chain["phi"]), vn0_u=unp(a),
+                            vn0_v=unp(b), omega_p=unp(cc))
+            return s, d
+    elif args.rk:
         from .timeloop.rk import ssprk3_step
 
         gdof = jnp.asarray(cs.gdof)
@@ -186,7 +265,8 @@ def main(argv=None) -> int:
         def one_step(s, d, c):
             return caar_xla(s, d, geom, hv, c, dt2, eta)
 
-    if args.hypervis_nu:
+    if args.hypervis_nu and not args.prim:
+        # --prim applies hyperviscosity inside its cadence
         from .timeloop.hyperviscosity import apply_hyperviscosity
 
         gdof_h = jnp.asarray(cs.gdof)
@@ -199,7 +279,14 @@ def main(argv=None) -> int:
             f"{k}={float(v):.6e}" for k, v in d0.items()))
 
     # warm-up (compile), excluded like the reference's burn-in (main.cpp:108)
+    if prim_packed:
+        prim_chain0 = dict(prim_chain)
     one_step(state, derived, cfg)
+    if prim_packed:
+        prim_chain.clear()
+        prim_chain.update(prim_chain0)   # warm-up must not advance the chain
+    elif args.prim:
+        prim_cfg["c"] = prim_cfg["used"] = cfg
 
     timers.start("main loop")
     t0 = time.perf_counter()
@@ -208,7 +295,7 @@ def main(argv=None) -> int:
         timers.start("caar compute")
         state, derived = one_step(state, derived, c)
         timers.stop("caar compute")
-        if args.hypervis_nu:
+        if args.hypervis_nu and not args.prim:
             with timers.region("hyperviscosity"):
                 state = apply_hyperviscosity(
                     state, geom, gdof_h, cs.ndof, c, nu=args.hypervis_nu,
@@ -216,6 +303,10 @@ def main(argv=None) -> int:
                 )
         if args.leapfrog:
             c = rotated(c)
+    if prim_packed:
+        state, derived = prim_finalize(state, derived, c)
+    elif args.prim:
+        c = prim_cfg["used"]
     jax.block_until_ready((state, derived))
     wall = time.perf_counter() - t0
     timers.stop("main loop")
