@@ -482,3 +482,53 @@ def test_prim_step_packed_t4_matches_field():
     np.testing.assert_allclose(
         np.asarray(unpack_field_t(phi, cfg.nelem)), np.asarray(rd.phi),
         rtol=5e-4, atol=5e-4)
+
+
+def test_tracer_packed_t_limit_matches_field():
+    """Packed SSPRK3 tracer step WITH the monotone limiter (interpret) ==
+    timeloop.tracer.ssprk3_tracer_step(limit=True) on continuous qdp."""
+    import jax
+
+    from tinman_sandbox_tpu import Config, random_state
+    from tinman_sandbox_tpu.dist.dss import dss_project
+    from tinman_sandbox_tpu.dist.step_pallas import ssprk3_tracer_packed_t
+    from tinman_sandbox_tpu.kernels.layout import (
+        block_derivative_ops, pack_field_t, pack_meta_t, unpack_field_t,
+    )
+    from tinman_sandbox_tpu.timeloop.tracer import ssprk3_tracer_step
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=4, qsize=2)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=9))
+    g = cast(cs.geometry)
+    gdof = jnp.asarray(cs.gdof)
+    qdp = np.asarray(dss_project(jnp.asarray(st.qdp[0]), gdof, cs.ndof,
+                                 g.spheremp, g.rspheremp), np.float32)
+    vu = np.asarray(st.u[0], np.float32)
+    vv = np.asarray(st.v[0], np.float32)
+    dt = 0.02
+
+    for limit in (False, True):
+        ref = ssprk3_tracer_step(jnp.asarray(qdp), jnp.asarray(vu),
+                                 jnp.asarray(vv), g, cfg, dt, gdof=gdof,
+                                 ndof=cs.ndof, limit=limit)
+
+        plan = make_structured_plan(cs.gdof, 2)
+        dxb, dyb = block_derivative_ops(cfg.elem_block, g.dvv, np.float32)
+        meta = jnp.asarray(pack_meta_t(g, st.phis, jnp.float32))
+        rsp = jnp.asarray(g.rspheremp, jnp.float32).reshape(1, -1)
+        q0 = jnp.concatenate([pack_field_t(jnp.asarray(qdp[:, q]))
+                              for q in range(cfg.qsize)], axis=0)
+        out = ssprk3_tracer_packed_t(
+            jnp.asarray(dxb).T, jnp.asarray(dyb).T, meta,
+            pack_field_t(jnp.asarray(vu)), pack_field_t(jnp.asarray(vv)),
+            q0, plan, rsp, dt, eb=cfg.elem_block, nlev=cfg.nlev,
+            limit=limit, interpret=True)
+        k = cfg.nlev
+        for q in range(cfg.qsize):
+            got = np.asarray(unpack_field_t(out[q * k:(q + 1) * k],
+                                            cfg.nelem))
+            np.testing.assert_allclose(
+                got, np.asarray(ref[:, q]), rtol=3e-4, atol=3e-4,
+                err_msg=f"tracer {q} limit={limit}")

@@ -289,16 +289,19 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
     return x
 
 
-@partial(jax.jit, static_argnames=("eb", "nlev", "plan", "interpret"))
+@partial(jax.jit, static_argnames=("eb", "nlev", "plan", "limit",
+                                   "interpret"))
 def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
-                           dt, eb: int, nlev: int, interpret: bool = False):
+                           dt, eb: int, nlev: int, limit: bool = False,
+                           interpret: bool = False):
     """SSPRK3 tracer transport on the packed path: each stage is the fused
     Euler kernel (kernels/tracer_pallas_t.py, spheremp folded in) closed by
     the structured Pallas DSS — together the continuous projection
     P = rsp*DSS(sph*.) of timeloop/tracer.py::ssprk3_tracer_step. The
     convex combinations assume a CONTINUOUS qdp (P q = q, true after any
-    projected step). No limiter on this path (use the field-layout step
-    when ``limit`` is required)."""
+    projected step). ``limit`` applies the monotone mass-conserving
+    limiter (ops/limiter.py) per stage: the packed lane axis reshapes to
+    [.., e, np, np] for free, spheremp is applied after the clip."""
     from ..kernels.dss_pallas import dss_structured_t_pallas
     from ..kernels.tracer_pallas_t import tracer_euler_pallas_packed_t
 
@@ -306,25 +309,56 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
     scal = jnp.zeros((1, 4), jnp.float32).at[0, 0].set(
         jnp.asarray(dt, jnp.float32))
 
-    def stage(q):
-        e = tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, q,
-                                         eb=eb, nlev=nlev,
-                                         interpret=interpret)
-        return dss_structured_t_pallas(e, plan, rsp_lanes,
-                                       interpret=interpret)
+    if not limit:
+        # P is linear and P(qdp) = qdp, so it pulls inside the convex
+        # combinations and each stage is one fused kernel + one DSS
+        def stage(q):
+            e = tracer_euler_pallas_packed_t(
+                scal, dxbt, dybt, meta, vu, vv, q,
+                eb=eb, nlev=nlev, interpret=interpret)
+            return dss_structured_t_pallas(e, plan, rsp_lanes,
+                                           interpret=interpret)
 
-    q1 = stage(qdp)
-    q2 = f.type(0.75) * qdp + f.type(0.25) * stage(q1)
-    return f.type(1.0 / 3.0) * qdp + f.type(2.0 / 3.0) * stage(q2)
+        q1 = stage(qdp)
+        q2 = f.type(0.75) * qdp + f.type(0.25) * stage(q1)
+        return f.type(1.0 / 3.0) * qdp + f.type(2.0 / 3.0) * stage(q2)
+
+    # the limiter is NONLINEAR: follow the field path's exact order
+    # P(L(combo, bounds(q_in))) — advect unscaled, combine, clip,
+    # spheremp-weight, assemble
+    from ..config import NP
+    from ..kernels.layout import META_COLS
+    from ..ops.limiter import element_bounds, limit_tracer
+
+    qk, e16 = qdp.shape
+    nel = e16 // 16
+    sph4 = meta[META_COLS.index("spheremp")].reshape(1, nel, NP, NP)
+
+    def adv(q):
+        return tracer_euler_pallas_packed_t(
+            scal, dxbt, dybt, meta, vu, vv, q,
+            eb=eb, nlev=nlev, fold_sph=False, interpret=interpret)
+
+    def PL(x, q_in):
+        qmin, qmax = element_bounds(q_in.reshape(qk, nel, NP, NP))
+        lim = limit_tracer(x.reshape(qk, nel, NP, NP), sph4, qmin, qmax)
+        return dss_structured_t_pallas((sph4 * lim).reshape(qk, e16),
+                                       plan, rsp_lanes, interpret=interpret)
+
+    q1 = PL(adv(qdp), qdp)
+    q2 = PL(f.type(0.75) * qdp + f.type(0.25) * adv(q1), q1)
+    return PL(f.type(1.0 / 3.0) * qdp + f.type(2.0 / 3.0) * adv(q2), q2)
 
 
 @partial(jax.jit, static_argnames=("nu", "eb", "nlev", "plan", "qsplit",
-                                   "moist", "subcycle", "interpret"))
+                                   "moist", "subcycle", "limit_tracers",
+                                   "interpret"))
 def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                         s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
                         nu, eb: int, nlev: int, qsplit: int = 1,
                         nu_ratio=1.0, moist: bool = True,
-                        subcycle: int = 1, interpret: bool = False):
+                        subcycle: int = 1, limit_tracers: bool = False,
+                        interpret: bool = False):
     """FULL prim cadence on the packed transposed Pallas path (the fused
     fast-path analog of timeloop/prim.py::prim_run_step):
 
@@ -359,7 +393,8 @@ def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     for _ in range(max(qsplit, 1)):
         qdp = ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp,
                                      plan, rsp_lanes, dt_q,
-                                     eb=eb, nlev=nlev, interpret=interpret)
+                                     eb=eb, nlev=nlev, limit=limit_tracers,
+                                     interpret=interpret)
     return s1, qdp, phi, vn0u1, vn0v1, omg1
 
 

@@ -28,8 +28,8 @@ __all__ = ["tracer_euler_pallas_packed_t"]
 _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
-def _tracer_kernel_t(split, rrearth, nq, scal_ref, dxbt_ref, dybt_ref,
-                     meta_ref, vu_ref, vv_ref, q_ref, o_ref):
+def _tracer_kernel_t(split, rrearth, nq, fold_sph, scal_ref, dxbt_ref,
+                     dybt_ref, meta_ref, vu_ref, vv_ref, q_ref, o_ref):
     f32 = jnp.float32
     dt = scal_ref[0, 0]
     dot, _, _ = make_dots(split)
@@ -53,15 +53,18 @@ def _tracer_kernel_t(split, rrearth, nq, scal_ref, dxbt_ref, dybt_ref,
         gv1 = metdet * (dinv00 * vq1 + dinv01 * vq2)
         gv2 = metdet * (dinv10 * vq1 + dinv11 * vq2)
         div = (dot(gv1, dxbt) + dot(gv2, dybt)) * (rmetdet * rr)
-        o_ref[t * k:(t + 1) * k] = sph * (q - dt * div)
+        adv = q - dt * div
+        o_ref[t * k:(t + 1) * k] = sph * adv if fold_sph else adv
 
 
-@partial(jax.jit, static_argnames=("eb", "nlev", "interpret"))
+@partial(jax.jit, static_argnames=("eb", "nlev", "fold_sph", "interpret"))
 def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
-                                 eb: int, nlev: int,
+                                 eb: int, nlev: int, fold_sph: bool = True,
                                  interpret: bool = False):
     """spheremp * (qdp - dt*div(vstar*qdp)) for the stacked
-    [qsize*nlev, E16] tracer block; ``scal[0, 0]`` carries dt."""
+    [qsize*nlev, E16] tracer block; ``scal[0, 0]`` carries dt.
+    ``fold_sph=False`` returns the plain advected value (the limiter path
+    applies spheremp after clipping)."""
     qk, e16 = qdp.shape
     k = nlev
     assert qk % k == 0, (qk, k)
@@ -74,7 +77,8 @@ def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
                                  memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
-    kernel = partial(_tracer_kernel_t, not interpret, CONSTANTS.rrearth, nq)
+    kernel = partial(_tracer_kernel_t, not interpret, CONSTANTS.rrearth, nq,
+                     fold_sph)
     return pl.pallas_call(
         kernel,
         grid=(nblocks,),
