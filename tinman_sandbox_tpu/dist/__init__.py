@@ -14,6 +14,11 @@ from .overlap import (
     caar_ppermute_overlap_step,
     make_overlap_plan,
 )
+from .sharded_t4 import (
+    caar_dss_sharded_t4,
+    make_face_mesh,
+    shard_packed_t4,
+)
 from .sharding import make_mesh, replicate, shard_problem
 from .step import caar_dss_step, caar_halo_step, caar_ppermute_step
 from .structured_dss import (
@@ -50,4 +55,7 @@ __all__ = [
     "dss_structured",
     "dss_structured_scaled",
     "replicate",
+    "caar_dss_sharded_t4",
+    "make_face_mesh",
+    "shard_packed_t4",
 ]

@@ -1,0 +1,240 @@
+"""Face-sharded packed assembled step: the multi-chip fast path.
+
+The single-chip fast path (dist/step_pallas.py::caar_dss_structured_packed_t4)
+runs the fused CAAR kernel + structured Pallas DSS on the whole packed
+[4*nlev, E16] lane axis. This module shards that lane axis BY CUBE FACE over
+a ``jax.sharding.Mesh`` (shard_map): per shard, the CAAR kernel and the
+in-face DSS sweeps are entirely local (the sweep partners of a lane never
+leave its face), and the only cross-chip traffic is ONE ``all_gather`` of
+the compact face-side lines — O(ne*NP*nlev) values per face, the exact
+perimeter-minimal exchange volume of HOMME's edge-buffer pack/exchange
+(fortran/element_mod.F90:234-236, the layer the reference stripped).
+
+Supported mesh sizes: any divisor of 6 (1, 2, 3, 6 faces per shard... i.e.
+shards of 6/N whole faces). The per-shard programs are the SAME Pallas
+kernels as the single-chip path (kernels/caar_pallas_t.py,
+kernels/dss_pallas.py) on a shorter lane axis.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import NP, NPSQ
+from .structured_dss import _SIDES, _side_line_idx
+
+__all__ = ["caar_dss_sharded_t4", "shard_packed_t4", "make_face_mesh"]
+
+
+def make_face_mesh(devices=None, n: int | None = None) -> Mesh:
+    """A 1-D face mesh over ``n`` devices (n | 6); defaults to the largest
+    divisor of 6 that fits the available devices."""
+    devices = list(jax.devices() if devices is None else devices)
+    if n is None:
+        n = next(d for d in (6, 3, 2, 1) if d <= len(devices))
+    assert 6 % n == 0, f"face mesh needs n | 6, got {n}"
+    return Mesh(np.asarray(devices[:n]), ("e",))
+
+
+@lru_cache(maxsize=None)
+def _sharded_fixup_arrays(plan, fps: int):
+    """Static tables for the face-sharded fixup (``fps`` faces per shard).
+
+    Everything position-like is face-local (identical for every face); the
+    cross-face pairing/corner assignment is carried as small index tables
+    looked up with the traced shard index.
+    """
+    ne = plan.ne
+    nl = ne * NP
+    fl = ne * ne * NPSQ                                  # lanes per face
+
+    # local side lines of face 0 (the pattern is identical per face)
+    line_loc = np.stack([_side_line_idx(ne, 0, s) for s in _SIDES])
+
+    # local fix-lane set: side interiors + the 4 face-corner lanes
+    corner_loc = np.unique(line_loc[:, [0, -1]].reshape(-1))
+    assert corner_loc.size == 4
+    idx_uniq = np.concatenate([line_loc[:, 1:-1].reshape(-1), corner_loc])
+    assert len(idx_uniq) == len(np.unique(idx_uniq))
+
+    # tile-dense decomposition of one face (sweep-kernel merge operands)
+    tiles = np.unique(idx_uniq // 128)
+    tile_pos = {int(t): n for n, t in enumerate(tiles)}
+    wd = len(tiles) * 128
+    dense_idx = np.asarray(
+        [tile_pos[int(l) // 128] * 128 + int(l) % 128 for l in idx_uniq],
+        np.int32)
+    dense_mask = np.zeros((1, wd), np.float32)
+    dense_mask[0, dense_idx] = 1.0
+
+    # xd_t row of every local line lane (extract_tiles_t layout)
+    pos = lambda l: tile_pos[int(l) // 128] * 128 + int(l) % 128
+    row_lines = np.asarray([[pos(l) for l in row] for row in line_loc],
+                           np.int32)
+
+    # cross-face pairing: face f side si -> (partner face, side, flip)
+    partner = np.zeros((6, 4, 2), np.int32)
+    flip_tab = np.zeros((6, 4), np.float32)
+    for fa, sa, fb, sb, fl_ in plan.edges:
+        ia, ib = _SIDES.index(sa), _SIDES.index(sb)
+        partner[fa, ia] = (fb, ib)
+        partner[fb, ib] = (fa, ia)
+        flip_tab[fa, ia] = flip_tab[fb, ib] = float(fl_)
+
+    # cube corners: alias lanes -> (face, side, end) slots in the gathered
+    # [6, 4, 2(end)] endpoint table; per-face corner assignment tables
+    ends_global = {}
+    for f in range(6):
+        for si, s in enumerate(_SIDES):
+            gl = _side_line_idx(ne, f, s)
+            ends_global[int(gl[0])] = (f, si, 0)
+            ends_global[int(gl[-1])] = (f, si, 1)
+    corner_rows = np.asarray(plan.corner_rows, np.int32)     # [8, 3]
+    corner_slot = np.asarray(
+        [[ends_global[int(r)][0] * 8 + ends_global[int(r)][1] * 2
+          + ends_global[int(r)][2] for r in row] for row in corner_rows],
+        np.int32)                                            # [8, 3]
+    # face f's 4 corner lanes, in corner_loc (ascending local-lane) order,
+    # mapped to their cube-corner ids
+    face_cid = np.zeros((6, 4), np.int32)
+    for c, row in enumerate(corner_rows):
+        for r in row:
+            f, loc = int(r) // fl, int(r) % fl
+            face_cid[f, int(np.searchsorted(corner_loc, loc))] = c
+    corner_dense = np.asarray([pos(l) for l in corner_loc], np.int32)
+
+    return (line_loc, idx_uniq, tuple(int(t) for t in tiles), dense_idx,
+            dense_mask, row_lines, partner, flip_tab, corner_slot,
+            face_cid, corner_dense, nl, fl)
+
+
+@partial(jax.jit, static_argnames=("plan", "mesh", "eb", "nlev", "moist",
+                                   "interpret"))
+def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                        s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+                        plan, rsp_lanes, mesh: Mesh,
+                        eb: int, nlev: int, moist: bool = True,
+                        interpret: bool = False):
+    """Face-sharded assembled leapfrog step over ``mesh`` (axis "e" with
+    6/N whole faces per shard). Same contract as
+    step_pallas.caar_dss_structured_packed_t4; the lane axis of every
+    [*, E16] operand is sharded P(None, "e"). Cross-chip traffic: one
+    all_gather of the compact side lines."""
+    from ..kernels.caar_pallas_t import caar_pallas_packed_t4
+    from ..kernels.dss_pallas import (
+        dss_sweeps_pallas_t, extract_tiles_t,
+    )
+
+    nshards = mesh.shape["e"]
+    assert 6 % nshards == 0, nshards
+    fps = 6 // nshards                                   # faces per shard
+    (line_loc, idx_uniq, tiles, dense_idx, dense_mask, row_lines,
+     partner, flip_tab, corner_slot, face_cid, corner_dense, nl, fl) = \
+        _sharded_fixup_arrays(plan, fps)
+    ne = plan.ne
+    k4 = s0.shape[0]
+    k = nlev
+    wd = len(tiles) * 128
+
+    # shard-local xd_t tile ids for each of the shard's faces
+    # (fps > 1 requires 128 | fl so per-face tile ids tile cleanly)
+    assert fps == 1 or fl % 128 == 0, (fl, fps)
+    gtiles_shard = tiles if fps == 1 else tuple(
+        b * (fl // 128) + t for b in range(fps) for t in tiles)
+
+    partner_j = jnp.asarray(partner)
+    flip_j = jnp.asarray(flip_tab)
+    cslot_j = jnp.asarray(corner_slot.reshape(-1))
+    fcid_j = jnp.asarray(face_cid)
+    rows_j = jnp.asarray(row_lines.reshape(-1))
+    di_j = jnp.asarray(dense_idx)
+    dm_j = jnp.asarray(dense_mask)
+    lineloc_j = jnp.asarray(line_loc.reshape(-1))
+    corner_loc = np.unique(line_loc[:, [0, -1]].reshape(-1))
+    cornerloc_j = jnp.asarray(corner_loc)
+
+    t = np.arange(nl)
+    mj_hi = jnp.asarray(((t % NP == NP - 1) & (t < nl - 1))
+                        .astype(np.float32))[None, None, :, None]
+    mj_lo = jnp.asarray(((t % NP == 0) & (t > 0))
+                        .astype(np.float32))[None, None, :, None]
+
+    def body(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+             s0, sm1, qdp, pecnd, vn0u, vn0v, omg, rsp):
+        shard = jax.lax.axis_index("e")
+
+        # 1. local fused CAAR kernel (element blocks never cross shards)
+        s1, phi, a1, b1, c1 = caar_pallas_packed_t4(
+            scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+            s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+            eb=eb, nlev=k, moist=moist, interpret=interpret)
+
+        # 2. extract this shard's affected tiles (transposed)
+        xd_t = extract_tiles_t(s1, gtiles_shard, interpret=interpret)
+
+        # 3. compact side lines of the shard's faces -> all_gather
+        lines = xd_t[rows_j].reshape(1, 4, nl, k4) if fps == 1 else \
+            jnp.stack([xd_t[rows_j + b * wd].reshape(4, nl, k4)
+                       for b in range(fps)], axis=0)
+        all_lines = jax.lax.all_gather(lines, "e").reshape(6, 4, nl, k4)
+
+        # 4. the fixup values, from the gathered lines only
+        zl = (all_lines + mj_hi * jnp.roll(all_lines, -1, axis=2)
+                        + mj_lo * jnp.roll(all_lines, 1, axis=2))
+        ends = all_lines[:, :, (0, nl - 1)].reshape(6 * 4 * 2, k4)
+        cv_all = ends[cslot_j].reshape(8, 3, k4).sum(axis=1)   # [8, k4]
+
+        vd_parts = []
+        for b in range(fps):
+            f = shard * fps + b
+            own = jax.lax.dynamic_index_in_dim(zl, f, 0, False)   # [4,nl,k4]
+            pf = partner_j[f, :, 0]
+            psi = partner_j[f, :, 1]
+            par = zl[pf, psi]                                     # [4,nl,k4]
+            fl_f = flip_j[f][:, None, None]
+            par = fl_f * jnp.flip(par, axis=1) + (1.0 - fl_f) * par
+            # scale by this face's rsp at the line lanes
+            rloc = rsp[0, lineloc_j + b * fl].reshape(4, nl, 1)
+            vals_lines = (own + par) * rloc                       # [4,nl,k4]
+            cv = cv_all[fcid_j[f]]                                # [4, k4]
+            rcor = rsp[0, cornerloc_j + b * fl][:, None]
+            vals = jnp.concatenate(
+                [vals_lines[:, 1:-1].reshape(-1, k4), cv * rcor], axis=0)
+            vd_b = jnp.zeros((wd, k4), s1.dtype).at[di_j].set(
+                vals, unique_indices=True)
+            vd_parts.append(vd_b.T)                               # [k4, wd]
+        vd = jnp.concatenate(vd_parts, axis=1) if fps > 1 else vd_parts[0]
+
+        # 5. local sweeps + tile merge
+        assembled = dss_sweeps_pallas_t(
+            s1, rsp, vd, dm_j, ne, tiles, nf=1, faces=fps,
+            interpret=interpret)
+        return assembled, phi, a1, b1, c1
+
+    spec_l = P(None, "e")
+    rep = P(None, None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, spec_l,
+                  spec_l, spec_l, spec_l, spec_l, spec_l, spec_l, spec_l,
+                  spec_l),
+        out_specs=(spec_l, spec_l, spec_l, spec_l, spec_l),
+        # pallas_call outputs carry no varying-mesh-axis metadata
+        check_vma=False,
+    )
+    return fn(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+              s0, sm1, qdp, pecnd, vn0u, vn0v, omg, rsp_lanes)
+
+
+def shard_packed_t4(mesh: Mesh, *arrays):
+    """Place [*, E16] packed arrays with their lane axis sharded over the
+    face mesh (replicates scalars/square operators untouched)."""
+    sh = NamedSharding(mesh, P(None, "e"))
+    return tuple(jax.device_put(a, sh) for a in arrays)

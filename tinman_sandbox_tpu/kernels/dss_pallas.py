@@ -95,20 +95,22 @@ def _sweep_kernel_t(db: int, tiles: tuple, lb: int, interpret: bool,
         )
 
 
-@partial(jax.jit, static_argnames=("ne", "tiles", "nf", "interpret",
-                                   "block_k"))
+@partial(jax.jit, static_argnames=("ne", "tiles", "nf", "faces",
+                                   "interpret", "block_k"))
 def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
-                        tiles: tuple, nf: int, interpret: bool = False,
-                        block_k: int = 16):
+                        tiles: tuple, nf: int, faces: int = 6,
+                        interpret: bool = False, block_k: int = 16):
     """rsp * (alpha+beta sweeps of x) with the edge/corner fix merged in.
-    The grid is (k/bk, 6/nf): each block carries ``nf`` whole faces on the
-    lane axis (rolls never need to cross a face). ``vals_dense`` /
-    ``dense_mask`` are [k, (6/nf)*len(tiles)*128] / [1, len(tiles)*128]
-    tile-dense buffers (one 128-lane slot per affected face-local tile)."""
+    The grid is (k/bk, faces/nf): each block carries ``nf`` whole faces on
+    the lane axis (rolls never need to cross a face). ``vals_dense`` /
+    ``dense_mask`` are [k, (faces/nf)*len(tiles)*128] / [1, len(tiles)*128]
+    tile-dense buffers (one 128-lane slot per affected face-local tile).
+    ``faces`` < 6 serves the face-sharded multi-chip step (the lane axis
+    carries only this shard's faces)."""
     k, e16 = x.shape
-    assert e16 == 6 * ne * ne * NPSQ, (e16, ne)
+    assert e16 == faces * ne * ne * NPSQ, (e16, ne, faces)
     lb = nf * ne * ne * NPSQ
-    assert nf == 6 or lb % 128 == 0, (lb, nf)
+    assert nf == faces or lb % 128 == 0, (lb, nf)
     # VMEM budget: ~12 live [bk, lb] buffers (x/out double-buffered +
     # Mosaic temps) must fit the ~100 MB limit; sublane blocks must be
     # multiples of 8
@@ -123,7 +125,7 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
     wd = len(tiles) * 128
     return pl.pallas_call(
         partial(_sweep_kernel_t, db, tiles, lb, interpret),
-        grid=(k // bk, 6 // nf),
+        grid=(k // bk, faces // nf),
         in_specs=[
             pl.BlockSpec((bk, lb), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
