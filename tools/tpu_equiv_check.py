@@ -164,11 +164,66 @@ def main():
     print("stacked-state (t4) assembled step rel-max vs XLA+segment-sum DSS:",
           json.dumps(assembled_t4), flush=True)
 
+    # -- full packed prim cadence (SSPRK3 + hypervis + tracers) ---------------
+    from tinman_sandbox_tpu.dist.dss import dss_project
+    from tinman_sandbox_tpu.dist.step_pallas import prim_step_packed_t4
+    from tinman_sandbox_tpu.kernels.layout import pack_field_t
+    from tinman_sandbox_tpu.timeloop.prim import prim_run_step
+
+    # a continuous initial state (the packed cadence's contract)
+    import dataclasses
+
+    proj = lambda x: np.asarray(dss_project(
+        jnp.asarray(x), gdof, cs.ndof, geom2.spheremp, geom2.rspheremp),
+        np.float32)
+    n0, qn0 = cfg2.n0, cfg2.qn0
+    su, sv, stt, sdp, sq = (np.array(st2.u), np.array(st2.v),
+                            np.array(st2.t), np.array(st2.dp3d),
+                            np.array(st2.qdp))
+    su[n0], sv[n0] = proj(su[n0]), proj(sv[n0])
+    stt[n0], sdp[n0] = proj(stt[n0]), proj(sdp[n0])
+    sq[qn0] = proj(sq[qn0])
+    stc = dataclasses.replace(st2, u=su, v=sv, t=stt, dp3d=sdp, qdp=sq)
+    cfgp = dataclasses.replace(cfg2, dt=0.02)
+    nu = 2.5e-4
+    rs2, rd2, _ = prim_run_step(stc, dv2, geom2, hv, cfgp, gdof, cs.ndof,
+                                nu=nu)
+
+    ptc = pack_problem_t(stc, dv2, geom2, hv, cfgp)
+    scalp = _scalars(cfgp.dt, 1.0, hv)
+    s0p = jnp.concatenate([ptc["u0"], ptc["v0"], ptc["t0"], ptc["dp0"]],
+                          axis=0)
+    qdp0 = jnp.concatenate(
+        [pack_field_t(jnp.asarray(stc.qdp[qn0, :, q], jnp.float32))
+         for q in range(cfgp.qsize)], axis=0)
+    sp, qp, phip, _, _, _ = prim_step_packed_t4(
+        scalp, ptc["dxbt"], ptc["dybt"], ptc["ainct"], ptc["astrt"],
+        ptc["bstrt"], ptc["meta"], s0p, qdp0, ptc["pecnd"],
+        ptc["vn0u"], ptc["vn0v"], ptc["omg"], plan, rsp_t, nu,
+        eb=cfgp.elem_block, nlev=cfgp.nlev)
+    jax.block_until_ready(sp)
+    kk = cfgp.nlev
+    prim = {
+        name: relmax(unpack_field_t(sp[i * kk:(i + 1) * kk], cfgp.nelem),
+                     getattr(rs2, name)[cfgp.np1])
+        for i, name in enumerate(("u", "v", "t", "dp3d"))
+    }
+    prim["qdp"] = relmax(unpack_field_t(qp[:kk], cfgp.nelem),
+                         rs2.qdp[1 - qn0, :, 0])
+    prim["phi"] = relmax(unpack_field_t(phip, cfgp.nelem), rd2.phi)
+    report["prim_packed_relmax"] = prim
+    print("packed prim cadence rel-max vs field prim_run_step:",
+          json.dumps(prim), flush=True)
+
     worst = max(list(kernel.values()) + list(assembled.values())
                 + list(kernel_t.values()) + list(assembled_t.values())
                 + list(assembled_t4.values()))
     report["worst_relmax"] = worst
-    report["pass"] = bool(worst < 5e-5)   # f32 fp-reorder tolerance
+    # the prim cadence chains ~10 kernels and a nonlinear stage order, so
+    # its fp-reorder envelope is wider than the single-step gate
+    report["prim_worst_relmax"] = max(prim.values())
+    report["pass"] = bool(worst < 5e-5            # f32 fp-reorder tolerance
+                          and report["prim_worst_relmax"] < 1e-3)
     out = args.out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "TPU_EQUIV.json")
     with open(out, "w") as f:
