@@ -63,3 +63,37 @@ def test_sharded_t4_matches_single_device(ne, nshards, eb):
     for name, a, b in zip(names, got, (ref[0],) + tuple(ref[1:])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+from tinman_sandbox_tpu.dist.banded_t4 import caar_dss_banded_t4
+from jax.sharding import Mesh
+
+
+@pytest.mark.parametrize("ne,m,nshards,eb", [
+    (4, 2, 2, 4), (4, 2, 4, 4), (4, 2, 6, 4), (8, 4, 8, 4),
+])
+def test_banded_t4_matches_single_device(ne, m, nshards, eb):
+    """Band-sharded step (element-row bands, halo-row ppermute + compact
+    line all_gather) == single-device packed step."""
+    if len(jax.devices()) < nshards:
+        pytest.skip("needs %d devices" % nshards)
+    cs, cfg, plan, pt, scal, rsp, s0, sm1 = _setup(ne, nlev=4, eb=eb)
+
+    ref = caar_dss_structured_packed_t4(
+        scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
+        pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+        pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp,
+        eb=eb, nlev=4, interpret=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:nshards]), ("e",))
+    with mesh:
+        got = caar_dss_banded_t4(
+            scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp, mesh, m,
+            eb=eb, nlev=4, interpret=True)
+
+    names = ("assembled", "phi", "vn0u", "vn0v", "omg")
+    for name, a, b in zip(names, got, (ref[0],) + tuple(ref[1:])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)

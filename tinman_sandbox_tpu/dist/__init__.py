@@ -14,6 +14,7 @@ from .overlap import (
     caar_ppermute_overlap_step,
     make_overlap_plan,
 )
+from .banded_t4 import caar_dss_banded_t4
 from .sharded_t4 import (
     caar_dss_sharded_t4,
     make_face_mesh,
@@ -56,6 +57,7 @@ __all__ = [
     "dss_structured_scaled",
     "replicate",
     "caar_dss_sharded_t4",
+    "caar_dss_banded_t4",
     "make_face_mesh",
     "shard_packed_t4",
 ]

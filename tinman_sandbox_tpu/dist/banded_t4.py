@@ -1,0 +1,340 @@
+"""Band-sharded packed assembled step: the general multi-chip fast path.
+
+`dist/sharded_t4.py` shards the packed lane axis by whole cube faces
+(N | 6). This module generalizes to N = 6m/cps shards by splitting each
+face into ``m`` element-row BANDS (ej ranges) and giving every shard
+``cps`` consecutive band chunks. Per chunk:
+
+* the fused CAAR kernel is local (element blocks never span chunks);
+* the in-face alpha sweep is local (partners live in the same ej row);
+* the beta partners of a chunk's first/last ej row live one row over —
+  the chunk is extended with its two RAW neighbor rows (one ppermute in
+  each direction for the shard-boundary rows, local slices otherwise) in
+  the cyclic layout [band | next | prev], so the banded sweep kernel's
+  rolls wrap into the correct halo row with no special cases;
+* the cube-edge/corner fixup gathers only the compact face-side line
+  SEGMENTS (all_gather, O(ne*NP*4*nlev) per chunk) and reassembles full
+  lines; the band-position-dependent value selection is an affine index
+  (A_variant + b*B_variant) into a per-face value table, so one program
+  serves every shard.
+
+Cross-chip traffic per step: two single-row ppermutes + one compact-line
+all_gather — the perimeter-minimal exchange of HOMME's edge-buffer
+pack/exchange (fortran/element_mod.F90:234-236) for arbitrary 6m/cps-way
+decompositions.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import NP, NPSQ
+from .structured_dss import _SIDES, _side_line_idx
+
+__all__ = ["caar_dss_banded_t4"]
+
+_ZV = {"W": 0, "E": 1, "S": 2, "N": 3}
+
+
+@lru_cache(maxsize=None)
+def _banded_tables(plan, m: int):
+    """Static tables for m bands per face (band height br = ne/m rows)."""
+    ne = plan.ne
+    assert ne % m == 0 and m >= 2, (ne, m)
+    nl = ne * NP
+    rl = ne * NPSQ                     # lanes per element row
+    br = ne // m                       # element rows per band
+    bl = br * rl                       # lanes per band chunk
+    fl = ne * rl
+
+    rows = np.arange(br)
+    W = (rows[:, None] * rl + np.arange(NP)[None, :]).reshape(-1)
+    E = (rows[:, None] * rl + (ne - 1) * NPSQ + (NP - 1) * NP
+         + np.arange(NP)[None, :]).reshape(-1)
+    S = (np.arange(ne)[:, None] * NPSQ
+         + np.arange(NP)[None, :] * NP).reshape(-1)
+    Nn = ((br - 1) * rl + np.arange(ne)[:, None] * NPSQ
+          + np.arange(NP)[None, :] * NP + (NP - 1)).reshape(-1)
+    sides_loc = {"W": W, "E": E, "S": S, "N": Nn}
+    pattern = np.unique(np.concatenate([W, E, S, Nn]))
+    pat_pos = {int(l): i for i, l in enumerate(pattern)}
+    npat = len(pattern)
+
+    tiles = np.unique(pattern // 128)
+    tile_pos = {int(t): i for i, t in enumerate(tiles)}
+    wd = len(tiles) * 128
+    dp = lambda l: tile_pos[int(l) // 128] * 128 + int(l) % 128
+    dense_pat = np.asarray([dp(l) for l in pattern], np.int32)
+
+    # xd_t rows of the side lanes, in line-t order
+    row_of = {s: np.asarray([dp(l) for l in sides_loc[s]], np.int32)
+              for s in _SIDES}
+
+    # per-variant (first,last) affine value-table indices: idx = A + b*B
+    # into vt = [vals4 (4*nl) | cv4 (SW,SE,NW,NE) | zero] rows
+    zrow = 4 * nl + 4
+
+    def classify(b, first, last):
+        segT = br * NP
+        a = np.full(npat, zrow, np.int64)
+        Wset = {int(l): t for t, l in enumerate(W)}
+        Eset = {int(l): t for t, l in enumerate(E)}
+        Sset = {int(l): t for t, l in enumerate(S)}
+        Nset = {int(l): t for t, l in enumerate(Nn)}
+        for i, l in enumerate(pattern):
+            l = int(l)
+            if first and l == W[0]:
+                a[i] = 4 * nl + 0                       # SW cube corner
+            elif first and l == E[0]:
+                a[i] = 4 * nl + 1                       # SE
+            elif last and l == W[-1]:
+                a[i] = 4 * nl + 2                       # NW
+            elif last and l == E[-1]:
+                a[i] = 4 * nl + 3                       # NE
+            elif l in Wset:
+                a[i] = 0 * nl + b * segT + Wset[l]
+            elif l in Eset:
+                a[i] = 1 * nl + b * segT + Eset[l]
+            elif l in Sset and first:
+                a[i] = 2 * nl + Sset[l]
+            elif l in Nset and last:
+                a[i] = 3 * nl + Nset[l]
+        return a
+
+    segT = br * NP
+    variants = {}
+    for first, last, b_rep in ((True, False, 0), (False, True, m - 1),
+                               (False, False, 1)):
+        a_at = classify(b_rep, first, last)
+        bvec = np.where(
+            (a_at < 2 * nl)                     # W/E line entries slide
+            & ~((a_at >= 4 * nl)), segT, 0).astype(np.int64)
+        variants[(first, last)] = (
+            (a_at - b_rep * bvec).astype(np.int32), bvec.astype(np.int32))
+
+    # per-variant merge masks over the dense pattern
+    def dmv(first, last):
+        act = np.zeros((1, wd), np.float32)
+        on = set(map(int, W)) | set(map(int, E))
+        if first:
+            on |= set(map(int, S))
+        if last:
+            on |= set(map(int, Nn))
+        for l in on:
+            act[0, dp(l)] = 1.0
+        return act
+
+    # per-variant sweep masks on the extended chunk [band | next | prev]
+    ext = bl + 2 * rl
+
+    def maskv(first, last):
+        lane = np.arange(ext)
+        i = (lane // NP) % NP
+        j = lane % NP
+        ei = (lane // NPSQ) % ne
+        lrow = lane // rl                       # 0..br-1 band, br/br+1 halo
+        in_band = lrow < br
+        ahi = (i == NP - 1) & (ei < ne - 1)
+        alo = (i == 0) & (ei > 0)
+        bhi = (j == NP - 1) & in_band & ~((lrow == br - 1) & last)
+        blo = (j == 0) & in_band & ~((lrow == 0) & first)
+        return np.stack([ahi, alo, bhi, blo]).astype(jnp.bfloat16)
+
+    # global cube-corner machinery (reused from the face-sharded path)
+    ends_global = {}
+    for f in range(6):
+        for si, s in enumerate(_SIDES):
+            gl = _side_line_idx(ne, f, s)
+            ends_global[int(gl[0])] = (f, si, 0)
+            ends_global[int(gl[-1])] = (f, si, 1)
+    corner_rows = np.asarray(plan.corner_rows, np.int32)
+    corner_slot = np.asarray(
+        [[ends_global[int(r)][0] * 8 + ends_global[int(r)][1] * 2
+          + ends_global[int(r)][2] for r in row] for row in corner_rows],
+        np.int32)
+    # face f's cube-corner ids in (SW, SE, NW, NE) order
+    lane_of = {
+        0: lambda f: f * fl,
+        1: lambda f: f * fl + (ne - 1) * NPSQ + (NP - 1) * NP,
+        2: lambda f: f * fl + (ne - 1) * rl + (NP - 1),
+        3: lambda f: f * fl + (ne - 1) * rl + (ne - 1) * NPSQ
+        + (NP - 1) * NP + (NP - 1),
+    }
+    cid_by_lane = {}
+    for c, row in enumerate(corner_rows):
+        for r in row:
+            cid_by_lane[int(r)] = c
+    cid4 = np.asarray([[cid_by_lane[lane_of[p](f)] for p in range(4)]
+                       for f in range(6)], np.int32)
+
+    # cross-face pairing
+    partner = np.zeros((6, 4, 2), np.int32)
+    flip_tab = np.zeros((6, 4), np.float32)
+    for fa, sa, fb, sb, fl_ in plan.edges:
+        ia, ib = _SIDES.index(sa), _SIDES.index(sb)
+        partner[fa, ia] = (fb, ib)
+        partner[fb, ib] = (fa, ia)
+        flip_tab[fa, ia] = flip_tab[fb, ib] = float(fl_)
+
+    return dict(ne=ne, nl=nl, rl=rl, br=br, bl=bl, fl=fl, ext=ext,
+                pattern=pattern, dense_pat=dense_pat,
+                tiles=tuple(int(t) for t in tiles), wd=wd, row_of=row_of,
+                variants=variants, dmv=dmv, maskv=maskv,
+                corner_slot=corner_slot, cid4=cid4, partner=partner,
+                flip_tab=flip_tab)
+
+
+@partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
+                                   "moist", "interpret"))
+def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                       s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+                       plan, rsp_lanes, mesh: Mesh, m: int,
+                       eb: int, nlev: int, moist: bool = True,
+                       interpret: bool = False):
+    """Band-sharded assembled leapfrog step over ``mesh`` axis "e" with
+    N | 6m shards (cps = 6m/N band chunks each; chunk = ne/m element
+    rows). Same contract as caar_dss_structured_packed_t4."""
+    from ..kernels.caar_pallas_t import caar_pallas_packed_t4
+    from ..kernels.dss_pallas import dss_sweeps_banded_t, extract_tiles_t
+
+    T = _banded_tables(plan, m)
+    ne, nl, rl, br, bl, ext = (T["ne"], T["nl"], T["rl"], T["br"], T["bl"],
+                               T["ext"])
+    tiles, wd = T["tiles"], T["wd"]
+    N = mesh.shape["e"]
+    assert (6 * m) % N == 0, (m, N)
+    cps = 6 * m // N
+    assert bl % 128 == 0 or cps == 1, \
+        f"multi-chunk shards need 128 | band lanes (bl={bl})"
+    k4 = s0.shape[0]
+
+    # chunk-order global operands for the per-chunk static data
+    chunk_first = [(c % m) == 0 for c in range(6 * m)]
+    chunk_last = [(c % m) == m - 1 for c in range(6 * m)]
+    dm_g = jnp.asarray(np.concatenate(
+        [T["dmv"](chunk_first[c], chunk_last[c]) for c in range(6 * m)],
+        axis=1))
+    masks_g = jnp.asarray(np.concatenate(
+        [T["maskv"](chunk_first[c], chunk_last[c]) for c in range(6 * m)],
+        axis=1))
+
+    gtiles_shard = tuple(l * (bl // 128) + t
+                         for l in range(cps) for t in tiles) \
+        if cps > 1 else tiles
+
+    var = T["variants"]
+    A_f, B_f = (jnp.asarray(v) for v in var[(True, False)])
+    A_l, B_l = (jnp.asarray(v) for v in var[(False, True)])
+    A_m, B_m = (jnp.asarray(v) for v in var[(False, False)])
+    dense_pat = jnp.asarray(T["dense_pat"])
+    pattern_j = jnp.asarray(T["pattern"])
+    rowW = jnp.asarray(T["row_of"]["W"])
+    rowE = jnp.asarray(T["row_of"]["E"])
+    rowS = jnp.asarray(T["row_of"]["S"])
+    rowN = jnp.asarray(T["row_of"]["N"])
+    cslot_j = jnp.asarray(T["corner_slot"].reshape(-1))
+    cid4_j = jnp.asarray(T["cid4"])
+    partner_j = jnp.asarray(T["partner"])
+    flip_j = jnp.asarray(T["flip_tab"])
+
+    t = np.arange(nl)
+    mj_hi = jnp.asarray(((t % NP == NP - 1) & (t < nl - 1))
+                        .astype(np.float32))[None, None, :, None]
+    mj_lo = jnp.asarray(((t % NP == 0) & (t > 0))
+                        .astype(np.float32))[None, None, :, None]
+
+    # static ppermute pairs for the shard-boundary halo rows
+    send_fwd = [(s, s + 1) for s in range(N - 1)
+                if ((s * cps + cps - 1) % m) != m - 1]
+    send_bwd = [(s, s - 1) for s in range(1, N)
+                if ((s * cps) % m) != 0]
+
+    def body(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+             s0, sm1, qdp, pecnd, vn0u, vn0v, omg, rsp, dm_l, masks_l):
+        shard = jax.lax.axis_index("e")
+
+        s1, phi, a1, b1, c1 = caar_pallas_packed_t4(
+            scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+            s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+            eb=eb, nlev=nlev, moist=moist, interpret=interpret)
+
+        # halo rows: [band | next | prev] per chunk
+        first_rows = [s1[:, l * bl:l * bl + rl] for l in range(cps)]
+        last_rows = [s1[:, (l + 1) * bl - rl:(l + 1) * bl]
+                     for l in range(cps)]
+        prev0 = jax.lax.ppermute(last_rows[-1], "e", send_fwd)
+        nextL = jax.lax.ppermute(first_rows[0], "e", send_bwd)
+        pieces = []
+        for l in range(cps):
+            nxt = first_rows[l + 1] if l < cps - 1 else nextL
+            prv = last_rows[l - 1] if l > 0 else prev0
+            pieces += [s1[:, l * bl:(l + 1) * bl], nxt, prv]
+        x_ext = jnp.concatenate(pieces, axis=1)
+
+        # compact line segments -> all_gather -> full lines
+        xd_t = extract_tiles_t(s1, gtiles_shard, interpret=interpret)
+        ws = jnp.stack([xd_t[rowW + l * wd] for l in range(cps)])
+        es = jnp.stack([xd_t[rowE + l * wd] for l in range(cps)])
+        sn = jnp.stack([jnp.stack([xd_t[rowS + l * wd],
+                                   xd_t[rowN + l * wd]])
+                        for l in range(cps)])       # [cps, 2, nl, k4]
+        ws_g = jax.lax.all_gather(ws, "e").reshape(6, m * br * NP, k4)
+        es_g = jax.lax.all_gather(es, "e").reshape(6, m * br * NP, k4)
+        sn_g = jax.lax.all_gather(sn, "e").reshape(6, m, 2, nl, k4)
+        all_lines = jnp.stack(
+            [ws_g, es_g, sn_g[:, 0, 0], sn_g[:, m - 1, 1]], axis=1)
+
+        zl = (all_lines + mj_hi * jnp.roll(all_lines, -1, axis=2)
+                        + mj_lo * jnp.roll(all_lines, 1, axis=2))
+        ends = all_lines[:, :, (0, nl - 1)].reshape(6 * 4 * 2, k4)
+        cv_all = ends[cslot_j].reshape(8, 3, k4).sum(axis=1)
+
+        vd_parts = []
+        for l in range(cps):
+            c = shard * cps + l
+            f, b = c // m, c % m
+            own = jax.lax.dynamic_index_in_dim(zl, f, 0, False)
+            par = zl[partner_j[f, :, 0], partner_j[f, :, 1]]
+            fl_f = flip_j[f][:, None, None]
+            par = fl_f * jnp.flip(par, axis=1) + (1.0 - fl_f) * par
+            vals4 = own + par                               # [4, nl, k4]
+            cv4 = cv_all[cid4_j[f]]                         # [4, k4]
+            vt = jnp.concatenate(
+                [vals4.reshape(4 * nl, k4), cv4,
+                 jnp.zeros((1, k4), s1.dtype)], axis=0)
+            first = (b == 0)
+            last = (b == m - 1)
+            A = jnp.where(first, A_f, jnp.where(last, A_l, A_m))
+            B = jnp.where(first, B_f, jnp.where(last, B_l, B_m))
+            vals_pat = vt[A + b * B]                        # [npat, k4]
+            rpat = rsp[0, pattern_j + l * bl][:, None]
+            vd_c = jnp.zeros((wd, k4), s1.dtype).at[dense_pat].set(
+                vals_pat * rpat, unique_indices=True)
+            vd_parts.append(vd_c.T)
+        vd = jnp.concatenate(vd_parts, axis=1) if cps > 1 else vd_parts[0]
+
+        assembled = dss_sweeps_banded_t(
+            x_ext, rsp, vd, dm_l, masks_l, tiles, nchunks=cps, bl=bl,
+            rl=rl, interpret=interpret)
+        return assembled, phi, a1, b1, c1
+
+    spec_l = P(None, "e")
+    rep = P(None, None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, spec_l,
+                  spec_l, spec_l, spec_l, spec_l, spec_l, spec_l, spec_l,
+                  spec_l, spec_l, spec_l),
+        out_specs=(spec_l, spec_l, spec_l, spec_l, spec_l),
+        check_vma=False,
+    )
+    return fn(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+              s0, sm1, qdp, pecnd, vn0u, vn0v, omg, rsp_lanes,
+              dm_g, masks_g)

@@ -45,7 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import NP, NPSQ
 
-__all__ = ["dss_sweeps_pallas_t", "dss_structured_t_pallas"]
+__all__ = ["dss_sweeps_pallas_t", "dss_structured_t_pallas",
+           "dss_sweeps_banded_t"]
 
 
 @lru_cache(maxsize=None)
@@ -93,6 +94,77 @@ def _sweep_kernel_t(db: int, tiles: tuple, lb: int, interpret: bool,
             w[:, t * 128:t * 128 + wdt] * (1.0 - m)
             + vd_ref[:, n * 128:n * 128 + wdt] * m
         )
+
+
+def _sweep_banded_kernel_t(db: int, tiles: tuple, bl: int, ext: int,
+                           interpret: bool,
+                           x_ref, m_ref, rsp_ref, vd_ref, dm_ref, out_ref):
+    # the block is ONE element-row band extended with its neighbor rows in
+    # the cyclic layout [band | next-halo-row | prev-halo-row]: the beta
+    # rolls wrap into the correct halo row, so no boundary special-casing
+    if interpret:
+        roll = lambda a, s: jnp.roll(a, s, axis=1)
+    else:
+        roll = lambda a, s: pltpu.roll(a, shift=s % ext, axis=1)
+
+    x = x_ref[:]
+    y = x + m_ref[0:1] * roll(x, -NP) + m_ref[1:2] * roll(x, NP)
+    z = y + m_ref[2:3] * roll(y, -db) + m_ref[3:4] * roll(y, db)
+    w = rsp_ref[:] * z[:, :bl]
+    out_ref[:] = w
+    for n, t in enumerate(tiles):
+        wdt = min(128, bl - t * 128)
+        m = dm_ref[:, n * 128:n * 128 + wdt]
+        out_ref[:, t * 128:t * 128 + wdt] = (
+            w[:, t * 128:t * 128 + wdt] * (1.0 - m)
+            + vd_ref[:, n * 128:n * 128 + wdt] * m
+        )
+
+
+@partial(jax.jit, static_argnames=("tiles", "nchunks", "bl", "rl",
+                                   "interpret", "block_k"))
+def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
+                        tiles: tuple, nchunks: int, bl: int, rl: int,
+                        interpret: bool = False, block_k: int = 16):
+    """Banded sweep pass for the element-row-sharded multi-chip step: the
+    lane axis carries ``nchunks`` band chunks, each pre-extended with its
+    two neighbor element-rows ([band | next | prev], ``rl`` lanes each).
+    masks / dense_mask / vals_dense are per-chunk operands (the band's
+    face-edge pattern varies with its position in the face)."""
+    k, _ = x_ext.shape
+    ext = bl + 2 * rl
+    assert x_ext.shape[1] == nchunks * ext, (x_ext.shape, nchunks, ext)
+    bk_fit = max(8, 8 * int((100e6 / (ext * 4) - 3) // 96))
+    bk = min(block_k, bk_fit)
+    while bk > 8 and k % bk:
+        bk -= 8
+    if k % bk:
+        bk = k
+    db = rl - (NP - 1)
+    wd = len(tiles) * 128
+    return pl.pallas_call(
+        partial(_sweep_banded_kernel_t, db, tiles, bl, ext, interpret),
+        grid=(k // bk, nchunks),
+        in_specs=[
+            pl.BlockSpec((bk, ext), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, ext), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bl), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, wd), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wd), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bk, bl), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, nchunks * bl), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x_ext, masks, rsp, vals_dense, dense_mask)
 
 
 @partial(jax.jit, static_argnames=("ne", "tiles", "nf", "faces",
