@@ -97,3 +97,65 @@ def test_banded_t4_matches_single_device(ne, m, nshards, eb):
     for name, a, b in zip(names, got, (ref[0],) + tuple(ref[1:])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def test_prim_banded_matches_packed():
+    """Band-sharded FULL prim cadence == single-device packed cadence."""
+    nshards, ne, m = 4, 4, 2
+    if len(jax.devices()) < nshards:
+        pytest.skip("needs %d devices" % nshards)
+    import dataclasses
+
+    from tinman_sandbox_tpu import analytic_hvcoord, random_state, \
+        zero_derived
+    from tinman_sandbox_tpu.dist.dss import dss_project
+    from tinman_sandbox_tpu.dist.prim_banded import prim_step_banded_t4
+    from tinman_sandbox_tpu.dist.step_pallas import prim_step_packed_t4
+    from tinman_sandbox_tpu.kernels.layout import pack_field_t
+
+    cs = build_cubed_sphere(ne)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=4, qsize=2, dt=0.02)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=5))
+    g = cast(cs.geometry)
+    gdof = jnp.asarray(cs.gdof)
+    proj = lambda x: np.asarray(dss_project(
+        jnp.asarray(x), gdof, cs.ndof, g.spheremp, g.rspheremp), np.float32)
+    n0, qn0 = cfg.n0, cfg.qn0
+    su, sv, stt, sdp, sq = (np.array(st.u), np.array(st.v), np.array(st.t),
+                            np.array(st.dp3d), np.array(st.qdp))
+    su[n0], sv[n0] = proj(su[n0]), proj(sv[n0])
+    stt[n0], sdp[n0] = proj(stt[n0]), proj(sdp[n0])
+    sq[qn0] = proj(sq[qn0])
+    st = dataclasses.replace(st, u=su, v=sv, t=stt, dp3d=sdp, qdp=sq)
+    dv = cast(zero_derived(cfg))
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    nu = 2.5e-4
+
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+
+    plan = make_structured_plan(cs.gdof, ne)
+    pt = pack_problem_t(st, dv, g, hv, cfg)
+    scal = _scalars(cfg.dt, 1.0, hv)
+    rsp = jnp.asarray(g.rspheremp, jnp.float32).reshape(1, -1)
+    s0 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    qdp0 = jnp.concatenate(
+        [pack_field_t(jnp.asarray(st.qdp[qn0, :, q], jnp.float32))
+         for q in range(cfg.qsize)], axis=0)
+    args = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, qdp0, pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp)
+
+    ref = prim_step_packed_t4(*args, nu, eb=4, nlev=4, qsplit=2,
+                              interpret=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:nshards]), ("e",))
+    with mesh:
+        got = prim_step_banded_t4(*args, mesh, m, nu, eb=4, nlev=4,
+                                  qsplit=2, interpret=True)
+
+    for name, a, b in zip(("s1", "qdp", "phi", "vn0u", "vn0v", "omg"),
+                          got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)

@@ -14,7 +14,13 @@ from .overlap import (
     caar_ppermute_overlap_step,
     make_overlap_plan,
 )
-from .banded_t4 import caar_dss_banded_t4
+from .banded_t4 import caar_dss_banded_t4, dss_banded_t
+from .prim_banded import (
+    hypervis_banded_t,
+    prim_step_banded_t4,
+    ssprk3_banded_t4,
+    tracer_banded_t,
+)
 from .sharded_t4 import (
     caar_dss_sharded_t4,
     make_face_mesh,
@@ -58,6 +64,11 @@ __all__ = [
     "replicate",
     "caar_dss_sharded_t4",
     "caar_dss_banded_t4",
+    "dss_banded_t",
+    "ssprk3_banded_t4",
+    "hypervis_banded_t",
+    "tracer_banded_t",
+    "prim_step_banded_t4",
     "make_face_mesh",
     "shard_packed_t4",
 ]

@@ -37,7 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import NP, NPSQ
 from .structured_dss import _SIDES, _side_line_idx
 
-__all__ = ["caar_dss_banded_t4"]
+__all__ = ["caar_dss_banded_t4", "dss_banded_t"]
 
 _ZV = {"W": 0, "E": 1, "S": 2, "N": 3}
 
@@ -190,64 +190,59 @@ def _banded_tables(plan, m: int):
                 flip_tab=flip_tab)
 
 
-@partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
-                                   "moist", "interpret"))
-def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
-                       s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
-                       plan, rsp_lanes, mesh: Mesh, m: int,
-                       eb: int, nlev: int, moist: bool = True,
-                       interpret: bool = False):
-    """Band-sharded assembled leapfrog step over ``mesh`` axis "e" with
-    N | 6m shards (cps = 6m/N band chunks each; chunk = ne/m element
-    rows). Same contract as caar_dss_structured_packed_t4."""
-    from ..kernels.caar_pallas_t import caar_pallas_packed_t4
+@lru_cache(maxsize=None)
+def _banded_dss_builder(plan, m: int, N: int, interpret: bool):
+    """Build the per-shard banded-DSS closure + its chunk-order static
+    operands (dm, masks). The closure runs INSIDE shard_map and performs:
+    halo-row ppermute -> [band|next|prev] extension -> compact line
+    all_gather -> affine fixup -> banded sweep kernel."""
     from ..kernels.dss_pallas import dss_sweeps_banded_t, extract_tiles_t
 
     T = _banded_tables(plan, m)
     ne, nl, rl, br, bl, ext = (T["ne"], T["nl"], T["rl"], T["br"], T["bl"],
                                T["ext"])
     tiles, wd = T["tiles"], T["wd"]
-    N = mesh.shape["e"]
     assert (6 * m) % N == 0, (m, N)
     cps = 6 * m // N
     assert bl % 128 == 0 or cps == 1, \
         f"multi-chunk shards need 128 | band lanes (bl={bl})"
-    k4 = s0.shape[0]
 
     # chunk-order global operands for the per-chunk static data
     chunk_first = [(c % m) == 0 for c in range(6 * m)]
     chunk_last = [(c % m) == m - 1 for c in range(6 * m)]
-    dm_g = jnp.asarray(np.concatenate(
+    # NUMPY constants only: this builder is lru-cached, and jnp arrays
+    # created inside one jit trace leak as tracers into later traces
+    dm_g = np.concatenate(
         [T["dmv"](chunk_first[c], chunk_last[c]) for c in range(6 * m)],
-        axis=1))
-    masks_g = jnp.asarray(np.concatenate(
+        axis=1)
+    masks_g = np.concatenate(
         [T["maskv"](chunk_first[c], chunk_last[c]) for c in range(6 * m)],
-        axis=1))
+        axis=1)
 
     gtiles_shard = tuple(l * (bl // 128) + t
                          for l in range(cps) for t in tiles) \
         if cps > 1 else tiles
 
     var = T["variants"]
-    A_f, B_f = (jnp.asarray(v) for v in var[(True, False)])
-    A_l, B_l = (jnp.asarray(v) for v in var[(False, True)])
-    A_m, B_m = (jnp.asarray(v) for v in var[(False, False)])
-    dense_pat = jnp.asarray(T["dense_pat"])
-    pattern_j = jnp.asarray(T["pattern"])
-    rowW = jnp.asarray(T["row_of"]["W"])
-    rowE = jnp.asarray(T["row_of"]["E"])
-    rowS = jnp.asarray(T["row_of"]["S"])
-    rowN = jnp.asarray(T["row_of"]["N"])
-    cslot_j = jnp.asarray(T["corner_slot"].reshape(-1))
-    cid4_j = jnp.asarray(T["cid4"])
-    partner_j = jnp.asarray(T["partner"])
-    flip_j = jnp.asarray(T["flip_tab"])
+    A_f, B_f = var[(True, False)]
+    A_l, B_l = var[(False, True)]
+    A_m, B_m = var[(False, False)]
+    dense_pat = T["dense_pat"]
+    pattern_j = T["pattern"]
+    rowW = T["row_of"]["W"]
+    rowE = T["row_of"]["E"]
+    rowS = T["row_of"]["S"]
+    rowN = T["row_of"]["N"]
+    cslot_j = T["corner_slot"].reshape(-1)
+    cid4_j = T["cid4"]
+    partner_j = T["partner"]
+    flip_j = T["flip_tab"]
 
     t = np.arange(nl)
-    mj_hi = jnp.asarray(((t % NP == NP - 1) & (t < nl - 1))
-                        .astype(np.float32))[None, None, :, None]
-    mj_lo = jnp.asarray(((t % NP == 0) & (t > 0))
-                        .astype(np.float32))[None, None, :, None]
+    mj_hi = ((t % NP == NP - 1) & (t < nl - 1)).astype(
+        np.float32)[None, None, :, None]
+    mj_lo = ((t % NP == 0) & (t > 0)).astype(
+        np.float32)[None, None, :, None]
 
     # static ppermute pairs for the shard-boundary halo rows
     send_fwd = [(s, s + 1) for s in range(N - 1)
@@ -255,14 +250,15 @@ def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     send_bwd = [(s, s - 1) for s in range(1, N)
                 if ((s * cps) % m) != 0]
 
-    def body(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
-             s0, sm1, qdp, pecnd, vn0u, vn0v, omg, rsp, dm_l, masks_l):
+    def dss_local(s1, rsp, dm_l, masks_l):
         shard = jax.lax.axis_index("e")
-
-        s1, phi, a1, b1, c1 = caar_pallas_packed_t4(
-            scal, dxbt, dybt, ainct, astrt, bstrt, meta,
-            s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
-            eb=eb, nlev=nlev, moist=moist, interpret=interpret)
+        k4 = s1.shape[0]
+        # tables indexed by TRACED chunk ids need jnp form; converting here
+        # (per trace) keeps the lru-cached builder free of trace-bound
+        # arrays
+        partner_t = jnp.asarray(partner_j)
+        flip_t = jnp.asarray(flip_j)
+        cid4_t = jnp.asarray(cid4_j)
 
         # halo rows: [band | next | prev] per chunk
         first_rows = [s1[:, l * bl:l * bl + rl] for l in range(cps)]
@@ -300,11 +296,11 @@ def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
             c = shard * cps + l
             f, b = c // m, c % m
             own = jax.lax.dynamic_index_in_dim(zl, f, 0, False)
-            par = zl[partner_j[f, :, 0], partner_j[f, :, 1]]
-            fl_f = flip_j[f][:, None, None]
+            par = zl[partner_t[f, :, 0], partner_t[f, :, 1]]
+            fl_f = flip_t[f][:, None, None]
             par = fl_f * jnp.flip(par, axis=1) + (1.0 - fl_f) * par
             vals4 = own + par                               # [4, nl, k4]
-            cv4 = cv_all[cid4_j[f]]                         # [4, k4]
+            cv4 = cv_all[cid4_t[f]]                         # [4, k4]
             vt = jnp.concatenate(
                 [vals4.reshape(4 * nl, k4), cv4,
                  jnp.zeros((1, k4), s1.dtype)], axis=0)
@@ -319,22 +315,67 @@ def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
             vd_parts.append(vd_c.T)
         vd = jnp.concatenate(vd_parts, axis=1) if cps > 1 else vd_parts[0]
 
-        assembled = dss_sweeps_banded_t(
+        return dss_sweeps_banded_t(
             x_ext, rsp, vd, dm_l, masks_l, tiles, nchunks=cps, bl=bl,
             rl=rl, interpret=interpret)
-        return assembled, phi, a1, b1, c1
 
-    spec_l = P(None, "e")
-    rep = P(None, None)
+    return dss_local, dm_g, masks_g
+
+
+_SPEC_L = P(None, "e")
+_REP = P(None, None)
+
+
+@partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
+                                   "moist", "interpret"))
+def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                       s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+                       plan, rsp_lanes, mesh: Mesh, m: int,
+                       eb: int, nlev: int, moist: bool = True,
+                       interpret: bool = False):
+    """Band-sharded assembled leapfrog step over ``mesh`` axis "e" with
+    N | 6m shards (cps = 6m/N band chunks each; chunk = ne/m element
+    rows). Same contract as caar_dss_structured_packed_t4."""
+    from ..kernels.caar_pallas_t import caar_pallas_packed_t4
+
+    dss_local, dm_g, masks_g = _banded_dss_builder(
+        plan, m, mesh.shape["e"], interpret)
+
+    def body(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+             s0, sm1, qdp, pecnd, vn0u, vn0v, omg, rsp, dm_l, masks_l):
+        s1, phi, a1, b1, c1 = caar_pallas_packed_t4(
+            scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+            s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+            eb=eb, nlev=nlev, moist=moist, interpret=interpret)
+        return dss_local(s1, rsp, dm_l, masks_l), phi, a1, b1, c1
+
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep, rep, spec_l,
-                  spec_l, spec_l, spec_l, spec_l, spec_l, spec_l, spec_l,
-                  spec_l, spec_l, spec_l),
-        out_specs=(spec_l, spec_l, spec_l, spec_l, spec_l),
+        in_specs=(_REP, _REP, _REP, _REP, _REP, _REP, _SPEC_L,
+                  _SPEC_L, _SPEC_L, _SPEC_L, _SPEC_L, _SPEC_L, _SPEC_L,
+                  _SPEC_L, _SPEC_L, _SPEC_L, _SPEC_L),
+        out_specs=(_SPEC_L, _SPEC_L, _SPEC_L, _SPEC_L, _SPEC_L),
         check_vma=False,
     )
     return fn(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
               s0, sm1, qdp, pecnd, vn0u, vn0v, omg, rsp_lanes,
               dm_g, masks_g)
+
+
+@partial(jax.jit, static_argnames=("plan", "mesh", "m", "interpret"))
+def dss_banded_t(x, plan, rsp_lanes, mesh: Mesh, m: int,
+                 interpret: bool = False):
+    """rspheremp * DSS(x) on a band-sharded [k, E16] field — the
+    standalone sharded assembly used by the sharded hyperviscosity and
+    tracer paths. Drop-in (sharded) for dss_structured_t_pallas."""
+    dss_local, dm_g, masks_g = _banded_dss_builder(
+        plan, m, mesh.shape["e"], interpret)
+    fn = shard_map(
+        lambda x, rsp, dm_l, masks_l: dss_local(x, rsp, dm_l, masks_l),
+        mesh=mesh,
+        in_specs=(_SPEC_L, _SPEC_L, _SPEC_L, _SPEC_L),
+        out_specs=_SPEC_L,
+        check_vma=False,
+    )
+    return fn(x, rsp_lanes, dm_g, masks_g)
