@@ -532,3 +532,54 @@ def test_tracer_packed_t_limit_matches_field():
             np.testing.assert_allclose(
                 got, np.asarray(ref[:, q]), rtol=3e-4, atol=3e-4,
                 err_msg=f"tracer {q} limit={limit}")
+
+
+def test_remap_packed_t4_matches_field():
+    """Packed vertical remap == ops.remap.vertical_remap on the same
+    state (physically monotone hvcoord)."""
+    import dataclasses
+
+    import jax
+
+    from tinman_sandbox_tpu import Config, random_state
+    from tinman_sandbox_tpu.dist.step_pallas import remap_packed_t4
+    from tinman_sandbox_tpu.grid import HybridVCoord
+    from tinman_sandbox_tpu.kernels.layout import pack_field_t, unpack_field_t
+    from tinman_sandbox_tpu.ops.remap import vertical_remap
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=6, qsize=2)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=4))
+    # physically monotone hybrid levels (increasing interface pressure)
+    eta = np.linspace(0.0, 1.0, cfg.nlev + 1, dtype=np.float32)
+    hv = HybridVCoord(ps0=np.float32(1000.0),
+                      hyai=(0.1 * (1 - eta)).astype(np.float32),
+                      hybi=eta.astype(np.float32),
+                      hyam=None, hybm=None)
+    hv = dataclasses.replace(
+        hv, hyam=0.5 * (hv.hyai[:-1] + hv.hyai[1:]),
+        hybm=0.5 * (hv.hybi[:-1] + hv.hybi[1:]))
+    # positive dp3d at np1
+    dp = np.abs(np.asarray(st.dp3d)) + 1.0
+    st = dataclasses.replace(st, dp3d=dp.astype(np.float32))
+
+    ref = vertical_remap(st, hv, cfg)
+
+    np1, qn0 = cfg.np1, cfg.qn0
+    k = cfg.nlev
+    s = jnp.concatenate([pack_field_t(jnp.asarray(getattr(st, n)[np1]))
+                         for n in ("u", "v", "t", "dp3d")], axis=0)
+    qdp = jnp.concatenate([pack_field_t(jnp.asarray(st.qdp[qn0, :, q]))
+                           for q in range(cfg.qsize)], axis=0)
+    s2, q2 = remap_packed_t4(s, qdp, hv, nelem=cfg.nelem, nlev=k,
+                             qsize=cfg.qsize)
+
+    for i, n in enumerate(("u", "v", "t", "dp3d")):
+        got = np.asarray(unpack_field_t(s2[i * k:(i + 1) * k], cfg.nelem))
+        np.testing.assert_allclose(got, np.asarray(getattr(ref, n)[np1]),
+                                   rtol=2e-5, atol=2e-5, err_msg=n)
+    for q in range(cfg.qsize):
+        got = np.asarray(unpack_field_t(q2[q * k:(q + 1) * k], cfg.nelem))
+        np.testing.assert_allclose(got, np.asarray(ref.qdp[qn0, :, q]),
+                                   rtol=2e-5, atol=2e-5)

@@ -350,6 +350,32 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
     return PL(f.type(1.0 / 3.0) * qdp + f.type(2.0 / 3.0) * adv(q2), q2)
 
 
+@partial(jax.jit, static_argnames=("nelem", "nlev", "qsize", "scheme"))
+def remap_packed_t4(s, qdp, hv, nelem: int, nlev: int, qsize: int,
+                    scheme: str = "plm"):
+    """Conservative vertical remap of the packed stacked state + tracers
+    back to the reference hybrid levels (ops/remap.py::vertical_remap on
+    the packed layout; call every rsplit-th step). Returns (s', qdp')."""
+    from ..kernels.layout import pack_field_t, unpack_field_t
+    from ..ops.remap import reference_dp, remap_column
+
+    k = nlev
+    unp = lambda x: unpack_field_t(x, nelem)
+    u, v, t, dp_src = (unp(s[i * k:(i + 1) * k]) for i in range(4))
+    ptop = hv.hyai[0] * hv.ps0
+    ps = ptop + jnp.sum(dp_src, axis=-3)
+    dp_tgt = reference_dp(hv, ps).astype(s.dtype)
+    rmp = lambda x: remap_column(x, dp_src, dp_tgt, scheme=scheme)
+    s_new = jnp.concatenate(
+        [pack_field_t(rmp(x).astype(s.dtype)) for x in (u, v, t)]
+        + [pack_field_t(dp_tgt)], axis=0)
+    q_new = jnp.concatenate(
+        [pack_field_t((rmp(unp(qdp[q * k:(q + 1) * k]) / dp_src)
+                       * dp_tgt).astype(s.dtype))
+         for q in range(qsize)], axis=0)
+    return s_new, q_new
+
+
 @partial(jax.jit, static_argnames=("nu", "eb", "nlev", "plan", "qsplit",
                                    "moist", "subcycle", "limit_tracers",
                                    "interpret"))
