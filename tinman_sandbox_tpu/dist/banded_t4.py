@@ -39,8 +39,6 @@ from .structured_dss import _SIDES, _side_line_idx
 
 __all__ = ["caar_dss_banded_t4", "dss_banded_t"]
 
-_ZV = {"W": 0, "E": 1, "S": 2, "N": 3}
-
 
 @lru_cache(maxsize=None)
 def _banded_tables(plan, m: int):
@@ -63,7 +61,6 @@ def _banded_tables(plan, m: int):
           + np.arange(NP)[None, :] * NP + (NP - 1)).reshape(-1)
     sides_loc = {"W": W, "E": E, "S": S, "N": Nn}
     pattern = np.unique(np.concatenate([W, E, S, Nn]))
-    pat_pos = {int(l): i for i, l in enumerate(pattern)}
     npat = len(pattern)
 
     tiles = np.unique(pattern // 128)
