@@ -226,6 +226,7 @@ def main() -> None:
             sm1_0 = jnp.concatenate(
                 [p["um1"], p["vm1"], p["tm1"], p["dpm1"]], axis=0)
             const = const[:7] + (s0_0, sm1_0, p["qdp"], p["pecnd"])
+            sm1_dt = sm1_0.dtype
             # drop the unstacked prognostics (3.2 GB at ne120) — only the
             # accumulators are still needed below
             p = {k: p[k] for k in ("vn0u", "vn0v", "omg")}
@@ -236,7 +237,9 @@ def main() -> None:
                     nlev=cfg.nlev)
 
             def rotate(cst, o):
-                return cst[:7] + (o[0], cst[7]) + cst[9:11]
+                # keep the nm1 slot's storage dtype stable (bf16_ro)
+                return cst[:7] + (o[0], jnp.asarray(cst[7], sm1_dt)) \
+                    + cst[9:11]
 
             acc_of = lambda o: (o[2], o[3], o[4])
         elif cs is not None:

@@ -583,3 +583,49 @@ def test_remap_packed_t4_matches_field():
         got = np.asarray(unpack_field_t(q2[q * k:(q + 1) * k], cfg.nelem))
         np.testing.assert_allclose(got, np.asarray(ref.qdp[qn0, :, q]),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_caar_t4_bf16ro_tolerance():
+    """Stacked step with bf16 nm1/qdp/pecnd storage stays within the bf16
+    round-off envelope of the f32 path (interpret mode)."""
+    import jax
+
+    from tinman_sandbox_tpu import (
+        Config, analytic_hvcoord, random_state, zero_derived,
+    )
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_structured_packed_t4,
+    )
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=4)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=8))
+    dv = cast(zero_derived(cfg))
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    g = cast(cs.geometry)
+    plan = make_structured_plan(cs.gdof, 2)
+    pt = pack_problem_t(st, dv, g, hv, cfg)
+    scal = _scalars(0.5, 1.0, hv)
+    rsp = jnp.asarray(g.rspheremp, jnp.float32).reshape(1, -1)
+    s0 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    sm1 = jnp.concatenate([pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"]],
+                          axis=0)
+
+    def run(sm1x, qdpx, pecx):
+        return caar_dss_structured_packed_t4(
+            scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, sm1x, qdpx, pecx,
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp,
+            eb=4, nlev=4, interpret=True)
+
+    ref = run(sm1, pt["qdp"], pt["pecnd"])
+    bf = lambda x: jnp.asarray(x, jnp.bfloat16)
+    got = run(bf(sm1), bf(pt["qdp"]), bf(pt["pecnd"]))
+    for i in range(5):
+        a, b = np.asarray(got[i], np.float64), np.asarray(ref[i], np.float64)
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-30)
+        assert rel < 2e-2, (i, rel)       # bf16 has ~8 mantissa bits
+        assert np.isfinite(a).all()

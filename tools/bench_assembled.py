@@ -171,6 +171,16 @@ def main():
         return caar_dss_structured_packed_t4(*ops, *acc, plan, rsp_t,
                                              eb=args.eb, nlev=args.nlev)
 
+    # bf16 read-only storage on the stacked path: nm1 state + qdp + pecnd
+    # in bf16 (the kernel upcasts in VMEM), f32 compute and outputs
+    bf = lambda x: jnp.asarray(x, jnp.bfloat16)
+    ops0_t4_bf16 = ops0_t[:7] + (s0_0, bf(sm1_0), bf(pt["qdp"]),
+                                 bf(pt["pecnd"]))
+
+    def v_t4_structured_bf16ro(ops, acc):
+        return caar_dss_structured_packed_t4(*ops, *acc, plan, rsp_t,
+                                             eb=args.eb, nlev=args.nlev)
+
     variants = {
         "kernel_only": v_kernel_only,
         "t_kernel_only": v_t_kernel_only,
@@ -179,6 +189,7 @@ def main():
         "t_structured_roll": v_t_structured_roll,
         "t_structured_nostack": v_t_structured_nostack,
         "t4_structured": v_t4_structured,
+        "t4_structured_bf16ro": v_t4_structured_bf16ro,
         "kernel_only_chunks5": v_kernel_only_c5,
         "structured": v_structured,
         "structured_chunks5": v_structured_c5,
@@ -211,8 +222,11 @@ def main():
             for _ in range(chunk):
                 o = fn(ops, acc)
                 if t4:
-                    # stacked layout: (consts, s0, sm1, qdp, pecnd)
-                    ops = ops[:7] + (o[0], ops[7]) + ops[9:11]
+                    # stacked layout: (consts, s0, sm1, qdp, pecnd);
+                    # keep the nm1 slot's storage dtype (bf16_ro variants)
+                    ops = ops[:7] + (o[0], jnp.asarray(ops[7],
+                                                       ops[8].dtype)) \
+                        + ops[9:11]
                     acc = (o[2], o[3], o[4])
                 else:
                     # rotate: np1 -> n0, n0 -> nm1 (cast to the nm1 slots'
@@ -225,7 +239,8 @@ def main():
 
         def run(nsteps):
             nchunks = -(-nsteps // chunk)
-            ops = ops0_t4 if t4 else ops0_t if name.startswith("t_") else \
+            ops = (ops0_t4_bf16 if "bf16" in name else ops0_t4) if t4 \
+                else ops0_t if name.startswith("t_") else \
                 (ops_bf16 if "bf16" in name else ops_f32)
             acc = acc0_t if (name.startswith("t_") or t4) else acc0
             for _ in range(nchunks):
