@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -64,6 +65,25 @@ def main() -> None:
                     help="force the CPU backend (pallas runs interpreted "
                          "elsewhere; smoke-testing only)")
     args = ap.parse_args()
+
+    # the remote-TPU tunnel can die and leave jax.devices() hanging
+    # FOREVER (observed: a multi-hour relay outage mid-round). Probe the
+    # backend in a SUBPROCESS with a timeout and fall back to CPU so this
+    # script always emits its JSON line (with the recorded TPU entries).
+    if not args.cpu:
+        import subprocess
+        import sys as _sys
+        try:
+            ok = subprocess.run(
+                [_sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, capture_output=True).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print("WARNING: TPU backend probe failed/hung - falling back "
+                  "to CPU (recorded TPU numbers still reported)",
+                  file=sys.stderr)
+            args.cpu = True
 
     import jax
 
