@@ -629,3 +629,29 @@ def test_caar_t4_bf16ro_tolerance():
         rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-30)
         assert rel < 2e-2, (i, rel)       # bf16 has ~8 mantissa bits
         assert np.isfinite(a).all()
+
+
+def test_energy_diagnostics_packed_matches_field():
+    import jax
+
+    from tinman_sandbox_tpu import Config, analytic_hvcoord, random_state, \
+        zero_derived
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+    from tinman_sandbox_tpu.ops.diagnostics import (
+        energy_diagnostics, energy_diagnostics_packed_t,
+    )
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=5)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=2))
+    g = cast(cs.geometry)
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    ref = energy_diagnostics(st, g.spheremp, cfg)
+
+    pt = pack_problem_t(st, cast(zero_derived(cfg)), g, hv, cfg)
+    s = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    got = energy_diagnostics_packed_t(s, pt["meta"], nlev=cfg.nlev)
+    for kk in ("KE", "IE", "PE", "M"):
+        np.testing.assert_allclose(float(got[kk]), float(ref[kk]),
+                                   rtol=1e-6, err_msg=kk)

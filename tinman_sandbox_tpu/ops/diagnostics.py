@@ -54,3 +54,28 @@ def energy_diagnostics(state: State, spheremp, cfg: Config, tl: int | None = Non
         "PE": ginv * global_integral(phis * dp, spheremp),
         "M": ginv * global_integral(dp, spheremp),
     }
+
+
+@partial(jax.jit, static_argnames=("nlev",))
+def energy_diagnostics_packed_t(s, meta, nlev: int):
+    """energy_diagnostics on the packed stacked state ([4*nlev, E16] with
+    u/v/T/dp row blocks; meta [16, E16] carrying spheremp/phis rows) — the
+    monitoring hook for long packed-cadence runs (no unpacking)."""
+    from ..kernels.layout import META_COLS
+
+    c = CONSTANTS
+    k = nlev
+    u = s[0:k].astype(jnp.float64)
+    v = s[k:2 * k].astype(jnp.float64)
+    t = s[2 * k:3 * k].astype(jnp.float64)
+    dp = s[3 * k:4 * k].astype(jnp.float64)
+    sph = meta[META_COLS.index("spheremp")].astype(jnp.float64)[None]
+    phis = meta[META_COLS.index("phis")].astype(jnp.float64)[None]
+    ginv = 1.0 / c.g
+    gi = lambda f: jnp.sum(sph * f)
+    return {
+        "KE": ginv * gi(0.5 * (u * u + v * v) * dp),
+        "IE": ginv * c.Cp * gi(t * dp),
+        "PE": ginv * gi(phis * dp),
+        "M": ginv * gi(dp),
+    }
