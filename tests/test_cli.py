@@ -100,3 +100,17 @@ def test_cli_prim_field(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "prim(ssprk3+hypervis+tracers)" in out
+
+
+def test_packed_cadence_example():
+    """The packed-cadence example (full fused path + limiter + remap +
+    packed diagnostics) conserves mass and stays finite."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "examples/packed_cadence.py", "--ne", "2",
+         "--nlev", "4", "--steps", "4", "--cpu", "--qsplit", "1"],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "finite=True" in r.stdout
