@@ -159,3 +159,20 @@ def test_prim_banded_matches_packed():
                           got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+@pytest.mark.slow
+def test_packed_cadence_soak():
+    """50-step soak of the fused packed cadence (dynamics + hypervis +
+    limited tracers + remap cadence) on a real ne=2 sphere: finite state,
+    mass conserved through every stage."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "examples/packed_cadence.py", "--ne", "2",
+         "--nlev", "6", "--steps", "50", "--cpu", "--qsplit", "1",
+         "--rsplit", "5"],
+        capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "finite=True" in r.stdout
