@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 from .banded_t4 import _REP, _SPEC_L, caar_dss_banded_t4, dss_banded_t
 
