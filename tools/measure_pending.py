@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Run every TPU measurement that the round-2 tunnel outage interrupted.
+
+Probes the backend first (subprocess + timeout, the tunnel can hang
+forever), then runs, in order:
+
+  1. tools/tpu_equiv_check.py      — on-chip equivalence incl. the packed
+                                     prim cadence (updates TPU_EQUIV.json)
+  2. tools/bench_assembled.py      — t4 / t4-bf16ro / kernel-only sweep
+  3. bench.py --ne 30 --prim       — composed full-cadence number
+  4. bench.py                      — headline raw kernel
+  5. bench.py --ne 120             — assembled ne120
+
+Each step gets its own timeout; results append to MEASURE_PENDING.log and
+the bench JSON lines are echoed for manual BENCH_LOCAL.json updates.
+
+    python tools/measure_pending.py [--skip-probe]
+"""
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(tag, cmd, timeout, log):
+    print(f"== {tag}: {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    try:
+        r = subprocess.run(cmd, cwd=HERE, capture_output=True, text=True,
+                           timeout=timeout)
+        out = r.stdout[-4000:] + r.stderr[-2000:]
+        status = f"rc={r.returncode}"
+    except subprocess.TimeoutExpired as e:
+        out = ((e.stdout or b"").decode(errors="replace")[-2000:]
+               if isinstance(e.stdout, bytes) else str(e.stdout)[-2000:])
+        status = "TIMEOUT"
+    dtm = time.time() - t0
+    entry = f"\n===== {tag} ({status}, {dtm:.0f}s) =====\n{out}\n"
+    log.write(entry)
+    log.flush()
+    print(entry, flush=True)
+    return status
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-probe", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_probe:
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, capture_output=True).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print("TPU backend still unavailable — nothing run.")
+            return 1
+
+    py = sys.executable
+    with open(os.path.join(HERE, "MEASURE_PENDING.log"), "a") as log:
+        log.write(f"\n######## measure_pending {time.ctime()} ########\n")
+        run("tpu_equiv", [py, "tools/tpu_equiv_check.py"], 1200, log)
+        run("assembled_sweep",
+            [py, "tools/bench_assembled.py", "--variants", "t_kernel_only",
+             "t4_structured", "t4_structured_bf16ro", "--nexec", "150",
+             "--reps", "2"], 1200, log)
+        run("prim_ne30", [py, "bench.py", "--ne", "30", "--prim",
+                          "--nexec", "60", "--reps", "2"], 2400, log)
+        run("headline", [py, "bench.py"], 1200, log)
+        run("ne120_assembled", [py, "bench.py", "--ne", "120",
+                                "--nexec", "30", "--reps", "2"], 1800, log)
+    print("done — see MEASURE_PENDING.log")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
