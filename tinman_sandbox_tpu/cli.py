@@ -157,6 +157,11 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
+    if args.prim and args.leapfrog:
+        print("error: --prim manages its own time-level cadence; drop "
+              "--leapfrog", file=sys.stderr)
+        return 1
+
     if args.prim and not prim_packed:
         from .timeloop.prim import prim_run_step
 
