@@ -105,11 +105,15 @@ def test_cli_prim_field(capsys):
 def test_packed_cadence_example():
     """The packed-cadence example (full fused path + limiter + remap +
     packed diagnostics) conserves mass and stays finite."""
+    import os
     import subprocess
     import sys
 
     r = subprocess.run(
-        [sys.executable, "examples/packed_cadence.py", "--ne", "2",
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))), "examples", "packed_cadence.py"),
+         "--ne", "2",
          "--nlev", "4", "--steps", "4", "--cpu", "--qsplit", "1"],
         capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr

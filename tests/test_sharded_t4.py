@@ -166,11 +166,15 @@ def test_packed_cadence_soak():
     """50-step soak of the fused packed cadence (dynamics + hypervis +
     limited tracers + remap cadence) on a real ne=2 sphere: finite state,
     mass conserved through every stage."""
+    import os
     import subprocess
     import sys
 
     r = subprocess.run(
-        [sys.executable, "examples/packed_cadence.py", "--ne", "2",
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))), "examples", "packed_cadence.py"),
+         "--ne", "2",
          "--nlev", "6", "--steps", "50", "--cpu", "--qsplit", "1",
          "--rsplit", "5"],
         capture_output=True, text=True, timeout=900)
