@@ -243,6 +243,9 @@ def test_dss_pallas_t_matches_reference(ne):
     ref = np.asarray(dss_structured_scaled_t(x, plan, rsp))
     roll = np.asarray(rsp * dss_structured_t_roll(x, plan))
     pall = np.asarray(dss_structured_t_pallas(x, plan, rsp, interpret=True))
+    pall_vdt = np.asarray(dss_structured_t_pallas(x, plan, rsp, vdt=True,
+                                                  interpret=True))
+    np.testing.assert_allclose(pall_vdt, ref, rtol=2e-6, atol=2e-5)
     np.testing.assert_allclose(roll, ref, rtol=2e-6, atol=2e-5)
     np.testing.assert_allclose(pall, ref, rtol=2e-6, atol=2e-5)
 

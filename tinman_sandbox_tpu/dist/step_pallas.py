@@ -193,12 +193,13 @@ def caar_dss_structured_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     return assembled + o[4:]
 
 
-@partial(jax.jit, static_argnames=("eb", "nlev", "plan", "moist",
+@partial(jax.jit, static_argnames=("eb", "nlev", "plan", "moist", "vdt",
                                    "interpret"))
 def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
                                   meta, s0, sm1, qdp, pecnd,
                                   vn0u, vn0v, omg, plan, rsp_lanes,
                                   eb: int, nlev: int, moist: bool = True,
+                                  vdt: bool = False,
                                   interpret: bool = False):
     """Stacked-state assembled step: the four prognostics ride in ONE
     [4*nlev, E16] buffer per time level (kernels.caar_pallas_t.
@@ -212,7 +213,7 @@ def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
         scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
         eb=eb, nlev=nlev, moist=moist, interpret=interpret)
-    assembled = dss_structured_t_pallas(s1, plan, rsp_lanes,
+    assembled = dss_structured_t_pallas(s1, plan, rsp_lanes, vdt=vdt,
                                         interpret=interpret)
     return assembled, phi, vn0u1, vn0v1, omg1
 

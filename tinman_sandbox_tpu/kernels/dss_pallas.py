@@ -67,7 +67,8 @@ def _sweep_masks_np(ne: int, nf: int):
     ]).astype(jnp.bfloat16)
 
 
-def _sweep_kernel_t(db: int, tiles: tuple, lb: int, interpret: bool,
+def _sweep_kernel_t(db: int, tiles: tuple, lb: int, vdt: bool,
+                    interpret: bool,
                     x_ref, m_ref, rsp_ref, vd_ref, dm_ref, out_ref):
     # the block is an integral number of WHOLE faces, so the cyclic roll
     # wrap (and any roll across an interior face boundary) only pollutes
@@ -86,13 +87,16 @@ def _sweep_kernel_t(db: int, tiles: tuple, lb: int, interpret: bool,
     # fused edge/corner merge: rewrite only the statically-known 128-lane
     # tiles that contain fix lanes (the tile-dense vals/mask operands are
     # laid out one 128-lane slot per affected tile; the tile pattern is
-    # face-local, hence identical for every block)
+    # face-local, hence identical for every block). With ``vdt`` the vals
+    # buffer arrives TRANSPOSED [wd, bk] (a fast XLA row-scatter built it)
+    # and is flipped in-VMEM here.
+    vd = vd_ref[:].T if vdt else vd_ref[:]
     for n, t in enumerate(tiles):
         wdt = min(128, lb - t * 128)
         m = dm_ref[:, n * 128:n * 128 + wdt]
         out_ref[:, t * 128:t * 128 + wdt] = (
             w[:, t * 128:t * 128 + wdt] * (1.0 - m)
-            + vd_ref[:, n * 128:n * 128 + wdt] * m
+            + vd[:, n * 128:n * 128 + wdt] * m
         )
 
 
@@ -167,10 +171,11 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
     )(x_ext, masks, rsp, vals_dense, dense_mask)
 
 
-@partial(jax.jit, static_argnames=("ne", "tiles", "nf", "faces",
+@partial(jax.jit, static_argnames=("ne", "tiles", "nf", "faces", "vdt",
                                    "interpret", "block_k"))
 def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
                         tiles: tuple, nf: int, faces: int = 6,
+                        vdt: bool = False,
                         interpret: bool = False, block_k: int = 16):
     """rsp * (alpha+beta sweeps of x) with the edge/corner fix merged in.
     The grid is (k/bk, faces/nf): each block carries ``nf`` whole faces on
@@ -195,8 +200,12 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
     masks = jnp.asarray(_sweep_masks_np(ne, nf))
     db = NPSQ * ne - (NP - 1)
     wd = len(tiles) * 128
+    vd_spec = pl.BlockSpec((wd, bk), lambda i, j: (j, i),
+                           memory_space=pltpu.VMEM) if vdt else \
+        pl.BlockSpec((bk, wd), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_sweep_kernel_t, db, tiles, lb, interpret),
+        partial(_sweep_kernel_t, db, tiles, lb, vdt, interpret),
         grid=(k // bk, faces // nf),
         in_specs=[
             pl.BlockSpec((bk, lb), lambda i, j: (i, j),
@@ -205,8 +214,7 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lb), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, wd), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
+            vd_spec,
             pl.BlockSpec((1, wd), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -415,8 +423,9 @@ def dss_fixup_t(x_pre, rsp, plan):
     return vals_uniq, idx_uniq
 
 
-@partial(jax.jit, static_argnames=("plan", "interpret"))
-def dss_structured_t_pallas(x, plan, rsp_lanes, interpret: bool = False):
+@partial(jax.jit, static_argnames=("plan", "vdt", "interpret"))
+def dss_structured_t_pallas(x, plan, rsp_lanes, vdt: bool = False,
+                            interpret: bool = False):
     """rspheremp * DSS(x) on transposed [k, e16] fields — three passes:
     (1) `extract_tiles_t` copies only the affected 128-lane tiles out
     TRANSPOSED, (2) the compact fixup (row gathers + line/corner sums)
@@ -428,9 +437,16 @@ def dss_structured_t_pallas(x, plan, rsp_lanes, interpret: bool = False):
     _, _, _, tiles, nf, dense_idx, dense_mask = _fixup_arrays(plan)
     gtiles, _, _ = _fixup_arrays_t(plan)
     xd_t = extract_tiles_t(x, gtiles, interpret=interpret)
-    vals = dss_fixup_tiles_t(xd_t, rsp_lanes, plan).T
+    vals_t = dss_fixup_tiles_t(xd_t, rsp_lanes, plan)
     k = x.shape[0]
-    vd = jnp.zeros((k, (6 // nf) * len(tiles) * 128), jnp.float32).at[
-        :, jnp.asarray(dense_idx)].set(vals, unique_indices=True)
+    wd_tot = (6 // nf) * len(tiles) * 128
+    if vdt:
+        # keep vals TRANSPOSED: row-scatter (fast path) + in-kernel flip
+        vd = jnp.zeros((wd_tot, k), jnp.float32).at[
+            jnp.asarray(dense_idx)].set(vals_t, unique_indices=True)
+    else:
+        vd = jnp.zeros((k, wd_tot), jnp.float32).at[
+            :, jnp.asarray(dense_idx)].set(vals_t.T, unique_indices=True)
     return dss_sweeps_pallas_t(x, rsp_lanes, vd, jnp.asarray(dense_mask),
-                               plan.ne, tiles, nf, interpret=interpret)
+                               plan.ne, tiles, nf, vdt=vdt,
+                               interpret=interpret)

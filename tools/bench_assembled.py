@@ -181,6 +181,12 @@ def main():
         return caar_dss_structured_packed_t4(*ops, *acc, plan, rsp_t,
                                              eb=args.eb, nlev=args.nlev)
 
+    def v_t4_structured_vdt(ops, acc):
+        # transposed vals buffer: XLA row-scatter + in-kernel flip
+        return caar_dss_structured_packed_t4(*ops, *acc, plan, rsp_t,
+                                             eb=args.eb, nlev=args.nlev,
+                                             vdt=True)
+
     variants = {
         "kernel_only": v_kernel_only,
         "t_kernel_only": v_t_kernel_only,
@@ -190,6 +196,7 @@ def main():
         "t_structured_nostack": v_t_structured_nostack,
         "t4_structured": v_t4_structured,
         "t4_structured_bf16ro": v_t4_structured_bf16ro,
+        "t4_structured_vdt": v_t4_structured_vdt,
         "kernel_only_chunks5": v_kernel_only_c5,
         "structured": v_structured,
         "structured_chunks5": v_structured_c5,
