@@ -156,6 +156,11 @@ def main() -> None:
     if direct_packed and kernel != "pallas":
         raise SystemExit("--layout t at >=16384 elements requires the "
                          "Pallas kernel (TPU backend or --pallas)")
+    if args.prim and not (cs is not None and kernel == "pallas"
+                          and args.layout == "t"):
+        raise SystemExit("--prim requires --ne with the Pallas kernel and "
+                         "layout t (TPU backend or --pallas; CPU smoke: "
+                         "examples/packed_cadence.py --cpu)")
 
     dt2, eta = dtype.type(0.1), dtype.type(1.0)
 
