@@ -164,6 +164,41 @@ def main():
     print("stacked-state (t4) assembled step rel-max vs XLA+segment-sum DSS:",
           json.dumps(assembled_t4), flush=True)
 
+    # -- multi-chip code paths, degenerate 1-device mesh ----------------------
+    # (compiles the face-sharded and banded sweep/fixup kernels ON CHIP;
+    # the collectives degenerate but the Mosaic programs are the real ones)
+    from jax.sharding import Mesh
+
+    from tinman_sandbox_tpu.dist.banded_t4 import caar_dss_banded_t4
+    from tinman_sandbox_tpu.dist.sharded_t4 import caar_dss_sharded_t4
+
+    s0p4 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]],
+                           axis=0)
+    sm1p4 = jnp.concatenate([pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"]],
+                            axis=0)
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("e",))
+    shard_args = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+                  pt["bstrt"], pt["meta"], s0p4, sm1p4, pt["qdp"],
+                  pt["pecnd"], pt["vn0u"], pt["vn0v"], pt["omg"],
+                  plan, rsp_t)
+    with mesh1:
+        shd = caar_dss_sharded_t4(*shard_args, mesh1,
+                                  eb=cfg2.elem_block, nlev=cfg2.nlev)
+        jax.block_until_ready(shd[0])
+        bnd = caar_dss_banded_t4(*shard_args, mesh1, 2,
+                                 eb=cfg2.elem_block, nlev=cfg2.nlev)
+        jax.block_until_ready(bnd[0])
+    kk2 = cfg2.nlev
+    sharded = {}
+    for tag, got in (("sharded", shd), ("banded", bnd)):
+        for i, name in enumerate(("u", "v", "t", "dp3d")):
+            sharded[f"{tag}_{name}"] = relmax(
+                unpack_field_t(got[0][i * kk2:(i + 1) * kk2], cfg2.nelem),
+                getattr(rs, name)[cfg2.np1])
+    report["sharded_paths_relmax"] = sharded
+    print("sharded/banded (1-device mesh) rel-max vs XLA+segment-sum DSS:",
+          json.dumps(sharded), flush=True)
+
     # -- full packed prim cadence (SSPRK3 + hypervis + tracers) ---------------
     from tinman_sandbox_tpu.dist.dss import dss_project
     from tinman_sandbox_tpu.dist.step_pallas import prim_step_packed_t4
@@ -217,7 +252,7 @@ def main():
 
     worst = max(list(kernel.values()) + list(assembled.values())
                 + list(kernel_t.values()) + list(assembled_t.values())
-                + list(assembled_t4.values()))
+                + list(assembled_t4.values()) + list(sharded.values()))
     report["worst_relmax"] = worst
     # the prim cadence chains ~10 kernels and a nonlinear stage order, so
     # its fp-reorder envelope is wider than the single-step gate
