@@ -180,3 +180,25 @@ def test_orbax_async_checkpoint_roundtrip(tmp_path):
 
     with pytest.raises(ValueError):
         load_checkpoint_orbax(path, Config(nelem=5, nlev=6))
+
+
+def test_packed_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+
+    from tinman_sandbox_tpu.timeloop import (
+        load_packed_checkpoint, save_packed_checkpoint,
+    )
+
+    rng = np.random.default_rng(3)
+    s = rng.standard_normal((16, 384)).astype(np.float32)
+    q = rng.standard_normal((8, 384)).astype(np.float32)
+    acc = tuple(rng.standard_normal((4, 384)).astype(np.float32)
+                for _ in range(3))
+    p = str(tmp_path / "packed.npz")
+    save_packed_checkpoint(p, s, q, acc, step=17)
+    s2, q2, acc2, step = load_packed_checkpoint(p)
+    assert step == 17
+    np.testing.assert_array_equal(s2, s)
+    np.testing.assert_array_equal(q2, q)
+    for a, b in zip(acc2, acc):
+        np.testing.assert_array_equal(a, b)

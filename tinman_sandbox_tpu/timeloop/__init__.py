@@ -4,8 +4,10 @@ from .checkpoint import (
     finish_async_checkpoints,
     load_checkpoint,
     load_checkpoint_orbax,
+    load_packed_checkpoint,
     save_checkpoint,
     save_checkpoint_orbax,
+    save_packed_checkpoint,
 )
 from .driver import benchmark_loop, check_dp3d, leapfrog_step, rotated, run_leapfrog
 from .hyperviscosity import apply_hyperviscosity, biharmonic_wk
@@ -26,6 +28,8 @@ __all__ = [
     "ssprk3_tracer_step",
     "save_checkpoint",
     "load_checkpoint",
+    "save_packed_checkpoint",
+    "load_packed_checkpoint",
     "save_checkpoint_orbax",
     "load_checkpoint_orbax",
     "finish_async_checkpoints",

@@ -19,6 +19,7 @@ from ..config import Config
 from ..state import Derived, State
 
 __all__ = ["save_checkpoint", "load_checkpoint", "save_checkpoint_orbax",
+           "save_packed_checkpoint", "load_packed_checkpoint",
            "load_checkpoint_orbax", "finish_async_checkpoints"]
 
 _STATE_FIELDS = [f.name for f in dataclasses.fields(State)]
@@ -128,3 +129,39 @@ def load_checkpoint_orbax(path: str, cfg: Config):
         qn0=int(meta["qn0"]),
     )
     return state, derived, cfg, int(meta["step"])
+
+
+def save_packed_checkpoint(path: str, s, qdp, acc, step: int) -> None:
+    """Checkpoint the PACKED cadence chain (prim_step_packed_t4 operands:
+    stacked prognostics s [4*nlev, E16], tracer block qdp [qsize*nlev,
+    E16], accumulator triple) without unpacking — restart the production
+    loop exactly where it stopped. Atomic like save_checkpoint."""
+    import json as _json
+
+    arrays = {
+        "packed.s": np.asarray(s),
+        "packed.qdp": np.asarray(qdp),
+        "packed.vn0u": np.asarray(acc[0]),
+        "packed.vn0v": np.asarray(acc[1]),
+        "packed.omg": np.asarray(acc[2]),
+        "meta": np.frombuffer(
+            _json.dumps({"step": step, "packed": True}).encode(),
+            dtype=np.uint8).copy(),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_packed_checkpoint(path: str):
+    """Read a packed checkpoint; returns (s, qdp, (vn0u, vn0v, omg), step)."""
+    import json as _json
+
+    with np.load(path) as z:
+        meta = _json.loads(bytes(z["meta"]).decode())
+        if not meta.get("packed"):
+            raise ValueError(f"{path} is not a packed checkpoint")
+        return (z["packed.s"], z["packed.qdp"],
+                (z["packed.vn0u"], z["packed.vn0v"], z["packed.omg"]),
+                int(meta["step"]))
