@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--eb", type=int, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="CPU backend + interpret-mode kernels (smoke)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="write a packed-chain checkpoint here at the end "
+                         "and restart from it if it already exists")
     args = ap.parse_args()
 
     import jax
@@ -105,13 +108,23 @@ def main():
     consts = (pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
               pt["meta"])
 
+    step0 = 0
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        from tinman_sandbox_tpu.timeloop import load_packed_checkpoint
+
+        s, qdp, acc, step0 = load_packed_checkpoint(args.checkpoint)
+        s, qdp = jnp.asarray(s), jnp.asarray(qdp)
+        acc = tuple(jnp.asarray(a) for a in acc)
+        print(f" restarted packed chain at step {step0} "
+              f"from {args.checkpoint}", flush=True)
+
     d0 = {k: float(v) for k, v in
           energy_diagnostics_packed_t(s, pt["meta"], nlev=cfg.nlev).items()}
-    print(" step 0: " + "  ".join(f"{k}={v:.6e}" for k, v in d0.items()),
-          flush=True)
+    print(f" step {step0}: "
+          + "  ".join(f"{k}={v:.6e}" for k, v in d0.items()), flush=True)
 
     t0 = time.perf_counter()
-    for step in range(1, args.steps + 1):
+    for step in range(step0 + 1, step0 + args.steps + 1):
         s, qdp, phi, a, b, c = prim_step_packed_t4(
             scal, *consts, s, qdp, pt["pecnd"], *acc, plan, rsp, args.nu,
             eb=eb, nlev=cfg.nlev, qsplit=args.qsplit, limit_tracers=True,
@@ -120,13 +133,21 @@ def main():
         if args.rsplit and step % args.rsplit == 0:
             s, qdp = remap_packed_t4(s, qdp, hv, nelem=cfg.nelem,
                                      nlev=cfg.nlev, qsize=cfg.qsize)
-        if step == args.steps or step % max(args.steps // 4, 1) == 0:
+        if step == step0 + args.steps or step % max(args.steps // 4, 1) == 0:
             d = {k: float(v) for k, v in energy_diagnostics_packed_t(
                 s, pt["meta"], nlev=cfg.nlev).items()}
             print(f" step {step}: "
                   + "  ".join(f"{k}={v:.6e}" for k, v in d.items()),
                   flush=True)
     wall = time.perf_counter() - t0
+
+    if args.checkpoint:
+        from tinman_sandbox_tpu.timeloop import save_packed_checkpoint
+
+        save_packed_checkpoint(args.checkpoint, s, qdp, acc,
+                               step0 + args.steps)
+        print(f" packed chain checkpointed to {args.checkpoint}",
+              flush=True)
 
     drift = abs(d["M"] - d0["M"]) / abs(d0["M"])
     finite = bool(jnp.all(jnp.isfinite(s)))
