@@ -303,6 +303,116 @@ def test_caar_structured_t4_matches_t():
                                    rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("ne", [2, 3])
+def test_caar_t4_fused_extract_matches_unfused(ne):
+    """Producer-fused tile extraction (the CAAR kernel writes the DSS
+    fixup's transposed affected-tile slab as a slot-mapped extra output,
+    kernels.caar_pallas_t.caar_pallas_packed_t4_ext) is BITWISE equal to
+    the separate extract_tiles_t dispatch. ne=2 exercises the fused path
+    (elem_block=8, e16 % 128 == 0); ne=3 exercises the silent fallback
+    (864 lanes are not 128-aligned)."""
+    import jax
+
+    from tinman_sandbox_tpu import (
+        Config, analytic_hvcoord, random_state, zero_derived,
+    )
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_structured_packed_t4,
+    )
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+
+    cs = build_cubed_sphere(ne)
+    eb = 8 if ne % 2 == 0 else 6   # odd ne: 6*ne*ne*16 is not 128-aligned
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=eb)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=11))
+    dv = cast(zero_derived(cfg))
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    g = cast(cs.geometry)
+    plan = make_structured_plan(cs.gdof, ne)
+    pt = pack_problem_t(st, dv, g, hv, cfg)
+    scal = _scalars(0.5, 1.0, hv)
+    rsp = jnp.asarray(g.rspheremp, jnp.float32).reshape(1, -1)
+    s0 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    sm1 = jnp.concatenate([pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"]],
+                          axis=0)
+    args = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp)
+    ref = caar_dss_structured_packed_t4(*args, eb=eb, nlev=4,
+                                        fuse_extract=False, interpret=True)
+    fused = caar_dss_structured_packed_t4(*args, eb=eb, nlev=4,
+                                          fuse_extract=True, interpret=True)
+    for a, b, name in zip(fused, ref, ("s1", "phi", "vn0u", "vn0v", "omg")):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+    if ne % 2 == 0:
+        # the fused kernel's slab itself matches extract_tiles_t
+        from tinman_sandbox_tpu.kernels.caar_pallas_t import (
+            caar_pallas_packed_t4, caar_pallas_packed_t4_ext,
+        )
+        from tinman_sandbox_tpu.kernels.dss_pallas import (
+            _fixup_arrays_t, extract_tiles_t, ext_slot_arrays,
+        )
+
+        e16 = s0.shape[1]
+        sf, nt = ext_slot_arrays(plan, e16 // 128)
+        out = caar_pallas_packed_t4_ext(
+            *args[:7], s0, sm1, pt["qdp"], pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], jnp.asarray(sf),
+            nt=nt, nlev=4, interpret=True)
+        s1_plain = caar_pallas_packed_t4(
+            *args[:7], s0, sm1, pt["qdp"], pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"],
+            eb=8, nlev=4, interpret=True)[0]
+        gtiles = _fixup_arrays_t(plan)[0]
+        slab_ref = extract_tiles_t(s1_plain, gtiles, interpret=True)
+        assert np.array_equal(np.asarray(out[5]), np.asarray(slab_ref))
+
+
+def test_hypervis_tracer_fused_extract_matches_unfused():
+    """Producer-fused tile extraction in the hyperviscosity Laplacian and
+    tracer Euler kernels is bitwise equal to the separate extract dispatch
+    (interpret mode, ne=2, elem_block=8)."""
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        apply_hypervis_packed_t, ssprk3_tracer_packed_t,
+    )
+    from tinman_sandbox_tpu.kernels.layout import META_COLS, pack_meta_t
+    from tinman_sandbox_tpu.kernels.layout import block_derivative_ops
+    from tinman_sandbox_tpu.grid import dvv_matrix
+
+    ne = 2
+    cs = build_cubed_sphere(ne)
+    plan = make_structured_plan(cs.gdof, ne)
+    nelem, k = cs.nelem, 4
+    e16 = nelem * 16
+    rsp = jnp.asarray(
+        np.asarray(cs.geometry.rspheremp, np.float32).reshape(1, -1))
+    meta = jnp.asarray(pack_meta_t(
+        cs.geometry, np.zeros((nelem, 4, 4), np.float32), np.float32))
+    dxb, dyb = block_derivative_ops(8, dvv_matrix(np.float32), np.float32)
+    dxbt, dybt = jnp.asarray(dxb.T), jnp.asarray(dyb.T)
+
+    uvt = jnp.asarray(RNG.standard_normal((3 * k, e16)), jnp.float32)
+    hv_args = (dxbt, dybt, meta, uvt, plan, rsp, 1e-4, 0.5)
+    a = apply_hypervis_packed_t(*hv_args, eb=8, nlev=k,
+                                fuse_extract=True, interpret=True)
+    b = apply_hypervis_packed_t(*hv_args, eb=8, nlev=k,
+                                fuse_extract=False, interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    vu = jnp.asarray(RNG.standard_normal((k, e16)), jnp.float32)
+    vv = jnp.asarray(RNG.standard_normal((k, e16)), jnp.float32)
+    qdp = jnp.asarray(RNG.uniform(0.1, 1.0, (2 * k, e16)), jnp.float32)
+    tr_args = (dxbt, dybt, meta, vu, vv, qdp, plan, rsp, 0.01)
+    qa = ssprk3_tracer_packed_t(*tr_args, eb=8, nlev=k,
+                                fuse_extract=True, interpret=True)
+    qb = ssprk3_tracer_packed_t(*tr_args, eb=8, nlev=k,
+                                fuse_extract=False, interpret=True)
+    assert np.array_equal(np.asarray(qa), np.asarray(qb))
+
+
 def test_ssprk3_packed_t4_matches_field_rk():
     """Packed-Pallas SSPRK3 (3x fused kernel + Pallas DSS, interpret mode)
     == timeloop.rk.ssprk3_step on a CONTINUOUS initial state."""

@@ -194,20 +194,40 @@ def caar_dss_structured_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "moist", "vdt",
-                                   "interpret"))
+                                   "fuse_extract", "interpret"))
 def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
                                   meta, s0, sm1, qdp, pecnd,
                                   vn0u, vn0v, omg, plan, rsp_lanes,
                                   eb: int, nlev: int, moist: bool = True,
                                   vdt: bool = False,
+                                  fuse_extract: bool = True,
                                   interpret: bool = False):
     """Stacked-state assembled step: the four prognostics ride in ONE
     [4*nlev, E16] buffer per time level (kernels.caar_pallas_t.
     caar_pallas_packed_t4), so the Pallas DSS runs ONCE over the stacked
-    kernel output with no concat/split passes. Returns
-    (s1_assembled, phi, vn0u', vn0v', omega_p')."""
-    from ..kernels.caar_pallas_t import caar_pallas_packed_t4
-    from ..kernels.dss_pallas import dss_structured_t_pallas
+    kernel output with no concat/split passes. With ``fuse_extract``
+    (default, requires elem_block == 8 and e16 % 128 == 0 — even ne) the
+    CAAR kernel itself emits the DSS fixup's transposed affected-tile slab
+    as a slot-mapped extra output, eliminating the separate extract_tiles_t
+    dispatch. Returns (s1_assembled, phi, vn0u', vn0v', omega_p')."""
+    from ..kernels.caar_pallas_t import (
+        caar_pallas_packed_t4, caar_pallas_packed_t4_ext,
+    )
+    from ..kernels.dss_pallas import (
+        dss_structured_t_pallas, dss_structured_t_pallas_pre,
+        ext_slot_arrays,
+    )
+
+    e16 = s0.shape[1]
+    if fuse_extract and eb * 16 == 128 and e16 % 128 == 0:
+        sf, nt = ext_slot_arrays(plan, e16 // 128)
+        s1, phi, vn0u1, vn0v1, omg1, xd_t = caar_pallas_packed_t4_ext(
+            scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+            s0, sm1, qdp, pecnd, vn0u, vn0v, omg, jnp.asarray(sf),
+            nt=nt, nlev=nlev, moist=moist, interpret=interpret)
+        assembled = dss_structured_t_pallas_pre(
+            s1, xd_t, plan, rsp_lanes, vdt=vdt, interpret=interpret)
+        return assembled, phi, vn0u1, vn0v1, omg1
 
     s1, phi, vn0u1, vn0v1, omg1 = caar_pallas_packed_t4(
         scal, dxbt, dybt, ainct, astrt, bstrt, meta,
@@ -261,39 +281,59 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "subcycle",
-                                   "interpret"))
+                                   "fuse_extract", "interpret"))
 def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
                             nu, dt, eb: int, nlev: int, nu_ratio=1.0,
-                            subcycle: int = 1, interpret: bool = False):
+                            subcycle: int = 1, fuse_extract: bool = True,
+                            interpret: bool = False):
     """Biharmonic hyperviscosity on the stacked [3*nlev, E16] (u, v, T)
     layout: per subcycle, two (packed weak-Laplacian Pallas kernel ->
     structured Pallas DSS) passes, then X -= (dt/subcycle)*nu*grad^4(X)
-    (timeloop/hyperviscosity.py math on the fused fast path)."""
-    from ..kernels.dss_pallas import dss_structured_t_pallas
-    from ..kernels.hypervis_pallas_t import vlap_pallas_packed_t
+    (timeloop/hyperviscosity.py math on the fused fast path). With
+    ``fuse_extract`` (default; elem_block == 8 and 128-aligned e16) the
+    Laplacian kernel emits the DSS fixup slab itself."""
+    from ..kernels.dss_pallas import (
+        dss_structured_t_pallas, dss_structured_t_pallas_pre,
+        ext_slot_arrays,
+    )
+    from ..kernels.hypervis_pallas_t import (
+        vlap_pallas_packed_t, vlap_pallas_packed_t_ext,
+    )
 
     f = uvt.dtype
+    e16 = uvt.shape[1]
     sc = jnp.asarray(nu_ratio, jnp.float32).reshape(1, 1) * jnp.ones(
         (1, 4), jnp.float32)
     step = jnp.asarray(dt, f) / subcycle * jnp.asarray(nu, f)
+
+    if fuse_extract and eb * 16 == 128 and e16 % 128 == 0:
+        sf, nt = ext_slot_arrays(plan, e16 // 128)
+        sfj = jnp.asarray(sf)
+
+        def lap_dss(x):
+            l, xd_t = vlap_pallas_packed_t_ext(
+                sc, dxbt, dybt, meta, x, sfj,
+                nt=nt, nlev=nlev, interpret=interpret)
+            return dss_structured_t_pallas_pre(l, xd_t, plan, rsp_lanes,
+                                               interpret=interpret)
+    else:
+        def lap_dss(x):
+            l = vlap_pallas_packed_t(sc, dxbt, dybt, meta, x,
+                                     eb=eb, nlev=nlev, interpret=interpret)
+            return dss_structured_t_pallas(l, plan, rsp_lanes,
+                                           interpret=interpret)
+
     x = uvt
     for _ in range(subcycle):
-        l1 = vlap_pallas_packed_t(sc, dxbt, dybt, meta, x,
-                                  eb=eb, nlev=nlev, interpret=interpret)
-        a1 = dss_structured_t_pallas(l1, plan, rsp_lanes,
-                                     interpret=interpret)
-        l2 = vlap_pallas_packed_t(sc, dxbt, dybt, meta, a1,
-                                  eb=eb, nlev=nlev, interpret=interpret)
-        a2 = dss_structured_t_pallas(l2, plan, rsp_lanes,
-                                     interpret=interpret)
-        x = x - step * a2
+        x = x - step * lap_dss(lap_dss(x))
     return x
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "limit",
-                                   "interpret"))
+                                   "fuse_extract", "interpret"))
 def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
                            dt, eb: int, nlev: int, limit: bool = False,
+                           fuse_extract: bool = True,
                            interpret: bool = False):
     """SSPRK3 tracer transport on the packed path: each stage is the fused
     Euler kernel (kernels/tracer_pallas_t.py, spheremp folded in) closed by
@@ -303,22 +343,39 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
     projected step). ``limit`` applies the monotone mass-conserving
     limiter (ops/limiter.py) per stage: the packed lane axis reshapes to
     [.., e, np, np] for free, spheremp is applied after the clip."""
-    from ..kernels.dss_pallas import dss_structured_t_pallas
-    from ..kernels.tracer_pallas_t import tracer_euler_pallas_packed_t
+    from ..kernels.dss_pallas import (
+        dss_structured_t_pallas, dss_structured_t_pallas_pre,
+        ext_slot_arrays,
+    )
+    from ..kernels.tracer_pallas_t import (
+        tracer_euler_pallas_packed_t, tracer_euler_pallas_packed_t_ext,
+    )
 
     f = qdp.dtype
+    e16 = qdp.shape[1]
     scal = jnp.zeros((1, 4), jnp.float32).at[0, 0].set(
         jnp.asarray(dt, jnp.float32))
 
     if not limit:
         # P is linear and P(qdp) = qdp, so it pulls inside the convex
         # combinations and each stage is one fused kernel + one DSS
-        def stage(q):
-            e = tracer_euler_pallas_packed_t(
-                scal, dxbt, dybt, meta, vu, vv, q,
-                eb=eb, nlev=nlev, interpret=interpret)
-            return dss_structured_t_pallas(e, plan, rsp_lanes,
-                                           interpret=interpret)
+        if fuse_extract and eb * 16 == 128 and e16 % 128 == 0:
+            sf, nt = ext_slot_arrays(plan, e16 // 128)
+            sfj = jnp.asarray(sf)
+
+            def stage(q):
+                e, xd_t = tracer_euler_pallas_packed_t_ext(
+                    scal, dxbt, dybt, meta, vu, vv, q, sfj,
+                    nt=nt, nlev=nlev, interpret=interpret)
+                return dss_structured_t_pallas_pre(
+                    e, xd_t, plan, rsp_lanes, interpret=interpret)
+        else:
+            def stage(q):
+                e = tracer_euler_pallas_packed_t(
+                    scal, dxbt, dybt, meta, vu, vv, q,
+                    eb=eb, nlev=nlev, interpret=interpret)
+                return dss_structured_t_pallas(e, plan, rsp_lanes,
+                                               interpret=interpret)
 
         q1 = stage(qdp)
         q2 = f.type(0.75) * qdp + f.type(0.25) * stage(q1)

@@ -46,6 +46,7 @@ from .layout import (
 __all__ = [
     "caar_pallas_t",
     "caar_pallas_packed_t",
+    "caar_pallas_packed_t4_ext",
     "caar_pallas_packed_rsplit0_t",
     "pack_problem_t",
 ]
@@ -54,8 +55,13 @@ _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
 def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
-                   stacked, *refs):
+                   stacked, ext, *refs):
     assert not (stacked and rsplit0)
+    assert not (ext and not stacked)
+    sf_ref = ext_ref = None
+    if ext:
+        # scalar-prefetch slot/flag table first, slab output last
+        sf_ref, refs, ext_ref = refs[0], refs[1:-1], refs[-1]
     if rsplit0:
         (scal_ref, dxbt_ref, dybt_ref, ainct_ref, astrt_ref, bstrt_ref,
          hyb_ref, meta_ref,
@@ -207,6 +213,18 @@ def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
         s1_ref[k_:2 * k_] = v1v
         s1_ref[2 * k_:3 * k_] = t1v
         s1_ref[3 * k_:4 * k_] = dp1v
+        if ext:
+            # producer-fused tile extraction (kernels/dss_pallas.py::
+            # ext_slot_arrays): affected 128-lane blocks also write their
+            # np1 state TRANSPOSED to the slab slot; unflagged blocks skip
+            # the write so the revisit-coalesced flush keeps the affected
+            # tile's data
+            @pl.when(sf_ref[1, pl.program_id(0)] == 1)
+            def _write_slab():
+                ext_ref[:, 0:k_] = u1v.T
+                ext_ref[:, k_:2 * k_] = v1v.T
+                ext_ref[:, 2 * k_:3 * k_] = t1v.T
+                ext_ref[:, 3 * k_:4 * k_] = dp1v.T
     else:
         u1_ref[:] = u1v
         v1_ref[:] = v1v
@@ -245,7 +263,7 @@ def caar_pallas_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
-        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, False, False,
+        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, False, False, False,
     )
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
     return pl.pallas_call(
@@ -300,7 +318,7 @@ def caar_pallas_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas,
         CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
-        False, True,
+        False, True, False,
     )
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
     out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f),
@@ -332,6 +350,79 @@ def caar_pallas_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
       s0, sm1, qdp, pecnd, vn0u, vn0v, omg)
 
 
+@partial(jax.jit, static_argnames=("nt", "nlev", "moist", "interpret"))
+def caar_pallas_packed_t4_ext(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                              s0, sm1, qdp, pecnd, vn0u, vn0v, omg, sf,
+                              nt: int, nlev: int, moist: bool = True,
+                              interpret: bool = False):
+    """`caar_pallas_packed_t4` with PRODUCER-FUSED tile extraction for the
+    structured-DSS epilogue: ``sf`` is the [2, nblocks] slot/flag table
+    from kernels.dss_pallas.ext_slot_arrays (scalar prefetch) and the
+    kernel emits a sixth output — the affected 128-lane tiles of s1,
+    transposed, in gtiles order ([nt*128, 4*nlev]) — which feeds
+    dss_structured_t_pallas_pre directly. Saves the separate
+    extract_tiles_t dispatch and its read pass of ~38% of the field.
+    The lane grid is fixed at 128-lane blocks (elem_block == 8); requires
+    e16 % 128 == 0 (even cubed-sphere ne). Returns
+    (s1, phi, vn0u', vn0v', omega_p', xd_t)."""
+    k4, e16 = s0.shape
+    k = nlev
+    assert k4 == 4 * k, (k4, k)
+    assert e16 % 128 == 0, e16
+    nblocks = e16 // 128
+    assert sf.shape == (2, nblocks), (sf.shape, nblocks)
+    f = jnp.float32
+    eb16 = 128
+
+    fld = lambda r: pl.BlockSpec((r, eb16), lambda i, sf: (0, i),
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = partial(
+        _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas,
+        CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
+        False, True, True,
+    )
+    flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
+    out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f),
+                 jax.ShapeDtypeStruct((k, e16), f)] + [
+        jax.ShapeDtypeStruct((k, e16), f) for _ in range(3)] + [
+        jax.ShapeDtypeStruct((nt * 128, 4 * k), f)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+                         memory_space=pltpu.SMEM),
+            rep((eb16, eb16)), rep((eb16, eb16)),
+            rep((k, k)), rep((k, k)), rep((k, k)),
+            pl.BlockSpec((len(META_COLS), eb16), lambda i, sf: (0, i),
+                         memory_space=pltpu.VMEM),
+            fld(4 * k), fld(4 * k),              # s0, sm1 (stacked)
+            fld(k), fld(k),                      # qdp, pecnd
+            fld(k), fld(k), fld(k),              # accumulators
+        ],
+        out_specs=[fld(4 * k), fld(k), fld(k), fld(k), fld(k),
+                   pl.BlockSpec((128, 4 * k), lambda i, sf: (sf[0, i], 0),
+                                memory_space=pltpu.VMEM)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        # operand indices include the scalar-prefetch arg (pallas_call
+        # validates against the FLAT input list)
+        input_output_aliases={12: 2, 13: 3, 14: 4},
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * flops_per_block,
+            bytes_accessed=(14 + 8) * e16 * k * 4 + nt * 128 * 4 * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(sf, scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+      s0, sm1, qdp, pecnd, vn0u, vn0v, omg)
+
+
 @partial(jax.jit, static_argnames=("eb", "nlev", "moist", "interpret"))
 def caar_pallas_packed_rsplit0_t(scal, dxbt, dybt, ainct, astrt, bstrt,
                                  hyb, meta,
@@ -353,7 +444,7 @@ def caar_pallas_packed_rsplit0_t(scal, dxbt, dybt, ainct, astrt, bstrt,
                                      memory_space=pltpu.VMEM)
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
-        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, True, False,
+        CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, True, False, False,
     )
     return pl.pallas_call(
         kernel,

@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import NP, NPSQ
 
 __all__ = ["dss_sweeps_pallas_t", "dss_structured_t_pallas",
-           "dss_sweeps_banded_t"]
+           "dss_structured_t_pallas_pre", "dss_sweeps_banded_t",
+           "ext_slot_arrays"]
 
 
 @lru_cache(maxsize=None)
@@ -434,9 +435,23 @@ def dss_structured_t_pallas(x, plan, rsp_lanes, vdt: bool = False,
     copy, measured 44 vs 799 us at ne30), (3) ONE Pallas pass does the
     sweeps + tile merge. Drop-in for
     dist.structured_dss.dss_structured_scaled_t."""
-    _, _, _, tiles, nf, dense_idx, dense_mask = _fixup_arrays(plan)
     gtiles, _, _ = _fixup_arrays_t(plan)
     xd_t = extract_tiles_t(x, gtiles, interpret=interpret)
+    return dss_structured_t_pallas_pre(x, xd_t, plan, rsp_lanes, vdt=vdt,
+                                       interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("plan", "vdt", "interpret"))
+def dss_structured_t_pallas_pre(x, xd_t, plan, rsp_lanes, vdt: bool = False,
+                                interpret: bool = False):
+    """`dss_structured_t_pallas` with the affected-tile slab ``xd_t``
+    already in hand: the PRODUCER kernel wrote it as a slot-mapped extra
+    output (e.g. kernels.caar_pallas_t.caar_pallas_packed_t4_ext via
+    `ext_slot_arrays`), so the separate extract dispatch and its read pass
+    of the affected tiles disappear. xd_t rows must follow the
+    `_fixup_arrays_t(plan)` gtiles order (ascending global tile index,
+    each tile transposed to [128, k])."""
+    _, _, _, tiles, nf, dense_idx, dense_mask = _fixup_arrays(plan)
     vals_t = dss_fixup_tiles_t(xd_t, rsp_lanes, plan)
     k = x.shape[0]
     wd_tot = (6 // nf) * len(tiles) * 128
@@ -450,3 +465,30 @@ def dss_structured_t_pallas(x, plan, rsp_lanes, vdt: bool = False,
     return dss_sweeps_pallas_t(x, rsp_lanes, vd, jnp.asarray(dense_mask),
                                plan.ne, tiles, nf, vdt=vdt,
                                interpret=interpret)
+
+
+@lru_cache(maxsize=None)
+def ext_slot_arrays(plan, nblocks: int):
+    """Slot/flag tables for PRODUCER-fused tile extraction over a grid of
+    ``nblocks`` 128-lane blocks: row 0 maps grid block i to the xd_t slab
+    slot of the most recent affected tile at or before i (monotone
+    non-decreasing, so consecutive blocks sharing a slot coalesce into ONE
+    buffer flush under Pallas revisiting semantics), row 1 flags the
+    affected tiles (the producer writes its transposed block to the slab
+    only when flagged — unflagged visits leave the resident buffer
+    untouched, so each slot's flush carries exactly its affected tile).
+    Requires the producer's lane grid to be 128-lane blocks covering
+    [*, nblocks*128] — i.e. e16 % 128 == 0 and elem_block*NPSQ == 128."""
+    gtiles, _, _ = _fixup_arrays_t(plan)
+    assert gtiles == tuple(sorted(gtiles)) and gtiles[-1] < nblocks, (
+        gtiles[-1], nblocks)
+    pos = {t: n for n, t in enumerate(gtiles)}
+    slots = np.zeros(nblocks, np.int32)
+    flags = np.zeros(nblocks, np.int32)
+    s = 0
+    for i in range(nblocks):
+        if i in pos:
+            s = pos[i]
+            flags[i] = 1
+        slots[i] = s
+    return np.stack([slots, flags]), len(gtiles)

@@ -34,13 +34,18 @@ from ..constants import CONSTANTS
 from .fdot import make_dots
 from .layout import META_COLS
 
-__all__ = ["vlap_pallas_packed_t"]
+__all__ = ["vlap_pallas_packed_t", "vlap_pallas_packed_t_ext"]
 
 _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
-def _vlap_kernel_t(split, rrearth, scal_ref, dxbt_ref, dybt_ref,
-                   dxb_ref, dyb_ref, meta_ref, x_ref, o_ref):
+def _vlap_kernel_t(split, rrearth, ext, *refs):
+    if ext:
+        (sf_ref, scal_ref, dxbt_ref, dybt_ref, dxb_ref, dyb_ref, meta_ref,
+         x_ref, o_ref, ext_ref) = refs
+    else:
+        (scal_ref, dxbt_ref, dybt_ref, dxb_ref, dyb_ref, meta_ref,
+         x_ref, o_ref) = refs
     f32 = jnp.float32
     nu_ratio = scal_ref[0, 0]
     dot, _, _ = make_dots(split)
@@ -101,9 +106,19 @@ def _vlap_kernel_t(split, rrearth, scal_ref, dxbt_ref, dybt_ref,
     cw2 = (d10 * c0 + d11 * c1c) * rr
 
     rigid = (2.0 * rr * rr) * sph
-    o_ref[0:k] = rigid * u + (gw1 - cw1)
-    o_ref[k:2 * k] = rigid * v + (gw2 - cw2)
+    lu = rigid * u + (gw1 - cw1)
+    lv = rigid * v + (gw2 - cw2)
+    o_ref[0:k] = lu
+    o_ref[k:2 * k] = lv
     o_ref[2 * k:3 * k] = lap_t
+    if ext:
+        # producer-fused tile extraction for the DSS fixup (see
+        # kernels/dss_pallas.py::ext_slot_arrays)
+        @pl.when(sf_ref[1, pl.program_id(0)] == 1)
+        def _write_slab():
+            ext_ref[:, 0:k] = lu.T
+            ext_ref[:, k:2 * k] = lv.T
+            ext_ref[:, 2 * k:3 * k] = lap_t.T
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "interpret"))
@@ -124,7 +139,7 @@ def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
                                  memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
-    kernel = partial(_vlap_kernel_t, not interpret, CONSTANTS.rrearth)
+    kernel = partial(_vlap_kernel_t, not interpret, CONSTANTS.rrearth, False)
     # 8 strong/adjoint derivative matmuls per block
     flops_per_block = 8 * 2 * eb16 * eb16 * k
     return pl.pallas_call(
@@ -147,4 +162,58 @@ def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
         ),
         interpret=interpret,
     )(scal, dxbt, dybt,
+      jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x)
+
+
+@partial(jax.jit, static_argnames=("nt", "nlev", "interpret"))
+def vlap_pallas_packed_t_ext(scal, dxbt, dybt, meta, x, sf,
+                             nt: int, nlev: int, interpret: bool = False):
+    """`vlap_pallas_packed_t` with producer-fused tile extraction: ``sf``
+    is the slot/flag table from kernels.dss_pallas.ext_slot_arrays and the
+    second output is the transposed affected-tile slab [nt*128, 3*nlev]
+    for dss_structured_t_pallas_pre. Lane grid fixed at 128-lane blocks
+    (elem_block == 8); requires e16 % 128 == 0."""
+    k3, e16 = x.shape
+    k = nlev
+    assert k3 == 3 * k, (k3, k)
+    assert e16 % 128 == 0, e16
+    nblocks = e16 // 128
+    assert sf.shape == (2, nblocks), (sf.shape, nblocks)
+    eb16 = 128
+    f = jnp.float32
+
+    fld = lambda r: pl.BlockSpec((r, eb16), lambda i, sf: (0, i),
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = partial(_vlap_kernel_t, not interpret, CONSTANTS.rrearth, True)
+    flops_per_block = 8 * 2 * eb16 * eb16 * k
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+                         memory_space=pltpu.SMEM),
+            rep((eb16, eb16)), rep((eb16, eb16)),
+            rep((eb16, eb16)), rep((eb16, eb16)),
+            pl.BlockSpec((len(META_COLS), eb16), lambda i, sf: (0, i),
+                         memory_space=pltpu.VMEM),
+            fld(3 * k),
+        ],
+        out_specs=[fld(3 * k),
+                   pl.BlockSpec((128, 3 * k), lambda i, sf: (sf[0, i], 0),
+                                memory_space=pltpu.VMEM)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((3 * k, e16), f),
+                   jax.ShapeDtypeStruct((nt * 128, 3 * k), f)],
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * flops_per_block,
+            bytes_accessed=6 * e16 * k * 4 + nt * 128 * 3 * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(sf, scal, dxbt, dybt,
       jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x)

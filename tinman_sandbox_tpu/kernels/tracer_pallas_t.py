@@ -23,13 +23,18 @@ from ..constants import CONSTANTS
 from .fdot import make_dots
 from .layout import META_COLS
 
-__all__ = ["tracer_euler_pallas_packed_t"]
+__all__ = ["tracer_euler_pallas_packed_t", "tracer_euler_pallas_packed_t_ext"]
 
 _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
-def _tracer_kernel_t(split, rrearth, nq, fold_sph, scal_ref, dxbt_ref,
-                     dybt_ref, meta_ref, vu_ref, vv_ref, q_ref, o_ref):
+def _tracer_kernel_t(split, rrearth, nq, fold_sph, ext, *refs):
+    if ext:
+        (sf_ref, scal_ref, dxbt_ref, dybt_ref, meta_ref,
+         vu_ref, vv_ref, q_ref, o_ref, ext_ref) = refs
+    else:
+        (scal_ref, dxbt_ref, dybt_ref, meta_ref,
+         vu_ref, vv_ref, q_ref, o_ref) = refs
     f32 = jnp.float32
     dt = scal_ref[0, 0]
     dot, _, _ = make_dots(split)
@@ -54,7 +59,14 @@ def _tracer_kernel_t(split, rrearth, nq, fold_sph, scal_ref, dxbt_ref,
         gv2 = metdet * (dinv10 * vq1 + dinv11 * vq2)
         div = (dot(gv1, dxbt) + dot(gv2, dybt)) * (rmetdet * rr)
         adv = q - dt * div
-        o_ref[t * k:(t + 1) * k] = sph * adv if fold_sph else adv
+        out = sph * adv if fold_sph else adv
+        o_ref[t * k:(t + 1) * k] = out
+        if ext:
+            # producer-fused tile extraction for the DSS fixup (see
+            # kernels/dss_pallas.py::ext_slot_arrays)
+            @pl.when(sf_ref[1, pl.program_id(0)] == 1)
+            def _write_slab(out=out, t=t):
+                ext_ref[:, t * k:(t + 1) * k] = out.T
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "fold_sph", "interpret"))
@@ -78,7 +90,7 @@ def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     kernel = partial(_tracer_kernel_t, not interpret, CONSTANTS.rrearth, nq,
-                     fold_sph)
+                     fold_sph, False)
     return pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -98,3 +110,56 @@ def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
         ),
         interpret=interpret,
     )(scal, dxbt, dybt, meta, vu, vv, qdp)
+
+
+@partial(jax.jit, static_argnames=("nt", "nlev", "fold_sph", "interpret"))
+def tracer_euler_pallas_packed_t_ext(scal, dxbt, dybt, meta, vu, vv, qdp,
+                                     sf, nt: int, nlev: int,
+                                     fold_sph: bool = True,
+                                     interpret: bool = False):
+    """`tracer_euler_pallas_packed_t` with producer-fused tile extraction:
+    second output is the transposed affected-tile slab [nt*128, qk] for
+    dss_structured_t_pallas_pre (see kernels.dss_pallas.ext_slot_arrays).
+    Lane grid fixed at 128-lane blocks; requires e16 % 128 == 0."""
+    qk, e16 = qdp.shape
+    k = nlev
+    assert qk % k == 0, (qk, k)
+    nq = qk // k
+    assert e16 % 128 == 0, e16
+    nblocks = e16 // 128
+    assert sf.shape == (2, nblocks), (sf.shape, nblocks)
+    eb16 = 128
+
+    fld = lambda r: pl.BlockSpec((r, eb16), lambda i, sf: (0, i),
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = partial(_tracer_kernel_t, not interpret, CONSTANTS.rrearth, nq,
+                     fold_sph, True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+                         memory_space=pltpu.SMEM),
+            rep((eb16, eb16)), rep((eb16, eb16)),
+            pl.BlockSpec((len(META_COLS), eb16), lambda i, sf: (0, i),
+                         memory_space=pltpu.VMEM),
+            fld(k), fld(k), fld(qk),
+        ],
+        out_specs=[fld(qk),
+                   pl.BlockSpec((128, qk), lambda i, sf: (sf[0, i], 0),
+                                memory_space=pltpu.VMEM)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((qk, e16), jnp.float32),
+                   jax.ShapeDtypeStruct((nt * 128, qk), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * nq * 2 * 2 * eb16 * eb16 * k,
+            bytes_accessed=2 * (qk + k) * e16 * 4 + nt * 128 * qk * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(sf, scal, dxbt, dybt, meta, vu, vv, qdp)

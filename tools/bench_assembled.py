@@ -187,6 +187,13 @@ def main():
                                              eb=args.eb, nlev=args.nlev,
                                              vdt=True)
 
+    def v_t4_structured_nofuse(ops, acc):
+        # A/B control: separate extract_tiles_t dispatch instead of the
+        # producer-fused slab output
+        return caar_dss_structured_packed_t4(*ops, *acc, plan, rsp_t,
+                                             eb=args.eb, nlev=args.nlev,
+                                             fuse_extract=False)
+
     variants = {
         "kernel_only": v_kernel_only,
         "t_kernel_only": v_t_kernel_only,
@@ -194,7 +201,8 @@ def main():
         "t_structured_slice": v_t_structured_slice,
         "t_structured_roll": v_t_structured_roll,
         "t_structured_nostack": v_t_structured_nostack,
-        "t4_structured": v_t4_structured,
+        "t4_structured": v_t4_structured,        # fuse_extract=True default
+        "t4_structured_nofuse": v_t4_structured_nofuse,
         "t4_structured_bf16ro": v_t4_structured_bf16ro,
         "t4_structured_vdt": v_t4_structured_vdt,
         "kernel_only_chunks5": v_kernel_only_c5,

@@ -67,9 +67,10 @@ def main():
         run("tpu_equiv", [py, "tools/tpu_equiv_check.py"], 1200, log)
         run("assembled_sweep",
             [py, "tools/bench_assembled.py", "--variants", "t_kernel_only",
-             "t4_structured", "t4_structured_bf16ro", "t4_structured_vdt",
+             "t4_structured", "t4_structured_nofuse",
+             "t4_structured_bf16ro", "t4_structured_vdt",
              "--nexec", "150",
-             "--reps", "2"], 1200, log)
+             "--reps", "2"], 1500, log)
         run("prim_ne30", [py, "bench.py", "--ne", "30", "--prim",
                           "--nexec", "60", "--reps", "2"], 2400, log)
         run("headline", [py, "bench.py"], 1200, log)

@@ -164,6 +164,33 @@ def main():
     print("stacked-state (t4) assembled step rel-max vs XLA+segment-sum DSS:",
           json.dumps(assembled_t4), flush=True)
 
+    # -- producer-fused tile extraction (compiled slab == extract_tiles_t) ----
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import (
+        caar_pallas_packed_t4, caar_pallas_packed_t4_ext,
+    )
+    from tinman_sandbox_tpu.kernels.dss_pallas import (
+        _fixup_arrays_t, ext_slot_arrays, extract_tiles_t,
+    )
+
+    e16_t4 = s0.shape[1]
+    sf, nt = ext_slot_arrays(plan, e16_t4 // 128)
+    ext_out = caar_pallas_packed_t4_ext(
+        scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
+        pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+        pt["vn0u"], pt["vn0v"], pt["omg"], jnp.asarray(sf),
+        nt=nt, nlev=cfg2.nlev)
+    s1_plain = caar_pallas_packed_t4(
+        scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
+        pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+        pt["vn0u"], pt["vn0v"], pt["omg"],
+        eb=cfg2.elem_block, nlev=cfg2.nlev)[0]
+    slab_ref = extract_tiles_t(s1_plain, _fixup_arrays_t(plan)[0])
+    jax.block_until_ready(slab_ref)
+    slab_rel = relmax(ext_out[5], slab_ref)
+    report["fused_extract_slab_relmax"] = slab_rel
+    print(f"producer-fused extract slab rel-max vs extract_tiles_t: "
+          f"{slab_rel:.3e}", flush=True)
+
     # -- multi-chip code paths, degenerate 1-device mesh ----------------------
     # (compiles the face-sharded and banded sweep/fixup kernels ON CHIP;
     # the collectives degenerate but the Mosaic programs are the real ones)
@@ -252,7 +279,8 @@ def main():
 
     worst = max(list(kernel.values()) + list(assembled.values())
                 + list(kernel_t.values()) + list(assembled_t.values())
-                + list(assembled_t4.values()) + list(sharded.values()))
+                + list(assembled_t4.values()) + list(sharded.values())
+                + [report["fused_extract_slab_relmax"]])
     report["worst_relmax"] = worst
     # the prim cadence chains ~10 kernels and a nonlinear stage order, so
     # its fp-reorder envelope is wider than the single-step gate
