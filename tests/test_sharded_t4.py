@@ -161,6 +161,67 @@ def test_prim_banded_matches_packed():
                                    rtol=1e-5, atol=1e-5, err_msg=name)
 
 
+def test_banded_vmem_ne120_scale():
+    """ne120-class band decompositions fit the sweep kernel's VMEM model
+    (ROADMAP round-3: pod-slice numbers are unavailable, so the fit is
+    proven from the kernel's own block accounting), and inadmissible
+    decompositions raise."""
+    from tinman_sandbox_tpu.dist.banded_t4 import banded_vmem_report
+
+    # plausible pod-slice shapes for ne=120, nlev=72, qsize=35 (the
+    # reference's tracer-heavy config, level_vectorized config.h.in)
+    for m, N in [(2, 12), (4, 8), (4, 24), (12, 24), (30, 36), (60, 72)]:
+        r = banded_vmem_report(120, m, N, nlev=72, qsize=35)
+        assert r["fits"], r
+        assert r["per_stage"]["dynamics"]["bk"] % 8 == 0
+        assert r["lanes_per_shard"] * N == 6 * 120 * 120 * 16
+        # every chunk's extended block is 128-lane aligned when multi-chunk
+        assert r["cps"] == 1 or r["bl"] % 128 == 0
+
+    # the single-chip ne120 face block (nf=1) also fits — cross-check the
+    # same model against the face-sharded path's largest lane block
+    from tinman_sandbox_tpu.kernels.dss_pallas import (
+        SWEEP_VMEM_CAP, fit_block_k, sweep_vmem_bytes,
+    )
+    face = 120 * 120 * 16
+    bk = fit_block_k(4 * 72, face, 16)
+    assert sweep_vmem_bytes(bk, face) <= SWEEP_VMEM_CAP
+
+    # inadmissible: multi-chunk without 128-aligned band lanes
+    with pytest.raises(AssertionError):
+        banded_vmem_report(12, 4, 8, nlev=4)     # bl=576, cps=3
+    with pytest.raises(AssertionError):
+        banded_vmem_report(120, 7, 6, nlev=72)   # m does not divide ne
+
+
+@pytest.mark.parametrize("ne,m,nshards,eb", [(16, 4, 8, 4)])
+def test_banded_t4_multichunk_scale(ne, m, nshards, eb):
+    """cps=3 band chunks per shard at a larger grid (1536 elements) — the
+    decomposition shape an ne120 pod slice would use, at test scale."""
+    if len(jax.devices()) < nshards:
+        pytest.skip("needs %d devices" % nshards)
+    cs, cfg, plan, pt, scal, rsp, s0, sm1 = _setup(ne, nlev=4, eb=eb)
+
+    ref = caar_dss_structured_packed_t4(
+        scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
+        pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+        pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp,
+        eb=eb, nlev=4, interpret=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:nshards]), ("e",))
+    with mesh:
+        got = caar_dss_banded_t4(
+            scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp, mesh, m,
+            eb=eb, nlev=4, interpret=True)
+
+    names = ("assembled", "phi", "vn0u", "vn0v", "omg")
+    for name, a, b in zip(names, got, (ref[0],) + tuple(ref[1:])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+
 @pytest.mark.slow
 def test_packed_cadence_soak():
     """50-step soak of the fused packed cadence (dynamics + hypervis +

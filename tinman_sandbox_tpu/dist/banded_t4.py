@@ -37,7 +37,49 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import NP, NPSQ
 from .structured_dss import _SIDES, _side_line_idx
 
-__all__ = ["caar_dss_banded_t4", "dss_banded_t"]
+__all__ = ["caar_dss_banded_t4", "dss_banded_t", "banded_vmem_report"]
+
+
+def banded_vmem_report(ne: int, m: int, N: int, nlev: int,
+                       qsize: int = 1, block_k: int = 16) -> dict:
+    """Static VMEM accounting for a band-sharded decomposition at scale
+    (ROADMAP: ne120-class shards cannot be measured without a pod slice,
+    so the fit is proven arithmetically from the sweep kernel's own block
+    model — `kernels.dss_pallas.fit_block_k`).
+
+    Checks every stacked row count the prim cadence pushes through the
+    banded sweep (dynamics 4*nlev, hyperviscosity 3*nlev, tracers
+    qsize*nlev) and returns the worst case. Raises on an inadmissible
+    decomposition (N does not divide 6m, multi-chunk shards without
+    128-aligned band lanes, m does not divide ne)."""
+    from ..kernels.dss_pallas import (
+        SWEEP_VMEM_CAP, fit_block_k, sweep_vmem_bytes,
+    )
+
+    assert ne % m == 0 and m >= 2, (ne, m)
+    assert (6 * m) % N == 0, (m, N)
+    cps = 6 * m // N
+    rl = ne * NPSQ
+    br = ne // m
+    bl = br * rl
+    ext = bl + 2 * rl
+    assert bl % 128 == 0 or cps == 1, \
+        f"multi-chunk shards need 128 | band lanes (bl={bl})"
+    rows = {"dynamics": 4 * nlev, "hypervis": 3 * nlev,
+            "tracers": max(qsize, 1) * nlev}
+    per = {}
+    worst = 0
+    for name, k in rows.items():
+        bk = fit_block_k(k, ext, block_k)
+        b = sweep_vmem_bytes(bk, ext)
+        per[name] = {"k": k, "bk": bk, "vmem_bytes": b}
+        worst = max(worst, b)
+    return dict(ne=ne, m=m, N=N, cps=cps, br=br, bl=bl, ext=ext,
+                lanes_per_shard=cps * bl,
+                elems_per_shard=cps * bl // NPSQ,
+                per_stage=per, worst_vmem_bytes=worst,
+                cap_bytes=SWEEP_VMEM_CAP,
+                fits=bool(worst <= SWEEP_VMEM_CAP))
 
 
 @lru_cache(maxsize=None)

@@ -47,7 +47,31 @@ from ..config import NP, NPSQ
 
 __all__ = ["dss_sweeps_pallas_t", "dss_structured_t_pallas",
            "dss_structured_t_pallas_pre", "dss_sweeps_banded_t",
-           "ext_slot_arrays"]
+           "ext_slot_arrays", "fit_block_k", "SWEEP_VMEM_CAP"]
+
+# sweep-kernel VMEM budget: ~12 live [bk, lanes] f32 buffers (x/out double-
+# buffered + Mosaic temps) under the 100 MB vmem_limit_bytes cap, with ~3
+# buffer-equivalents of fixed overhead (masks/rsp/vd/dm operands)
+SWEEP_VMEM_CAP = 100 * 1024 * 1024
+
+
+def fit_block_k(k: int, lanes: int, block_k: int) -> int:
+    """Largest sublane block bk <= block_k such that ~(12*bk + 3) live
+    [*, lanes] f32 rows fit SWEEP_VMEM_CAP, bk is a multiple of 8, and
+    bk | k (falling back to bk = k, always a legal single block)."""
+    bk_fit = max(8, 8 * int((SWEEP_VMEM_CAP / (lanes * 4) - 3) // 96))
+    bk = min(block_k, bk_fit)
+    while bk > 8 and k % bk:
+        bk -= 8
+    if k % bk:
+        bk = k
+    return bk
+
+
+def sweep_vmem_bytes(bk: int, lanes: int) -> int:
+    """Estimated peak sweep-kernel VMEM for a [bk, lanes] f32 block under
+    the fit_block_k accounting model."""
+    return (12 * bk + 3) * lanes * 4
 
 
 @lru_cache(maxsize=None)
@@ -139,12 +163,7 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
     k, _ = x_ext.shape
     ext = bl + 2 * rl
     assert x_ext.shape[1] == nchunks * ext, (x_ext.shape, nchunks, ext)
-    bk_fit = max(8, 8 * int((100e6 / (ext * 4) - 3) // 96))
-    bk = min(block_k, bk_fit)
-    while bk > 8 and k % bk:
-        bk -= 8
-    if k % bk:
-        bk = k
+    bk = fit_block_k(k, ext, block_k)
     db = rl - (NP - 1)
     wd = len(tiles) * 128
     return pl.pallas_call(
@@ -166,7 +185,7 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, nchunks * bl), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=SWEEP_VMEM_CAP,
         ),
         interpret=interpret,
     )(x_ext, masks, rsp, vals_dense, dense_mask)
@@ -189,15 +208,7 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
     assert e16 == faces * ne * ne * NPSQ, (e16, ne, faces)
     lb = nf * ne * ne * NPSQ
     assert nf == faces or lb % 128 == 0, (lb, nf)
-    # VMEM budget: ~12 live [bk, lb] buffers (x/out double-buffered +
-    # Mosaic temps) must fit the ~100 MB limit; sublane blocks must be
-    # multiples of 8
-    bk_fit = max(8, 8 * int((100e6 / (lb * 4) - 3) // 96))
-    bk = min(block_k, bk_fit)
-    while bk > 8 and k % bk:
-        bk -= 8
-    if k % bk:
-        bk = k        # block == full sublane dim is always legal
+    bk = fit_block_k(k, lb, block_k)
     masks = jnp.asarray(_sweep_masks_np(ne, nf))
     db = NPSQ * ne - (NP - 1)
     wd = len(tiles) * 128
@@ -223,7 +234,7 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, e16), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=SWEEP_VMEM_CAP,
         ),
         interpret=interpret,
     )(x, masks, rsp, vals_dense, dense_mask)
