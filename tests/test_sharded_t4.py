@@ -39,7 +39,10 @@ def _setup(ne, nlev, eb):
     return cs, cfg, plan, pt, scal, rsp, s0, sm1
 
 
-@pytest.mark.parametrize("ne,nshards,eb", [(2, 6, 4), (4, 3, 4), (4, 2, 4)])
+@pytest.mark.parametrize("ne,nshards,eb", [
+    (2, 6, 4), (4, 3, 4), (4, 2, 4),
+    (4, 3, 8), (4, 2, 8),   # eb=8: producer-fused tile extraction
+])
 def test_sharded_t4_matches_single_device(ne, nshards, eb):
     if len(jax.devices()) < nshards:
         pytest.skip("needs %d devices" % nshards)
@@ -71,6 +74,7 @@ from jax.sharding import Mesh
 
 @pytest.mark.parametrize("ne,m,nshards,eb", [
     (4, 2, 2, 4), (4, 2, 4, 4), (4, 2, 6, 4), (8, 4, 8, 4),
+    (4, 2, 4, 8), (8, 4, 8, 8),   # eb=8: producer-fused tile extraction
 ])
 def test_banded_t4_matches_single_device(ne, m, nshards, eb):
     """Band-sharded step (element-row bands, halo-row ppermute + compact
@@ -99,8 +103,10 @@ def test_banded_t4_matches_single_device(ne, m, nshards, eb):
                                    rtol=1e-6, atol=1e-6, err_msg=name)
 
 
-def test_prim_banded_matches_packed():
-    """Band-sharded FULL prim cadence == single-device packed cadence."""
+@pytest.mark.parametrize("eb", [4, 8])
+def test_prim_banded_matches_packed(eb):
+    """Band-sharded FULL prim cadence == single-device packed cadence
+    (eb=8 exercises the producer-fused extraction in every stage)."""
     nshards, ne, m = 4, 4, 2
     if len(jax.devices()) < nshards:
         pytest.skip("needs %d devices" % nshards)
@@ -114,7 +120,7 @@ def test_prim_banded_matches_packed():
     from tinman_sandbox_tpu.kernels.layout import pack_field_t
 
     cs = build_cubed_sphere(ne)
-    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=4, qsize=2, dt=0.02)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=eb, qsize=2, dt=0.02)
     cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
     st = cast(random_state(cfg, seed=5))
     g = cast(cs.geometry)
@@ -147,12 +153,12 @@ def test_prim_banded_matches_packed():
             pt["bstrt"], pt["meta"], s0, qdp0, pt["pecnd"],
             pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp)
 
-    ref = prim_step_packed_t4(*args, nu, eb=4, nlev=4, qsplit=2,
+    ref = prim_step_packed_t4(*args, nu, eb=eb, nlev=4, qsplit=2,
                               interpret=True)
 
     mesh = Mesh(np.asarray(jax.devices()[:nshards]), ("e",))
     with mesh:
-        got = prim_step_banded_t4(*args, mesh, m, nu, eb=4, nlev=4,
+        got = prim_step_banded_t4(*args, mesh, m, nu, eb=eb, nlev=4,
                                   qsplit=2, interpret=True)
 
     for name, a, b in zip(("s1", "qdp", "phi", "vn0u", "vn0v", "omg"),

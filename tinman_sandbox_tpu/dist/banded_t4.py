@@ -289,7 +289,7 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool):
     send_bwd = [(s, s - 1) for s in range(1, N)
                 if ((s * cps) % m) != 0]
 
-    def dss_local(s1, rsp, dm_l, masks_l):
+    def dss_local(s1, rsp, dm_l, masks_l, xd_t=None):
         shard = jax.lax.axis_index("e")
         k4 = s1.shape[0]
         # tables indexed by TRACED chunk ids need jnp form; converting here
@@ -312,8 +312,10 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool):
             pieces += [s1[:, l * bl:(l + 1) * bl], nxt, prv]
         x_ext = jnp.concatenate(pieces, axis=1)
 
-        # compact line segments -> all_gather -> full lines
-        xd_t = extract_tiles_t(s1, gtiles_shard, interpret=interpret)
+        # compact line segments -> all_gather -> full lines (the slab may
+        # arrive producer-fused from the CAAR kernel's extra output)
+        if xd_t is None:
+            xd_t = extract_tiles_t(s1, gtiles_shard, interpret=interpret)
         ws = jnp.stack([xd_t[rowW + l * wd] for l in range(cps)])
         es = jnp.stack([xd_t[rowE + l * wd] for l in range(cps)])
         sn = jnp.stack([jnp.stack([xd_t[rowS + l * wd],
@@ -358,7 +360,7 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool):
             x_ext, rsp, vd, dm_l, masks_l, tiles, nchunks=cps, bl=bl,
             rl=rl, interpret=interpret)
 
-    return dss_local, dm_g, masks_g
+    return dss_local, dm_g, masks_g, gtiles_shard
 
 
 _SPEC_L = P(None, "e")
@@ -375,18 +377,37 @@ def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     """Band-sharded assembled leapfrog step over ``mesh`` axis "e" with
     N | 6m shards (cps = 6m/N band chunks each; chunk = ne/m element
     rows). Same contract as caar_dss_structured_packed_t4."""
-    from ..kernels.caar_pallas_t import caar_pallas_packed_t4
+    from ..kernels.caar_pallas_t import (
+        caar_pallas_packed_t4, caar_pallas_packed_t4_ext,
+    )
+    from ..kernels.dss_pallas import slot_arrays_for_gtiles
 
-    dss_local, dm_g, masks_g = _banded_dss_builder(
-        plan, m, mesh.shape["e"], interpret)
+    N = mesh.shape["e"]
+    dss_local, dm_g, masks_g, gtiles_shard = _banded_dss_builder(
+        plan, m, N, interpret)
+
+    # producer-fused tile extraction when the shard's lane axis is 128-
+    # aligned and the kernel runs 128-lane blocks (elem_block == 8)
+    local_lanes = s0.shape[1] // N
+    fuse_ext = eb * NPSQ == 128 and local_lanes % 128 == 0
+    if fuse_ext:
+        sf_np, nt_ext = slot_arrays_for_gtiles(gtiles_shard,
+                                               local_lanes // 128)
 
     def body(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
              s0, sm1, qdp, pecnd, vn0u, vn0v, omg, rsp, dm_l, masks_l):
-        s1, phi, a1, b1, c1 = caar_pallas_packed_t4(
-            scal, dxbt, dybt, ainct, astrt, bstrt, meta,
-            s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
-            eb=eb, nlev=nlev, moist=moist, interpret=interpret)
-        return dss_local(s1, rsp, dm_l, masks_l), phi, a1, b1, c1
+        if fuse_ext:
+            s1, phi, a1, b1, c1, xd_t = caar_pallas_packed_t4_ext(
+                scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                s0, sm1, qdp, pecnd, vn0u, vn0v, omg, jnp.asarray(sf_np),
+                nt=nt_ext, nlev=nlev, moist=moist, interpret=interpret)
+        else:
+            s1, phi, a1, b1, c1 = caar_pallas_packed_t4(
+                scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+                eb=eb, nlev=nlev, moist=moist, interpret=interpret)
+            xd_t = None
+        return dss_local(s1, rsp, dm_l, masks_l, xd_t), phi, a1, b1, c1
 
     fn = shard_map(
         body,
@@ -408,7 +429,7 @@ def dss_banded_t(x, plan, rsp_lanes, mesh: Mesh, m: int,
     """rspheremp * DSS(x) on a band-sharded [k, E16] field — the
     standalone sharded assembly used by the sharded hyperviscosity and
     tracer paths. Drop-in (sharded) for dss_structured_t_pallas."""
-    dss_local, dm_g, masks_g = _banded_dss_builder(
+    dss_local, dm_g, masks_g, _ = _banded_dss_builder(
         plan, m, mesh.shape["e"], interpret)
     fn = shard_map(
         lambda x, rsp, dm_l, masks_l: dss_local(x, rsp, dm_l, masks_l),

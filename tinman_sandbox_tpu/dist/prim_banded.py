@@ -19,10 +19,29 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh
 
-from .banded_t4 import _REP, _SPEC_L, caar_dss_banded_t4, dss_banded_t
+from ..config import NPSQ
+from .banded_t4 import (
+    _REP, _SPEC_L, _banded_dss_builder, caar_dss_banded_t4,
+)
 
 __all__ = ["ssprk3_banded_t4", "hypervis_banded_t", "tracer_banded_t",
            "prim_step_banded_t4"]
+
+
+def _fused_ext_tables(plan, m, mesh, eb, lanes_global, interpret):
+    """(dss_local, dm_g, masks_g, sf_np, nt) for a producer+DSS fused
+    shard_map body; sf_np/nt are None when the slot-mapped extraction is
+    inadmissible (elem_block != 8 or a non-128-aligned shard lane axis)."""
+    from ..kernels.dss_pallas import slot_arrays_for_gtiles
+
+    N = mesh.shape["e"]
+    dss_local, dm_g, masks_g, gtiles = _banded_dss_builder(
+        plan, m, N, interpret)
+    local_lanes = lanes_global // N
+    if eb * NPSQ == 128 and local_lanes % 128 == 0:
+        sf_np, nt = slot_arrays_for_gtiles(gtiles, local_lanes // 128)
+        return dss_local, dm_g, masks_g, sf_np, nt
+    return dss_local, dm_g, masks_g, None, None
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
@@ -52,19 +71,6 @@ def ssprk3_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     return (u3, phi, *acc)
 
 
-def _lanewise_vlap(mesh, scal, dxbt, dybt, meta, x, eb, nlev, interpret):
-    from ..kernels.hypervis_pallas_t import vlap_pallas_packed_t
-
-    def body(scal, dxbt, dybt, meta, x):
-        return vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
-                                    eb=eb, nlev=nlev, interpret=interpret)
-
-    return shard_map(body, mesh=mesh,
-                     in_specs=(_REP, _REP, _REP, _SPEC_L, _SPEC_L),
-                     out_specs=_SPEC_L, check_vma=False)(
-        scal, dxbt, dybt, meta, x)
-
-
 @partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
                                    "subcycle", "interpret"))
 def hypervis_banded_t(dxbt, dybt, meta, uvt, plan, rsp_lanes, mesh: Mesh,
@@ -72,21 +78,41 @@ def hypervis_banded_t(dxbt, dybt, meta, uvt, plan, rsp_lanes, mesh: Mesh,
                       subcycle: int = 1, interpret: bool = False):
     """Band-sharded biharmonic hyperviscosity (apply_hypervis_packed_t
     over a mesh): per subcycle, two (local weak-Laplacian kernel ->
-    sharded banded DSS) passes."""
+    sharded banded DSS) passes, FUSED into one shard_map body per pass —
+    with the producer-fused tile extraction when admissible (elem_block=8,
+    128-aligned shard lanes)."""
+    from ..kernels.hypervis_pallas_t import (
+        vlap_pallas_packed_t, vlap_pallas_packed_t_ext,
+    )
+
     f = uvt.dtype
     sc = jnp.asarray(nu_ratio, jnp.float32).reshape(1, 1) * jnp.ones(
         (1, 4), jnp.float32)
     step = jnp.asarray(dt, f) / subcycle * jnp.asarray(nu, f)
+    dss_local, dm_g, masks_g, sf_np, nt = _fused_ext_tables(
+        plan, m, mesh, eb, uvt.shape[1], interpret)
+
+    def body(sc, dxbt, dybt, meta, x, rsp, dm_l, masks_l):
+        if sf_np is not None:
+            l, xd_t = vlap_pallas_packed_t_ext(
+                sc, dxbt, dybt, meta, x, jnp.asarray(sf_np),
+                nt=nt, nlev=nlev, interpret=interpret)
+        else:
+            l = vlap_pallas_packed_t(sc, dxbt, dybt, meta, x,
+                                     eb=eb, nlev=nlev, interpret=interpret)
+            xd_t = None
+        return dss_local(l, rsp, dm_l, masks_l, xd_t)
+
+    lap_dss = shard_map(
+        body, mesh=mesh,
+        in_specs=(_REP, _REP, _REP, _SPEC_L, _SPEC_L, _SPEC_L, _SPEC_L,
+                  _SPEC_L),
+        out_specs=_SPEC_L, check_vma=False)
+
     x = uvt
     for _ in range(subcycle):
-        l1 = _lanewise_vlap(mesh, sc, dxbt, dybt, meta, x, eb, nlev,
-                            interpret)
-        a1 = dss_banded_t(l1, plan, rsp_lanes, mesh, m,
-                          interpret=interpret)
-        l2 = _lanewise_vlap(mesh, sc, dxbt, dybt, meta, a1, eb, nlev,
-                            interpret)
-        a2 = dss_banded_t(l2, plan, rsp_lanes, mesh, m,
-                          interpret=interpret)
+        a1 = lap_dss(sc, dxbt, dybt, meta, x, rsp_lanes, dm_g, masks_g)
+        a2 = lap_dss(sc, dxbt, dybt, meta, a1, rsp_lanes, dm_g, masks_g)
         x = x - step * a2
     return x
 
@@ -97,27 +123,40 @@ def tracer_banded_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
                     mesh: Mesh, m: int, dt, eb: int, nlev: int,
                     interpret: bool = False):
     """Band-sharded SSPRK3 tracer transport (ssprk3_tracer_packed_t over
-    a mesh, no limiter). Requires a CONTINUOUS qdp."""
-    from ..kernels.tracer_pallas_t import tracer_euler_pallas_packed_t
+    a mesh, no limiter). Requires a CONTINUOUS qdp. Each stage is one
+    shard_map body (local Euler kernel + banded DSS, with producer-fused
+    tile extraction when admissible)."""
+    from ..kernels.tracer_pallas_t import (
+        tracer_euler_pallas_packed_t, tracer_euler_pallas_packed_t_ext,
+    )
 
     f = qdp.dtype
     scal = jnp.zeros((1, 4), jnp.float32).at[0, 0].set(
         jnp.asarray(dt, jnp.float32))
+    dss_local, dm_g, masks_g, sf_np, nt = _fused_ext_tables(
+        plan, m, mesh, eb, qdp.shape[1], interpret)
 
-    def euler_body(scal, dxbt, dybt, meta, vu, vv, q):
-        return tracer_euler_pallas_packed_t(
-            scal, dxbt, dybt, meta, vu, vv, q, eb=eb, nlev=nlev,
-            interpret=interpret)
+    def body(scal, dxbt, dybt, meta, vu, vv, q, rsp, dm_l, masks_l):
+        if sf_np is not None:
+            e, xd_t = tracer_euler_pallas_packed_t_ext(
+                scal, dxbt, dybt, meta, vu, vv, q, jnp.asarray(sf_np),
+                nt=nt, nlev=nlev, interpret=interpret)
+        else:
+            e = tracer_euler_pallas_packed_t(
+                scal, dxbt, dybt, meta, vu, vv, q, eb=eb, nlev=nlev,
+                interpret=interpret)
+            xd_t = None
+        return dss_local(e, rsp, dm_l, masks_l, xd_t)
 
-    euler = shard_map(euler_body, mesh=mesh,
-                      in_specs=(_REP, _REP, _REP, _SPEC_L, _SPEC_L,
-                                _SPEC_L, _SPEC_L),
-                      out_specs=_SPEC_L, check_vma=False)
+    euler_dss = shard_map(
+        body, mesh=mesh,
+        in_specs=(_REP, _REP, _REP, _SPEC_L, _SPEC_L, _SPEC_L, _SPEC_L,
+                  _SPEC_L, _SPEC_L, _SPEC_L),
+        out_specs=_SPEC_L, check_vma=False)
 
     def stage(q):
-        e = euler(scal, dxbt, dybt, meta, vu, vv, q)
-        return dss_banded_t(e, plan, rsp_lanes, mesh, m,
-                            interpret=interpret)
+        return euler_dss(scal, dxbt, dybt, meta, vu, vv, q, rsp_lanes,
+                         dm_g, masks_g)
 
     q1 = stage(qdp)
     q2 = f.type(0.75) * qdp + f.type(0.25) * stage(q1)

@@ -126,9 +126,11 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     step_pallas.caar_dss_structured_packed_t4; the lane axis of every
     [*, E16] operand is sharded P(None, "e"). Cross-chip traffic: one
     all_gather of the compact side lines."""
-    from ..kernels.caar_pallas_t import caar_pallas_packed_t4
+    from ..kernels.caar_pallas_t import (
+        caar_pallas_packed_t4, caar_pallas_packed_t4_ext,
+    )
     from ..kernels.dss_pallas import (
-        dss_sweeps_pallas_t, extract_tiles_t,
+        dss_sweeps_pallas_t, extract_tiles_t, slot_arrays_for_gtiles,
     )
 
     nshards = mesh.shape["e"]
@@ -147,6 +149,14 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     assert fps == 1 or fl % 128 == 0, (fl, fps)
     gtiles_shard = tiles if fps == 1 else tuple(
         b * (fl // 128) + t for b in range(fps) for t in tiles)
+
+    # producer-fused tile extraction when the shard's lane axis is 128-
+    # aligned and the kernel runs 128-lane blocks (elem_block == 8)
+    local_lanes = fps * fl
+    fuse_ext = eb * NPSQ == 128 and local_lanes % 128 == 0
+    if fuse_ext:
+        sf_np, nt_ext = slot_arrays_for_gtiles(gtiles_shard,
+                                               local_lanes // 128)
 
     partner_j = jnp.asarray(partner)
     flip_j = jnp.asarray(flip_tab)
@@ -169,14 +179,20 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
              s0, sm1, qdp, pecnd, vn0u, vn0v, omg, rsp):
         shard = jax.lax.axis_index("e")
 
-        # 1. local fused CAAR kernel (element blocks never cross shards)
-        s1, phi, a1, b1, c1 = caar_pallas_packed_t4(
-            scal, dxbt, dybt, ainct, astrt, bstrt, meta,
-            s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
-            eb=eb, nlev=k, moist=moist, interpret=interpret)
-
-        # 2. extract this shard's affected tiles (transposed)
-        xd_t = extract_tiles_t(s1, gtiles_shard, interpret=interpret)
+        # 1+2. local fused CAAR kernel (element blocks never cross shards),
+        # emitting this shard's transposed affected tiles directly when the
+        # slot-mapped extra output is admissible
+        if fuse_ext:
+            s1, phi, a1, b1, c1, xd_t = caar_pallas_packed_t4_ext(
+                scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                s0, sm1, qdp, pecnd, vn0u, vn0v, omg, jnp.asarray(sf_np),
+                nt=nt_ext, nlev=k, moist=moist, interpret=interpret)
+        else:
+            s1, phi, a1, b1, c1 = caar_pallas_packed_t4(
+                scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+                eb=eb, nlev=k, moist=moist, interpret=interpret)
+            xd_t = extract_tiles_t(s1, gtiles_shard, interpret=interpret)
 
         # 3. compact side lines of the shard's faces -> all_gather
         lines = xd_t[rows_j].reshape(1, 4, nl, k4) if fps == 1 else \

@@ -491,6 +491,14 @@ def ext_slot_arrays(plan, nblocks: int):
     Requires the producer's lane grid to be 128-lane blocks covering
     [*, nblocks*128] — i.e. e16 % 128 == 0 and elem_block*NPSQ == 128."""
     gtiles, _, _ = _fixup_arrays_t(plan)
+    return slot_arrays_for_gtiles(gtiles, nblocks)
+
+
+@lru_cache(maxsize=None)
+def slot_arrays_for_gtiles(gtiles: tuple, nblocks: int):
+    """`ext_slot_arrays` for an explicit (ascending) affected-tile list —
+    used by the sharded/banded paths whose xd_t slabs follow their own
+    shard-local gtiles order."""
     assert gtiles == tuple(sorted(gtiles)) and gtiles[-1] < nblocks, (
         gtiles[-1], nblocks)
     pos = {t: n for n, t in enumerate(gtiles)}
