@@ -413,6 +413,64 @@ def test_hypervis_tracer_fused_extract_matches_unfused():
     assert np.array_equal(np.asarray(qa), np.asarray(qb))
 
 
+@pytest.mark.parametrize("eb", [8, 4])
+def test_ssprk3_fused_matches_explicit_composition(eb):
+    """The fused SSPRK3 (single-state RK kernel, combinations folded into
+    the sweep's affine output) matches the explicit composition of generic
+    assembled stages + XLA convex combinations to f32 FMA-rounding
+    precision (XLA contracts a*x + b*y into fused multiply-adds; measured
+    rel-max ~2e-7). eb=8 also exercises the producer-fused extraction;
+    eb=4 the fallback."""
+    import jax
+
+    from tinman_sandbox_tpu import (
+        Config, analytic_hvcoord, random_state, zero_derived,
+    )
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_structured_packed_t4, ssprk3_packed_t4,
+    )
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+
+    ne = 2
+    cs = build_cubed_sphere(ne)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=eb)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=13))
+    dv = cast(zero_derived(cfg))
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    g = cast(cs.geometry)
+    plan = make_structured_plan(cs.gdof, ne)
+    pt = pack_problem_t(st, dv, g, hv, cfg)
+    scal = _scalars(0.01, 1.0, hv)
+    rsp = jnp.asarray(g.rspheremp, jnp.float32).reshape(1, -1)
+    s0 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    acc0 = (pt["vn0u"], pt["vn0v"], pt["omg"])
+    consts = (pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
+              pt["meta"])
+    f = s0.dtype
+
+    def stage(u, b, acc):
+        sc = scal.at[0, 1].set(scal[0, 1] * f.type(b))
+        return caar_dss_structured_packed_t4(
+            sc, *consts, u, u, pt["qdp"], pt["pecnd"], *acc, plan, rsp,
+            eb=eb, nlev=4, interpret=True)
+
+    u1, _, *acc = stage(s0, 1.0 / 6.0, acc0)
+    u2x, _, *acc = stage(u1, 1.0 / 6.0, acc)
+    u2 = f.type(0.75) * s0 + f.type(0.25) * u2x
+    u3x, phi_r, *acc = stage(u2, 2.0 / 3.0, acc)
+    u3 = f.type(1.0 / 3.0) * s0 + f.type(2.0 / 3.0) * u3x
+    ref = (u3, phi_r, *acc)
+
+    got = ssprk3_packed_t4(scal, *consts, s0, pt["qdp"], pt["pecnd"],
+                           *acc0, plan, rsp, eb=eb, nlev=4, interpret=True)
+    for name, a, b in zip(("s1", "phi", "vn0u", "vn0v", "omg"), got, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-30)
+        assert rel < 1e-6, (name, rel)
+
+
 def test_ssprk3_packed_t4_matches_field_rk():
     """Packed-Pallas SSPRK3 (3x fused kernel + Pallas DSS, interpret mode)
     == timeloop.rk.ssprk3_step on a CONTINUOUS initial state."""

@@ -289,7 +289,7 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool):
     send_bwd = [(s, s - 1) for s in range(1, N)
                 if ((s * cps) % m) != 0]
 
-    def dss_local(s1, rsp, dm_l, masks_l, xd_t=None):
+    def dss_local(s1, rsp, dm_l, masks_l, xd_t=None, mix=None):
         shard = jax.lax.axis_index("e")
         k4 = s1.shape[0]
         # tables indexed by TRACED chunk ids need jnp form; converting here
@@ -358,7 +358,7 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool):
 
         return dss_sweeps_banded_t(
             x_ext, rsp, vd, dm_l, masks_l, tiles, nchunks=cps, bl=bl,
-            rl=rl, interpret=interpret)
+            rl=rl, mix=mix, interpret=interpret)
 
     return dss_local, dm_g, masks_g, gtiles_shard
 

@@ -20,9 +20,7 @@ from jax import shard_map
 from jax.sharding import Mesh
 
 from ..config import NPSQ
-from .banded_t4 import (
-    _REP, _SPEC_L, _banded_dss_builder, caar_dss_banded_t4,
-)
+from .banded_t4 import _REP, _SPEC_L, _banded_dss_builder
 
 __all__ = ["ssprk3_banded_t4", "hypervis_banded_t", "tracer_banded_t",
            "prim_step_banded_t4"]
@@ -52,22 +50,63 @@ def ssprk3_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                      eb: int, nlev: int, moist: bool = True,
                      interpret: bool = False):
     """Band-sharded SSPRK3 dynamics (step_pallas.ssprk3_packed_t4 over a
-    mesh). Requires a CONTINUOUS s0."""
+    mesh). Requires a CONTINUOUS s0. Mirrors the single-chip fused RK
+    path: single-state RK kernel per stage (no duplicate state fetch),
+    Shu-Osher combinations folded into the banded sweep's affine output,
+    producer-fused tile extraction when admissible."""
+    from ..kernels.caar_pallas_t import caar_pallas_packed_t4_rk
+
     B = (1.0 / 6.0, 1.0 / 6.0, 2.0 / 3.0)
     f = s0.dtype
+    dss_local, dm_g, masks_g, sf_np, nt = _fused_ext_tables(
+        plan, m, mesh, eb, s0.shape[1], interpret)
 
-    def stage(u, b, acc):
-        sc = scal.at[0, 1].set(scal[0, 1] * f.type(b))
-        return caar_dss_banded_t4(
-            sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, u, qdp, pecnd,
-            *acc, plan, rsp_lanes, mesh, m, eb=eb, nlev=nlev, moist=moist,
+    def kern(sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp, pecnd,
+             a1, a2, a3):
+        out = caar_pallas_packed_t4_rk(
+            sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp, pecnd,
+            a1, a2, a3,
+            sf=None if sf_np is None else jnp.asarray(sf_np),
+            nt=0 if nt is None else nt, eb=eb, nlev=nlev, moist=moist,
             interpret=interpret)
+        xd_t = out[5] if sf_np is not None else None
+        return out[0], out[1], out[2:5], xd_t
 
-    u1, _, *acc = stage(s0, B[0], (vn0u, vn0v, omg))
-    u2x, _, *acc = stage(u1, B[1], acc)
-    u2 = f.type(0.75) * s0 + f.type(0.25) * u2x
-    u3x, phi, *acc = stage(u2, B[2], acc)
-    u3 = f.type(1.0 / 3.0) * s0 + f.type(2.0 / 3.0) * u3x
+    def body_plain(sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp,
+                   pecnd, a1, a2, a3, rsp, dm_l, masks_l):
+        s1k, phi, acc, xd_t = kern(sc, dxbt, dybt, ainct, astrt, bstrt,
+                                   meta, u, qdp, pecnd, a1, a2, a3)
+        return dss_local(s1k, rsp, dm_l, masks_l, xd_t), phi, *acc
+
+    def body_mix(sc, coef, dxbt, dybt, ainct, astrt, bstrt, meta, u, mx,
+                 qdp, pecnd, a1, a2, a3, rsp, dm_l, masks_l):
+        s1k, phi, acc, xd_t = kern(sc, dxbt, dybt, ainct, astrt, bstrt,
+                                   meta, u, qdp, pecnd, a1, a2, a3)
+        mix = (mx, coef[0, 0], coef[0, 1])
+        return dss_local(s1k, rsp, dm_l, masks_l, xd_t, mix), phi, *acc
+
+    outs = (_SPEC_L,) * 5
+    stage_plain = shard_map(
+        body_plain, mesh=mesh,
+        in_specs=(_REP,) * 6 + (_SPEC_L,) * 10, out_specs=outs,
+        check_vma=False)
+    stage_mix = shard_map(
+        body_mix, mesh=mesh,
+        in_specs=(_REP,) * 7 + (_SPEC_L,) * 11, out_specs=outs,
+        check_vma=False)
+
+    consts = (dxbt, dybt, ainct, astrt, bstrt)
+    cf = lambda a, b: jnp.asarray([a, b], jnp.float32).reshape(1, 2)
+    sc1 = scal.at[0, 1].set(scal[0, 1] * f.type(B[0]))
+    u1, _, *acc = stage_plain(sc1, *consts, meta, s0, qdp, pecnd,
+                              vn0u, vn0v, omg, rsp_lanes, dm_g, masks_g)
+    sc2 = scal.at[0, 1].set(scal[0, 1] * f.type(B[1]))
+    u2, _, *acc = stage_mix(sc2, cf(0.75, 0.25), *consts, meta, u1, s0,
+                            qdp, pecnd, *acc, rsp_lanes, dm_g, masks_g)
+    sc3 = scal.at[0, 1].set(scal[0, 1] * f.type(B[2]))
+    u3, phi, *acc = stage_mix(sc3, cf(1.0 / 3.0, 2.0 / 3.0), *consts,
+                              meta, u2, s0, qdp, pecnd, *acc, rsp_lanes,
+                              dm_g, masks_g)
     return (u3, phi, *acc)
 
 
@@ -92,28 +131,41 @@ def hypervis_banded_t(dxbt, dybt, meta, uvt, plan, rsp_lanes, mesh: Mesh,
     dss_local, dm_g, masks_g, sf_np, nt = _fused_ext_tables(
         plan, m, mesh, eb, uvt.shape[1], interpret)
 
-    def body(sc, dxbt, dybt, meta, x, rsp, dm_l, masks_l):
+    def lap(sc, dxbt, dybt, meta, x):
         if sf_np is not None:
-            l, xd_t = vlap_pallas_packed_t_ext(
+            return vlap_pallas_packed_t_ext(
                 sc, dxbt, dybt, meta, x, jnp.asarray(sf_np),
                 nt=nt, nlev=nlev, interpret=interpret)
-        else:
-            l = vlap_pallas_packed_t(sc, dxbt, dybt, meta, x,
-                                     eb=eb, nlev=nlev, interpret=interpret)
-            xd_t = None
+        return vlap_pallas_packed_t(
+            sc, dxbt, dybt, meta, x,
+            eb=eb, nlev=nlev, interpret=interpret), None
+
+    def body(sc, dxbt, dybt, meta, x, rsp, dm_l, masks_l):
+        l, xd_t = lap(sc, dxbt, dybt, meta, x)
         return dss_local(l, rsp, dm_l, masks_l, xd_t)
+
+    def body_mix(sc, coef, dxbt, dybt, meta, x, mx, rsp, dm_l, masks_l):
+        # x - step*grad^4: the update is the sweep's affine output
+        l, xd_t = lap(sc, dxbt, dybt, meta, x)
+        return dss_local(l, rsp, dm_l, masks_l, xd_t,
+                         (mx, coef[0, 0], coef[0, 1]))
 
     lap_dss = shard_map(
         body, mesh=mesh,
-        in_specs=(_REP, _REP, _REP, _SPEC_L, _SPEC_L, _SPEC_L, _SPEC_L,
-                  _SPEC_L),
+        in_specs=(_REP,) * 3 + (_SPEC_L,) * 5,
+        out_specs=_SPEC_L, check_vma=False)
+    lap_dss_mix = shard_map(
+        body_mix, mesh=mesh,
+        in_specs=(_REP,) * 4 + (_SPEC_L,) * 6,
         out_specs=_SPEC_L, check_vma=False)
 
     x = uvt
     for _ in range(subcycle):
+        coef = jnp.stack([jnp.ones((), jnp.float32),
+                          (-step).astype(jnp.float32)]).reshape(1, 2)
         a1 = lap_dss(sc, dxbt, dybt, meta, x, rsp_lanes, dm_g, masks_g)
-        a2 = lap_dss(sc, dxbt, dybt, meta, a1, rsp_lanes, dm_g, masks_g)
-        x = x - step * a2
+        x = lap_dss_mix(sc, coef, dxbt, dybt, meta, a1, x, rsp_lanes,
+                        dm_g, masks_g)
     return x
 
 
@@ -130,37 +182,47 @@ def tracer_banded_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
         tracer_euler_pallas_packed_t, tracer_euler_pallas_packed_t_ext,
     )
 
-    f = qdp.dtype
     scal = jnp.zeros((1, 4), jnp.float32).at[0, 0].set(
         jnp.asarray(dt, jnp.float32))
     dss_local, dm_g, masks_g, sf_np, nt = _fused_ext_tables(
         plan, m, mesh, eb, qdp.shape[1], interpret)
 
-    def body(scal, dxbt, dybt, meta, vu, vv, q, rsp, dm_l, masks_l):
+    def adv(scal, dxbt, dybt, meta, vu, vv, q):
         if sf_np is not None:
-            e, xd_t = tracer_euler_pallas_packed_t_ext(
+            return tracer_euler_pallas_packed_t_ext(
                 scal, dxbt, dybt, meta, vu, vv, q, jnp.asarray(sf_np),
                 nt=nt, nlev=nlev, interpret=interpret)
-        else:
-            e = tracer_euler_pallas_packed_t(
-                scal, dxbt, dybt, meta, vu, vv, q, eb=eb, nlev=nlev,
-                interpret=interpret)
-            xd_t = None
+        return tracer_euler_pallas_packed_t(
+            scal, dxbt, dybt, meta, vu, vv, q, eb=eb, nlev=nlev,
+            interpret=interpret), None
+
+    def body(scal, dxbt, dybt, meta, vu, vv, q, rsp, dm_l, masks_l):
+        e, xd_t = adv(scal, dxbt, dybt, meta, vu, vv, q)
         return dss_local(e, rsp, dm_l, masks_l, xd_t)
+
+    def body_mix(scal, coef, dxbt, dybt, meta, vu, vv, q, mx, rsp, dm_l,
+                 masks_l):
+        # Shu-Osher combination folded into the banded sweep
+        e, xd_t = adv(scal, dxbt, dybt, meta, vu, vv, q)
+        return dss_local(e, rsp, dm_l, masks_l, xd_t,
+                         (mx, coef[0, 0], coef[0, 1]))
 
     euler_dss = shard_map(
         body, mesh=mesh,
-        in_specs=(_REP, _REP, _REP, _SPEC_L, _SPEC_L, _SPEC_L, _SPEC_L,
-                  _SPEC_L, _SPEC_L, _SPEC_L),
+        in_specs=(_REP,) * 3 + (_SPEC_L,) * 7,
+        out_specs=_SPEC_L, check_vma=False)
+    euler_dss_mix = shard_map(
+        body_mix, mesh=mesh,
+        in_specs=(_REP,) * 4 + (_SPEC_L,) * 8,
         out_specs=_SPEC_L, check_vma=False)
 
-    def stage(q):
-        return euler_dss(scal, dxbt, dybt, meta, vu, vv, q, rsp_lanes,
-                         dm_g, masks_g)
-
-    q1 = stage(qdp)
-    q2 = f.type(0.75) * qdp + f.type(0.25) * stage(q1)
-    return f.type(1.0 / 3.0) * qdp + f.type(2.0 / 3.0) * stage(q2)
+    cf = lambda a, b: jnp.asarray([a, b], jnp.float32).reshape(1, 2)
+    q1 = euler_dss(scal, dxbt, dybt, meta, vu, vv, qdp, rsp_lanes,
+                   dm_g, masks_g)
+    q2 = euler_dss_mix(scal, cf(0.75, 0.25), dxbt, dybt, meta, vu, vv,
+                       q1, qdp, rsp_lanes, dm_g, masks_g)
+    return euler_dss_mix(scal, cf(1.0 / 3.0, 2.0 / 3.0), dxbt, dybt, meta,
+                         vu, vv, q2, qdp, rsp_lanes, dm_g, masks_g)
 
 
 @partial(jax.jit, static_argnames=("nu", "plan", "mesh", "m", "eb", "nlev",

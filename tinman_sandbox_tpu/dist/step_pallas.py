@@ -244,10 +244,7 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                      s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
                      eb: int, nlev: int, moist: bool = True,
                      interpret: bool = False):
-    """SSPRK3 dynamics entirely on the packed transposed Pallas path: each
-    stage is one fused CAAR kernel + structured Pallas DSS
-    (`caar_dss_structured_packed_t4` with base == evaluation state), the
-    convex Shu-Osher combinations run outside:
+    """SSPRK3 dynamics entirely on the packed transposed Pallas path:
 
         U1 = P(U0 + dt L(U0))
         U2 = 3/4 U0 + 1/4 P(U1 + dt L(U1))
@@ -255,28 +252,57 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
     This pulls the projection P inside the convex combinations, which is
     exact when ``s0`` is CONTINUOUS (P U0 = U0) — true for any state
-    produced by an assembled step. The mean-flux accumulators are advanced
-    with the scheme's quadrature b = (1/6, 1/6, 2/3), composed onto scal's
-    eta_ave_w; phi is the last stage's (timeloop/rk.py semantics, reference
-    analog kokkos_init.cpp:97-99 which only repeats the raw call).
+    produced by an assembled step. Each stage is one single-state RK CAAR
+    kernel (`caar_pallas_packed_t4_rk` — the evaluation and base states
+    coincide, so the pair kernel's duplicate state fetch is dropped) + one
+    structured Pallas DSS, with the Shu-Osher combinations FOLDED into the
+    sweep kernel's affine output (``mix``) — no standalone XLA combination
+    passes. The mean-flux accumulators are advanced with the scheme's
+    quadrature b = (1/6, 1/6, 2/3), composed onto scal's eta_ave_w; phi is
+    the last stage's (timeloop/rk.py semantics, reference analog
+    kokkos_init.cpp:97-99 which only repeats the raw call).
 
     ``scal`` must carry dt (NOT the leapfrog 2*dt) in its dt2 slot.
     Returns (s_np1 [4*nlev, E16], phi, vn0u', vn0v', omega_p')."""
+    from ..kernels.caar_pallas_t import caar_pallas_packed_t4_rk
+    from ..kernels.dss_pallas import (
+        dss_structured_t_pallas, dss_structured_t_pallas_pre,
+        ext_slot_arrays,
+    )
+
     B = (1.0 / 6.0, 1.0 / 6.0, 2.0 / 3.0)
     f = s0.dtype
+    e16 = s0.shape[1]
+    fuse = eb * 16 == 128 and e16 % 128 == 0
+    if fuse:
+        sf_np, nt_ext = ext_slot_arrays(plan, e16 // 128)
+        sfj = jnp.asarray(sf_np)
+    else:
+        sfj, nt_ext = None, 0
 
-    def stage(u, b, acc):
+    def kstage(u, b, acc):
         sc = scal.at[0, 1].set(scal[0, 1] * f.type(b))
-        return caar_dss_structured_packed_t4(
-            sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, u, qdp, pecnd,
-            *acc, plan, rsp_lanes, eb=eb, nlev=nlev, moist=moist,
+        out = caar_pallas_packed_t4_rk(
+            sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp, pecnd,
+            *acc, sf=sfj, nt=nt_ext, eb=eb, nlev=nlev, moist=moist,
             interpret=interpret)
+        s1, phi = out[0], out[1]
+        xd_t = out[5] if fuse else None
+        return s1, phi, out[2:5], xd_t
 
-    u1, _, *acc = stage(s0, B[0], (vn0u, vn0v, omg))
-    u2x, _, *acc = stage(u1, B[1], acc)
-    u2 = f.type(0.75) * s0 + f.type(0.25) * u2x
-    u3x, phi, *acc = stage(u2, B[2], acc)
-    u3 = f.type(1.0 / 3.0) * s0 + f.type(2.0 / 3.0) * u3x
+    def proj(s1, xd_t, mix=None):
+        if fuse:
+            return dss_structured_t_pallas_pre(
+                s1, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
+        return dss_structured_t_pallas(s1, plan, rsp_lanes, mix=mix,
+                                       interpret=interpret)
+
+    s1k, _, acc, xd = kstage(s0, B[0], (vn0u, vn0v, omg))
+    u1 = proj(s1k, xd)
+    s2k, _, acc, xd = kstage(u1, B[1], acc)
+    u2 = proj(s2k, xd, mix=(s0, f.type(0.75), f.type(0.25)))
+    s3k, phi, acc, xd = kstage(u2, B[2], acc)
+    u3 = proj(s3k, xd, mix=(s0, f.type(1.0 / 3.0), f.type(2.0 / 3.0)))
     return (u3, phi, *acc)
 
 
@@ -310,22 +336,24 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
         sf, nt = ext_slot_arrays(plan, e16 // 128)
         sfj = jnp.asarray(sf)
 
-        def lap_dss(x):
+        def lap_dss(x, mix=None):
             l, xd_t = vlap_pallas_packed_t_ext(
                 sc, dxbt, dybt, meta, x, sfj,
                 nt=nt, nlev=nlev, interpret=interpret)
             return dss_structured_t_pallas_pre(l, xd_t, plan, rsp_lanes,
-                                               interpret=interpret)
+                                               mix=mix, interpret=interpret)
     else:
-        def lap_dss(x):
+        def lap_dss(x, mix=None):
             l = vlap_pallas_packed_t(sc, dxbt, dybt, meta, x,
                                      eb=eb, nlev=nlev, interpret=interpret)
-            return dss_structured_t_pallas(l, plan, rsp_lanes,
+            return dss_structured_t_pallas(l, plan, rsp_lanes, mix=mix,
                                            interpret=interpret)
 
+    one = jnp.ones((), f)
     x = uvt
     for _ in range(subcycle):
-        x = x - step * lap_dss(lap_dss(x))
+        # x - step*grad^4: the update is the second sweep's affine output
+        x = lap_dss(lap_dss(x), mix=(x, one, -step))
     return x
 
 
@@ -358,28 +386,29 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
 
     if not limit:
         # P is linear and P(qdp) = qdp, so it pulls inside the convex
-        # combinations and each stage is one fused kernel + one DSS
+        # combinations and each stage is one fused kernel + one DSS, with
+        # the Shu-Osher combinations folded into the sweep (mix)
         if fuse_extract and eb * 16 == 128 and e16 % 128 == 0:
             sf, nt = ext_slot_arrays(plan, e16 // 128)
             sfj = jnp.asarray(sf)
 
-            def stage(q):
+            def stage(q, mix=None):
                 e, xd_t = tracer_euler_pallas_packed_t_ext(
                     scal, dxbt, dybt, meta, vu, vv, q, sfj,
                     nt=nt, nlev=nlev, interpret=interpret)
                 return dss_structured_t_pallas_pre(
-                    e, xd_t, plan, rsp_lanes, interpret=interpret)
+                    e, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
         else:
-            def stage(q):
+            def stage(q, mix=None):
                 e = tracer_euler_pallas_packed_t(
                     scal, dxbt, dybt, meta, vu, vv, q,
                     eb=eb, nlev=nlev, interpret=interpret)
-                return dss_structured_t_pallas(e, plan, rsp_lanes,
+                return dss_structured_t_pallas(e, plan, rsp_lanes, mix=mix,
                                                interpret=interpret)
 
         q1 = stage(qdp)
-        q2 = f.type(0.75) * qdp + f.type(0.25) * stage(q1)
-        return f.type(1.0 / 3.0) * qdp + f.type(2.0 / 3.0) * stage(q2)
+        q2 = stage(q1, mix=(qdp, f.type(0.75), f.type(0.25)))
+        return stage(q2, mix=(qdp, f.type(1.0 / 3.0), f.type(2.0 / 3.0)))
 
     # the limiter is NONLINEAR: follow the field path's exact order
     # P(L(combo, bounds(q_in))) — advect unscaled, combine, clip,

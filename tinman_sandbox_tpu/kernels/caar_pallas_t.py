@@ -47,6 +47,7 @@ __all__ = [
     "caar_pallas_t",
     "caar_pallas_packed_t",
     "caar_pallas_packed_t4_ext",
+    "caar_pallas_packed_t4_rk",
     "caar_pallas_packed_rsplit0_t",
     "pack_problem_t",
 ]
@@ -55,14 +56,25 @@ _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
 def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
-                   stacked, ext, *refs):
+                   stacked, ext, single, *refs):
     assert not (stacked and rsplit0)
-    assert not (ext and not stacked)
+    assert not ((ext or single) and not stacked)
     sf_ref = ext_ref = None
     if ext:
         # scalar-prefetch slot/flag table first, slab output last
         sf_ref, refs, ext_ref = refs[0], refs[1:-1], refs[-1]
-    if rsplit0:
+    if single:
+        # RK-stage mode: ONE stacked state operand serves both the n0
+        # (evaluation) and nm1 (base) roles — the generic pair mode would
+        # fetch the identical buffer twice from HBM
+        (scal_ref, dxbt_ref, dybt_ref, ainct_ref, astrt_ref, bstrt_ref,
+         meta_ref, s0_ref,
+         qdp_ref, pecnd_ref,
+         vn0u_ref, vn0v_ref, omg_ref,
+         s1_ref, phi_ref,
+         vn0u_out, vn0v_out, omg_out) = refs
+        sm1_ref = None
+    elif rsplit0:
         (scal_ref, dxbt_ref, dybt_ref, ainct_ref, astrt_ref, bstrt_ref,
          hyb_ref, meta_ref,
          u0_ref, v0_ref, t0_ref, dp0_ref,
@@ -127,10 +139,13 @@ def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
         k_ = s0_ref.shape[0] // 4
         u, v = s0_ref[0:k_], s0_ref[k_:2 * k_]
         t, dp = s0_ref[2 * k_:3 * k_], s0_ref[3 * k_:4 * k_]
-        um1x = sm1_ref[0:k_].astype(f32)
-        vm1x = sm1_ref[k_:2 * k_].astype(f32)
-        tm1x = sm1_ref[2 * k_:3 * k_].astype(f32)
-        dpm1x = sm1_ref[3 * k_:4 * k_].astype(f32)
+        if single:
+            um1x, vm1x, tm1x, dpm1x = u, v, t, dp
+        else:
+            um1x = sm1_ref[0:k_].astype(f32)
+            vm1x = sm1_ref[k_:2 * k_].astype(f32)
+            tm1x = sm1_ref[2 * k_:3 * k_].astype(f32)
+            dpm1x = sm1_ref[3 * k_:4 * k_].astype(f32)
     else:
         u, v = u0_ref[:], v0_ref[:]
         t, dp = t0_ref[:], dp0_ref[:]
@@ -264,6 +279,7 @@ def caar_pallas_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
         CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, False, False, False,
+        False,
     )
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
     return pl.pallas_call(
@@ -318,7 +334,7 @@ def caar_pallas_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas,
         CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
-        False, True, False,
+        False, True, False, False,
     )
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
     out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f),
@@ -381,7 +397,7 @@ def caar_pallas_packed_t4_ext(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas,
         CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
-        False, True, True,
+        False, True, True, False,
     )
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
     out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f),
@@ -423,6 +439,101 @@ def caar_pallas_packed_t4_ext(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
       s0, sm1, qdp, pecnd, vn0u, vn0v, omg)
 
 
+@partial(jax.jit, static_argnames=("nt", "eb", "nlev", "moist", "interpret"))
+def caar_pallas_packed_t4_rk(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                             s, qdp, pecnd, vn0u, vn0v, omg, sf=None,
+                             nt: int = 0, eb: int = 8, nlev: int = 72,
+                             moist: bool = True, interpret: bool = False):
+    """RK-stage variant of `caar_pallas_packed_t4`: the evaluation and
+    base states are the SAME array in every SSPRK3 stage (U + dt L(U)), so
+    this kernel takes ONE stacked state operand — the generic pair kernel
+    fetches the identical 4*nlev-row buffer twice from HBM per block.
+    With ``sf`` (slot/flag table from kernels.dss_pallas.ext_slot_arrays)
+    it also emits the producer-fused extraction slab (requires
+    e16 % 128 == 0; the lane grid is then fixed at 128-lane blocks and
+    ``eb`` is ignored). Returns (s1, phi, vn0u', vn0v', omega_p'[, xd_t])."""
+    k4, e16 = s.shape
+    k = nlev
+    assert k4 == 4 * k, (k4, k)
+    ext = sf is not None
+    eb16 = 128 if ext else eb * NPSQ
+    assert e16 % eb16 == 0, (e16, eb16)
+    nblocks = e16 // eb16
+    if ext:
+        assert sf.shape == (2, nblocks), (sf.shape, nblocks)
+    f = jnp.float32
+
+    if ext:
+        fld = lambda r: pl.BlockSpec((r, eb16), lambda i, sf: (0, i),
+                                     memory_space=pltpu.VMEM)
+        rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
+                                         memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+                            memory_space=pltpu.SMEM)
+        meta_spec = pl.BlockSpec((len(META_COLS), eb16),
+                                 lambda i, sf: (0, i),
+                                 memory_space=pltpu.VMEM)
+    else:
+        fld = lambda r: pl.BlockSpec((r, eb16), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+        rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 4), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+        meta_spec = pl.BlockSpec((len(META_COLS), eb16), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+
+    kernel = partial(
+        _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas,
+        CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
+        False, True, ext, True,
+    )
+    flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
+    in_specs = [
+        smem,
+        rep((eb16, eb16)), rep((eb16, eb16)),
+        rep((k, k)), rep((k, k)), rep((k, k)),
+        meta_spec,
+        fld(4 * k),                          # s (single state)
+        fld(k), fld(k),                      # qdp, pecnd
+        fld(k), fld(k), fld(k),              # accumulators
+    ]
+    out_specs = [fld(4 * k), fld(k), fld(k), fld(k), fld(k)]
+    out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f),
+                 jax.ShapeDtypeStruct((k, e16), f)] + [
+        jax.ShapeDtypeStruct((k, e16), f) for _ in range(3)]
+    operands = [scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                s, qdp, pecnd, vn0u, vn0v, omg]
+    bytes_accessed = (10 + 8) * e16 * k * 4
+    if ext:
+        out_specs.append(
+            pl.BlockSpec((128, 4 * k), lambda i, sf: (sf[0, i], 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nt * 128, 4 * k), f))
+        bytes_accessed += nt * 128 * 4 * k * 4
+        grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(nblocks,),
+            in_specs=in_specs, out_specs=out_specs))
+        operands = [sf] + operands
+        aliases = {11: 2, 12: 3, 13: 4}
+    else:
+        grid_kw = dict(grid=(nblocks,), in_specs=in_specs,
+                       out_specs=out_specs)
+        aliases = {10: 2, 11: 3, 12: 4}
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * flops_per_block,
+            bytes_accessed=bytes_accessed,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+        **grid_kw,
+    )(*operands)
+
+
 @partial(jax.jit, static_argnames=("eb", "nlev", "moist", "interpret"))
 def caar_pallas_packed_rsplit0_t(scal, dxbt, dybt, ainct, astrt, bstrt,
                                  hyb, meta,
@@ -445,6 +556,7 @@ def caar_pallas_packed_rsplit0_t(scal, dxbt, dybt, ainct, astrt, bstrt,
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
         CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, True, False, False,
+        False,
     )
     return pl.pallas_call(
         kernel,

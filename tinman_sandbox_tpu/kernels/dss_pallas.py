@@ -92,12 +92,20 @@ def _sweep_masks_np(ne: int, nf: int):
     ]).astype(jnp.bfloat16)
 
 
-def _sweep_kernel_t(db: int, tiles: tuple, lb: int, vdt: bool,
-                    interpret: bool,
-                    x_ref, m_ref, rsp_ref, vd_ref, dm_ref, out_ref):
+def _sweep_kernel_t(db: int, tiles: tuple, lb: int, vdt: bool, mix: bool,
+                    interpret: bool, *refs):
     # the block is an integral number of WHOLE faces, so the cyclic roll
     # wrap (and any roll across an interior face boundary) only pollutes
     # positions the masks zero out
+    if mix:
+        # affine epilogue: out = ca*mx + cb*assembled — folds the RK
+        # convex combination / hyperviscosity update into the sweep pass
+        # (saves the standalone XLA R+R+W combination pass)
+        (x_ref, m_ref, rsp_ref, vd_ref, dm_ref, coef_ref, mx_ref,
+         out_ref) = refs
+        ca, cb = coef_ref[0, 0], coef_ref[0, 1]
+    else:
+        x_ref, m_ref, rsp_ref, vd_ref, dm_ref, out_ref = refs
     if interpret:
         roll = lambda a, s: jnp.roll(a, s, axis=1)
     else:
@@ -108,7 +116,11 @@ def _sweep_kernel_t(db: int, tiles: tuple, lb: int, vdt: bool,
     y = x + m_ref[0:1] * roll(x, -NP) + m_ref[1:2] * roll(x, NP)
     z = y + m_ref[2:3] * roll(y, -db) + m_ref[3:4] * roll(y, db)
     w = rsp_ref[:] * z
-    out_ref[:] = w
+    if mix:
+        mx = mx_ref[:]
+        out_ref[:] = ca * mx + cb * w
+    else:
+        out_ref[:] = w
     # fused edge/corner merge: rewrite only the statically-known 128-lane
     # tiles that contain fix lanes (the tile-dense vals/mask operands are
     # laid out one 128-lane slot per affected tile; the tile pattern is
@@ -119,18 +131,24 @@ def _sweep_kernel_t(db: int, tiles: tuple, lb: int, vdt: bool,
     for n, t in enumerate(tiles):
         wdt = min(128, lb - t * 128)
         m = dm_ref[:, n * 128:n * 128 + wdt]
-        out_ref[:, t * 128:t * 128 + wdt] = (
-            w[:, t * 128:t * 128 + wdt] * (1.0 - m)
-            + vd[:, n * 128:n * 128 + wdt] * m
-        )
+        merged = (w[:, t * 128:t * 128 + wdt] * (1.0 - m)
+                  + vd[:, n * 128:n * 128 + wdt] * m)
+        if mix:
+            merged = ca * mx[:, t * 128:t * 128 + wdt] + cb * merged
+        out_ref[:, t * 128:t * 128 + wdt] = merged
 
 
 def _sweep_banded_kernel_t(db: int, tiles: tuple, bl: int, ext: int,
-                           interpret: bool,
-                           x_ref, m_ref, rsp_ref, vd_ref, dm_ref, out_ref):
+                           mix: bool, interpret: bool, *refs):
     # the block is ONE element-row band extended with its neighbor rows in
     # the cyclic layout [band | next-halo-row | prev-halo-row]: the beta
     # rolls wrap into the correct halo row, so no boundary special-casing
+    if mix:
+        (x_ref, m_ref, rsp_ref, vd_ref, dm_ref, coef_ref, mx_ref,
+         out_ref) = refs
+        ca, cb = coef_ref[0, 0], coef_ref[0, 1]
+    else:
+        x_ref, m_ref, rsp_ref, vd_ref, dm_ref, out_ref = refs
     if interpret:
         roll = lambda a, s: jnp.roll(a, s, axis=1)
     else:
@@ -140,47 +158,68 @@ def _sweep_banded_kernel_t(db: int, tiles: tuple, bl: int, ext: int,
     y = x + m_ref[0:1] * roll(x, -NP) + m_ref[1:2] * roll(x, NP)
     z = y + m_ref[2:3] * roll(y, -db) + m_ref[3:4] * roll(y, db)
     w = rsp_ref[:] * z[:, :bl]
-    out_ref[:] = w
+    if mix:
+        mx = mx_ref[:]
+        out_ref[:] = ca * mx + cb * w
+    else:
+        out_ref[:] = w
     for n, t in enumerate(tiles):
         wdt = min(128, bl - t * 128)
         m = dm_ref[:, n * 128:n * 128 + wdt]
-        out_ref[:, t * 128:t * 128 + wdt] = (
-            w[:, t * 128:t * 128 + wdt] * (1.0 - m)
-            + vd_ref[:, n * 128:n * 128 + wdt] * m
-        )
+        merged = (w[:, t * 128:t * 128 + wdt] * (1.0 - m)
+                  + vd_ref[:, n * 128:n * 128 + wdt] * m)
+        if mix:
+            merged = ca * mx[:, t * 128:t * 128 + wdt] + cb * merged
+        out_ref[:, t * 128:t * 128 + wdt] = merged
 
 
 @partial(jax.jit, static_argnames=("tiles", "nchunks", "bl", "rl",
                                    "interpret", "block_k"))
 def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
                         tiles: tuple, nchunks: int, bl: int, rl: int,
+                        mix=None,
                         interpret: bool = False, block_k: int = 16):
     """Banded sweep pass for the element-row-sharded multi-chip step: the
     lane axis carries ``nchunks`` band chunks, each pre-extended with its
     two neighbor element-rows ([band | next | prev], ``rl`` lanes each).
     masks / dense_mask / vals_dense are per-chunk operands (the band's
-    face-edge pattern varies with its position in the face)."""
+    face-edge pattern varies with its position in the face).
+    ``mix=(mx, ca, cb)`` returns ca*mx + cb*(assembled); ``mx`` is the
+    UNextended [k, nchunks*bl] shard field."""
     k, _ = x_ext.shape
     ext = bl + 2 * rl
     assert x_ext.shape[1] == nchunks * ext, (x_ext.shape, nchunks, ext)
     bk = fit_block_k(k, ext, block_k)
     db = rl - (NP - 1)
     wd = len(tiles) * 128
+    in_specs = [
+        pl.BlockSpec((bk, ext), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, ext), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bl), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, wd), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, wd), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x_ext, masks, rsp, vals_dense, dense_mask]
+    if mix is not None:
+        mx, ca, cb = mix
+        assert mx.shape == (k, nchunks * bl), (mx.shape, k, nchunks * bl)
+        coef = jnp.stack([jnp.asarray(ca, jnp.float32),
+                          jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
+        in_specs += [pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                                  memory_space=pltpu.SMEM),
+                     pl.BlockSpec((bk, bl), lambda i, j: (i, j),
+                                  memory_space=pltpu.VMEM)]
+        operands += [coef, mx]
     return pl.pallas_call(
-        partial(_sweep_banded_kernel_t, db, tiles, bl, ext, interpret),
+        partial(_sweep_banded_kernel_t, db, tiles, bl, ext, mix is not None,
+                interpret),
         grid=(k // bk, nchunks),
-        in_specs=[
-            pl.BlockSpec((bk, ext), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, ext), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bl), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, wd), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wd), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bk, bl), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, nchunks * bl), jnp.float32),
@@ -188,14 +227,14 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
             vmem_limit_bytes=SWEEP_VMEM_CAP,
         ),
         interpret=interpret,
-    )(x_ext, masks, rsp, vals_dense, dense_mask)
+    )(*operands)
 
 
 @partial(jax.jit, static_argnames=("ne", "tiles", "nf", "faces", "vdt",
                                    "interpret", "block_k"))
 def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
                         tiles: tuple, nf: int, faces: int = 6,
-                        vdt: bool = False,
+                        vdt: bool = False, mix=None,
                         interpret: bool = False, block_k: int = 16):
     """rsp * (alpha+beta sweeps of x) with the edge/corner fix merged in.
     The grid is (k/bk, faces/nf): each block carries ``nf`` whole faces on
@@ -203,7 +242,9 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
     ``dense_mask`` are [k, (faces/nf)*len(tiles)*128] / [1, len(tiles)*128]
     tile-dense buffers (one 128-lane slot per affected face-local tile).
     ``faces`` < 6 serves the face-sharded multi-chip step (the lane axis
-    carries only this shard's faces)."""
+    carries only this shard's faces). ``mix=(mx, ca, cb)`` returns
+    ca*mx + cb*(assembled) instead — the RK convex combination /
+    hyperviscosity update folded into the sweep pass."""
     k, e16 = x.shape
     assert e16 == faces * ne * ne * NPSQ, (e16, ne, faces)
     lb = nf * ne * ne * NPSQ
@@ -212,32 +253,43 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
     masks = jnp.asarray(_sweep_masks_np(ne, nf))
     db = NPSQ * ne - (NP - 1)
     wd = len(tiles) * 128
+    blk = lambda: pl.BlockSpec((bk, lb), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)
     vd_spec = pl.BlockSpec((wd, bk), lambda i, j: (j, i),
                            memory_space=pltpu.VMEM) if vdt else \
         pl.BlockSpec((bk, wd), lambda i, j: (i, j),
                      memory_space=pltpu.VMEM)
+    in_specs = [
+        blk(),
+        pl.BlockSpec((4, lb), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lb), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        vd_spec,
+        pl.BlockSpec((1, wd), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, masks, rsp, vals_dense, dense_mask]
+    if mix is not None:
+        mx, ca, cb = mix
+        assert mx.shape == x.shape, (mx.shape, x.shape)
+        coef = jnp.stack([jnp.asarray(ca, jnp.float32),
+                          jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
+        in_specs += [pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                                  memory_space=pltpu.SMEM), blk()]
+        operands += [coef, mx]
     return pl.pallas_call(
-        partial(_sweep_kernel_t, db, tiles, lb, vdt, interpret),
+        partial(_sweep_kernel_t, db, tiles, lb, vdt, mix is not None,
+                interpret),
         grid=(k // bk, faces // nf),
-        in_specs=[
-            pl.BlockSpec((bk, lb), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, lb), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lb), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            vd_spec,
-            pl.BlockSpec((1, wd), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bk, lb), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct((k, e16), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=SWEEP_VMEM_CAP,
         ),
         interpret=interpret,
-    )(x, masks, rsp, vals_dense, dense_mask)
+    )(*operands)
 
 
 def _tile_extract_kernel_t(gt_ref, x_ref, o_ref):
@@ -437,7 +489,7 @@ def dss_fixup_t(x_pre, rsp, plan):
 
 @partial(jax.jit, static_argnames=("plan", "vdt", "interpret"))
 def dss_structured_t_pallas(x, plan, rsp_lanes, vdt: bool = False,
-                            interpret: bool = False):
+                            mix=None, interpret: bool = False):
     """rspheremp * DSS(x) on transposed [k, e16] fields — three passes:
     (1) `extract_tiles_t` copies only the affected 128-lane tiles out
     TRANSPOSED, (2) the compact fixup (row gathers + line/corner sums)
@@ -449,12 +501,12 @@ def dss_structured_t_pallas(x, plan, rsp_lanes, vdt: bool = False,
     gtiles, _, _ = _fixup_arrays_t(plan)
     xd_t = extract_tiles_t(x, gtiles, interpret=interpret)
     return dss_structured_t_pallas_pre(x, xd_t, plan, rsp_lanes, vdt=vdt,
-                                       interpret=interpret)
+                                       mix=mix, interpret=interpret)
 
 
 @partial(jax.jit, static_argnames=("plan", "vdt", "interpret"))
 def dss_structured_t_pallas_pre(x, xd_t, plan, rsp_lanes, vdt: bool = False,
-                                interpret: bool = False):
+                                mix=None, interpret: bool = False):
     """`dss_structured_t_pallas` with the affected-tile slab ``xd_t``
     already in hand: the PRODUCER kernel wrote it as a slot-mapped extra
     output (e.g. kernels.caar_pallas_t.caar_pallas_packed_t4_ext via
@@ -474,7 +526,7 @@ def dss_structured_t_pallas_pre(x, xd_t, plan, rsp_lanes, vdt: bool = False,
         vd = jnp.zeros((k, wd_tot), jnp.float32).at[
             :, jnp.asarray(dense_idx)].set(vals_t.T, unique_indices=True)
     return dss_sweeps_pallas_t(x, rsp_lanes, vd, jnp.asarray(dense_mask),
-                               plan.ne, tiles, nf, vdt=vdt,
+                               plan.ne, tiles, nf, vdt=vdt, mix=mix,
                                interpret=interpret)
 
 
