@@ -50,6 +50,10 @@ def main() -> None:
                          "SSPRK3 tracers) on the packed Pallas path")
     ap.add_argument("--nu", type=float, default=1e15,
                     help="--prim hyperviscosity coefficient")
+    ap.add_argument("--qsize", type=int, default=1,
+                    help="--prim tracer count (stacked on sublanes; the "
+                         "reference's tracer-heavy config is QSIZE_D=35, "
+                         "level_vectorized_ppscan/config.h.in)")
     ap.add_argument("--gather-dss", action="store_true",
                     help="use the round-1 alias-gather DSS instead of the "
                          "structured sweeps (for comparison)")
@@ -220,7 +224,10 @@ def main() -> None:
                 1, cfg.nelem * 16)
             s0_0 = jnp.concatenate(
                 [p["u0"], p["v0"], p["t0"], p["dp0"]], axis=0)
-            const = const[:7] + (s0_0, p["qdp"], p["pecnd"])
+            qdp0 = p["qdp"] if args.qsize <= 1 else jnp.concatenate(
+                [p["qdp"] * (1.0 + 0.01 * q) for q in range(args.qsize)],
+                axis=0)
+            const = const[:7] + (s0_0, qdp0, p["pecnd"])
             p = {k: p[k] for k in ("vn0u", "vn0v", "omg")}
 
             def one(cst, acc):
@@ -442,11 +449,13 @@ def main() -> None:
     # DSS epilogue at minimum re-reads + rewrites the 4 assembled fields.
     n_bf16 = {"f32": 0, "bf16_aux": 2, "bf16_ro": 6}[args.storage] \
         if kernel == "pallas" else 0
-    # --prim: 3 dynamics stages (kernel 21 + DSS 8 each) + 2 hypervis
-    # passes (vlap 6 + DSS 6 each) + 3 tracer stages per tracer (euler 4
-    # + DSS 2 each, q=1) + stage-combination passes (~24) — approximate.
-    n_fields = (3 * 29 + 2 * 12 + 3 * 6 + 24) if (cs is not None
-                                                  and args.prim) \
+    # --prim (post pass-elimination, round 3): dynamics 3 stages x
+    # (single-state RK kernel 9r+8w + DSS 4r+4w) + 8 mix s0-reads;
+    # hypervis 2x(vlap 3r+3w + DSS 3r+3w) + 3 mix; tracers per tracer
+    # 3x(euler r+w + DSS r+w) + winds + 2 mix reads — approximate.
+    q = max(args.qsize, 1)
+    n_fields = (3 * 25 + 8 + 2 * 12 + 3 + 14 * q + 6) \
+        if (cs is not None and args.prim) \
         else (21 + 8) if cs is not None else 21
     bytes_per_step = ((n_fields - n_bf16) * dtype.itemsize + n_bf16 * 2) \
         * args.nelem * 16 * args.nlev
@@ -482,9 +491,9 @@ def main() -> None:
         "unit": "gridpoints/s",
         "vs_baseline": round(gps / baseline, 2) if baseline else None,
         "config": f"{args.nelem}x{args.nlev}x16 {args.dtype} nexec={args.nexec} kernel={kernel}"
-                  + (" prim(ssprk3+hypervis+tracers)" if (cs is not None
-                                                          and args.prim)
-                     else "")
+                  + ((" prim(ssprk3+hypervis+tracers)"
+                      + (f" qsize={args.qsize}" if args.qsize > 1 else ""))
+                     if (cs is not None and args.prim) else "")
                   + (" layout=t" if args.layout == "t" else "")
                   + (f" storage={args.storage}" if args.storage != "f32" else "")
                   + ((" dss=segment-sum" if kernel != "pallas" else

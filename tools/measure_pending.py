@@ -73,6 +73,9 @@ def main():
              "--reps", "2"], 1500, log)
         run("prim_ne30", [py, "bench.py", "--ne", "30", "--prim",
                           "--nexec", "60", "--reps", "2"], 2400, log)
+        run("prim_ne30_q35", [py, "bench.py", "--ne", "30", "--prim",
+                              "--qsize", "35", "--nexec", "30",
+                              "--reps", "2"], 2400, log)
         run("headline", [py, "bench.py"], 1200, log)
         run("ne120_assembled", [py, "bench.py", "--ne", "120",
                                 "--nexec", "30", "--reps", "2"], 1800, log)
