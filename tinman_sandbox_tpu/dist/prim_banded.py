@@ -170,9 +170,10 @@ def hypervis_banded_t(dxbt, dybt, meta, uvt, plan, rsp_lanes, mesh: Mesh,
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
-                                   "interpret"))
+                                   "wind_rows", "interpret"))
 def tracer_banded_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
                     mesh: Mesh, m: int, dt, eb: int, nlev: int,
+                    wind_rows: tuple = (0, 0),
                     interpret: bool = False):
     """Band-sharded SSPRK3 tracer transport (ssprk3_tracer_packed_t over
     a mesh, no limiter). Requires a CONTINUOUS qdp. Each stage is one
@@ -191,10 +192,10 @@ def tracer_banded_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
         if sf_np is not None:
             return tracer_euler_pallas_packed_t_ext(
                 scal, dxbt, dybt, meta, vu, vv, q, jnp.asarray(sf_np),
-                nt=nt, nlev=nlev, interpret=interpret)
+                nt=nt, nlev=nlev, wind_rows=wind_rows, interpret=interpret)
         return tracer_euler_pallas_packed_t(
             scal, dxbt, dybt, meta, vu, vv, q, eb=eb, nlev=nlev,
-            interpret=interpret), None
+            wind_rows=wind_rows, interpret=interpret), None
 
     def body(scal, dxbt, dybt, meta, vu, vv, q, rsp, dm_l, masks_l):
         e, xd_t = adv(scal, dxbt, dybt, meta, vu, vv, q)
@@ -236,25 +237,27 @@ def prim_step_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     """FULL prim cadence, band-sharded (the multi-chip analog of
     step_pallas.prim_step_packed_t4). Returns
     (s_np1, qdp', phi, vn0u', vn0v', omega_p')."""
-    k = nlev
     dt = scal[0, 0]
 
+    # the RK kernel reads only the first nlev tracer rows via its block
+    # spec — pass the full stacked qdp, no slice copy
     s1, phi, vn0u1, vn0v1, omg1 = ssprk3_banded_t4(
         scal, dxbt, dybt, ainct, astrt, bstrt, meta, s0,
-        qdp[:k], pecnd, vn0u, vn0v, omg, plan, rsp_lanes, mesh, m,
+        qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes, mesh, m,
         eb=eb, nlev=nlev, moist=moist, interpret=interpret)
 
     if nu:
-        uvt = hypervis_banded_t(
-            dxbt, dybt, meta, s1[:3 * k], plan, rsp_lanes, mesh, m, nu, dt,
+        # full 4*nlev buffer: the final banded sweep applies the update in
+        # place via the aliased affine output (dp rows ride through)
+        s1 = hypervis_banded_t(
+            dxbt, dybt, meta, s1, plan, rsp_lanes, mesh, m, nu, dt,
             eb=eb, nlev=nlev, nu_ratio=nu_ratio, subcycle=subcycle,
             interpret=interpret)
-        s1 = jnp.concatenate([uvt, s1[3 * k:]], axis=0)
 
-    vu, vv = s1[0:k], s1[k:2 * k]
+    # winds read from s1's row blocks 0 (u) and 1 (v) in place
     dt_q = dt / max(qsplit, 1)
     for _ in range(max(qsplit, 1)):
-        qdp = tracer_banded_t(dxbt, dybt, meta, vu, vv, qdp, plan,
+        qdp = tracer_banded_t(dxbt, dybt, meta, s1, s1, qdp, plan,
                               rsp_lanes, mesh, m, dt_q, eb=eb, nlev=nlev,
-                              interpret=interpret)
+                              wind_rows=(0, 1), interpret=interpret)
     return s1, qdp, phi, vn0u1, vn0v1, omg1

@@ -312,12 +312,16 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
                             nu, dt, eb: int, nlev: int, nu_ratio=1.0,
                             subcycle: int = 1, fuse_extract: bool = True,
                             interpret: bool = False):
-    """Biharmonic hyperviscosity on the stacked [3*nlev, E16] (u, v, T)
-    layout: per subcycle, two (packed weak-Laplacian Pallas kernel ->
-    structured Pallas DSS) passes, then X -= (dt/subcycle)*nu*grad^4(X)
+    """Biharmonic hyperviscosity on the (u, v, T) rows of ``uvt``: per
+    subcycle, two (packed weak-Laplacian Pallas kernel -> structured
+    Pallas DSS) passes, then X -= (dt/subcycle)*nu*grad^4(X)
     (timeloop/hyperviscosity.py math on the fused fast path). With
     ``fuse_extract`` (default; elem_block == 8 and 128-aligned e16) the
-    Laplacian kernel emits the DSS fixup slab itself."""
+    Laplacian kernel emits the DSS fixup slab itself. ``uvt`` may be
+    either the [3*nlev, E16] (u, v, T) stack (returned as such) or the
+    FULL [4*nlev, E16] prognostic buffer — then the update is applied
+    IN PLACE via the sweep's aliased affine output and the dp rows ride
+    through untouched (no slice/concat passes)."""
     from ..kernels.dss_pallas import (
         dss_structured_t_pallas, dss_structured_t_pallas_pre,
         ext_slot_arrays,
@@ -352,16 +356,20 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
     one = jnp.ones((), f)
     x = uvt
     for _ in range(subcycle):
-        # x - step*grad^4: the update is the second sweep's affine output
+        # x - step*grad^4: the update is the second sweep's affine output;
+        # with the 4*nlev input the taller mix aliases the state buffer
+        # and the dp rows are preserved through it
         x = lap_dss(lap_dss(x), mix=(x, one, -step))
     return x
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "limit",
-                                   "fuse_extract", "interpret"))
+                                   "fuse_extract", "wind_rows",
+                                   "interpret"))
 def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
                            dt, eb: int, nlev: int, limit: bool = False,
                            fuse_extract: bool = True,
+                           wind_rows: tuple = (0, 0),
                            interpret: bool = False):
     """SSPRK3 tracer transport on the packed path: each stage is the fused
     Euler kernel (kernels/tracer_pallas_t.py, spheremp folded in) closed by
@@ -395,14 +403,16 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
             def stage(q, mix=None):
                 e, xd_t = tracer_euler_pallas_packed_t_ext(
                     scal, dxbt, dybt, meta, vu, vv, q, sfj,
-                    nt=nt, nlev=nlev, interpret=interpret)
+                    nt=nt, nlev=nlev, wind_rows=wind_rows,
+                    interpret=interpret)
                 return dss_structured_t_pallas_pre(
                     e, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
         else:
             def stage(q, mix=None):
                 e = tracer_euler_pallas_packed_t(
                     scal, dxbt, dybt, meta, vu, vv, q,
-                    eb=eb, nlev=nlev, interpret=interpret)
+                    eb=eb, nlev=nlev, wind_rows=wind_rows,
+                    interpret=interpret)
                 return dss_structured_t_pallas(e, plan, rsp_lanes, mix=mix,
                                                interpret=interpret)
 
@@ -424,7 +434,8 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
     def adv(q):
         return tracer_euler_pallas_packed_t(
             scal, dxbt, dybt, meta, vu, vv, q,
-            eb=eb, nlev=nlev, fold_sph=False, interpret=interpret)
+            eb=eb, nlev=nlev, fold_sph=False, wind_rows=wind_rows,
+            interpret=interpret)
 
     def PL(x, q_in):
         qmin, qmax = element_bounds(q_in.reshape(qk, nel, NP, NP))
@@ -486,27 +497,31 @@ def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     moisture tracer read by the dynamics. Everything stays in the packed
     layout across steps (chain s_np1 -> s0, qdp' -> qdp). Returns
     (s_np1, qdp', phi, vn0u', vn0v', omega_p')."""
-    k = nlev
     dt = scal[0, 0]
 
+    # the RK kernel reads only the first nlev tracer rows via its block
+    # spec — pass the full stacked qdp, no slice copy
     s1, phi, vn0u1, vn0v1, omg1 = ssprk3_packed_t4(
         scal, dxbt, dybt, ainct, astrt, bstrt, meta, s0,
-        qdp[:k], pecnd, vn0u, vn0v, omg,
+        qdp, pecnd, vn0u, vn0v, omg,
         plan, rsp_lanes, eb=eb, nlev=nlev, moist=moist, interpret=interpret)
 
     if nu:
-        uvt = apply_hypervis_packed_t(
-            dxbt, dybt, meta, s1[:3 * k], plan, rsp_lanes, nu, dt,
+        # full 4*nlev buffer: the final sweep applies the update in place
+        # via the aliased affine output (dp rows ride through) — no slice
+        # or concat passes
+        s1 = apply_hypervis_packed_t(
+            dxbt, dybt, meta, s1, plan, rsp_lanes, nu, dt,
             eb=eb, nlev=nlev, nu_ratio=nu_ratio, subcycle=subcycle,
             interpret=interpret)
-        s1 = jnp.concatenate([uvt, s1[3 * k:]], axis=0)
 
-    vu, vv = s1[0:k], s1[k:2 * k]
+    # winds read from s1's row blocks 0 (u) and 1 (v) in place
     dt_q = dt / max(qsplit, 1)
     for _ in range(max(qsplit, 1)):
-        qdp = ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp,
+        qdp = ssprk3_tracer_packed_t(dxbt, dybt, meta, s1, s1, qdp,
                                      plan, rsp_lanes, dt_q,
                                      eb=eb, nlev=nlev, limit=limit_tracers,
+                                     wind_rows=(0, 1),
                                      interpret=interpret)
     return s1, qdp, phi, vn0u1, vn0v1, omg1
 

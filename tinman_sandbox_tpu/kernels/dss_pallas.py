@@ -185,11 +185,17 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
     masks / dense_mask / vals_dense are per-chunk operands (the band's
     face-edge pattern varies with its position in the face).
     ``mix=(mx, ca, cb)`` returns ca*mx + cb*(assembled); ``mx`` is the
-    UNextended [k, nchunks*bl] shard field."""
+    UNextended [k, nchunks*bl] shard field — or TALLER, in which case the
+    output takes mx's height with mx aliased into it (rows beyond x's
+    ride through untouched; the in-place hyperviscosity update)."""
     k, _ = x_ext.shape
     ext = bl + 2 * rl
     assert x_ext.shape[1] == nchunks * ext, (x_ext.shape, nchunks, ext)
     bk = fit_block_k(k, ext, block_k)
+    if mix is not None and mix[0].shape[0] != k and mix[0].shape[0] % bk:
+        cands = [b for b in range(bk, 0, -1)
+                 if k % b == 0 and mix[0].shape[0] % b == 0]
+        bk = next((b for b in cands if b % 8 == 0), cands[0])
     db = rl - (NP - 1)
     wd = len(tiles) * 128
     in_specs = [
@@ -205,9 +211,12 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
                      memory_space=pltpu.VMEM),
     ]
     operands = [x_ext, masks, rsp, vals_dense, dense_mask]
+    out_rows = k
+    aliases = {}
     if mix is not None:
         mx, ca, cb = mix
-        assert mx.shape == (k, nchunks * bl), (mx.shape, k, nchunks * bl)
+        assert mx.shape[1] == nchunks * bl and mx.shape[0] >= k, \
+            (mx.shape, k, nchunks * bl)
         coef = jnp.stack([jnp.asarray(ca, jnp.float32),
                           jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
         in_specs += [pl.BlockSpec((1, 2), lambda i, j: (0, 0),
@@ -215,6 +224,9 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
                      pl.BlockSpec((bk, bl), lambda i, j: (i, j),
                                   memory_space=pltpu.VMEM)]
         operands += [coef, mx]
+        if mx.shape[0] > k:
+            out_rows = mx.shape[0]
+            aliases = {6: 0}      # mx -> out: unvisited rows ride through
     return pl.pallas_call(
         partial(_sweep_banded_kernel_t, db, tiles, bl, ext, mix is not None,
                 interpret),
@@ -222,7 +234,9 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bk, bl), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, nchunks * bl), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, nchunks * bl),
+                                       jnp.float32),
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=SWEEP_VMEM_CAP,
         ),
@@ -244,7 +258,11 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
     ``faces`` < 6 serves the face-sharded multi-chip step (the lane axis
     carries only this shard's faces). ``mix=(mx, ca, cb)`` returns
     ca*mx + cb*(assembled) instead — the RK convex combination /
-    hyperviscosity update folded into the sweep pass."""
+    hyperviscosity update folded into the sweep pass. When ``mx`` has MORE
+    rows than x, the output takes mx's shape with mx donated/aliased into
+    it: rows beyond x's keep mx's data untouched (the in-place patch
+    pattern — e.g. the hyperviscosity update rewrites the (u, v, T) rows
+    of the stacked state while the dp rows ride through)."""
     k, e16 = x.shape
     assert e16 == faces * ne * ne * NPSQ, (e16, ne, faces)
     lb = nf * ne * ne * NPSQ
@@ -270,21 +288,42 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
                      memory_space=pltpu.VMEM),
     ]
     operands = [x, masks, rsp, vals_dense, dense_mask]
+    out_rows = k
+    aliases = {}
     if mix is not None:
         mx, ca, cb = mix
-        assert mx.shape == x.shape, (mx.shape, x.shape)
+        assert mx.shape[1] == e16 and mx.shape[0] >= k, (mx.shape, x.shape)
+        if mx.shape[0] != k and mx.shape[0] % bk:
+            # the aliased taller output needs bk | mx rows too: largest
+            # common divisor <= the VMEM-fit bk, preferring multiples of 8
+            cands = [b for b in range(bk, 0, -1)
+                     if k % b == 0 and mx.shape[0] % b == 0]
+            bk = next((b for b in cands if b % 8 == 0), cands[0])
+            blk = lambda: pl.BlockSpec((bk, lb), lambda i, j: (i, j),
+                                       memory_space=pltpu.VMEM)
+            in_specs[0] = blk()
+            if not vdt:
+                in_specs[3] = pl.BlockSpec((bk, wd), lambda i, j: (i, j),
+                                           memory_space=pltpu.VMEM)
+            else:
+                in_specs[3] = pl.BlockSpec((wd, bk), lambda i, j: (j, i),
+                                           memory_space=pltpu.VMEM)
         coef = jnp.stack([jnp.asarray(ca, jnp.float32),
                           jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
         in_specs += [pl.BlockSpec((1, 2), lambda i, j: (0, 0),
                                   memory_space=pltpu.SMEM), blk()]
         operands += [coef, mx]
+        if mx.shape[0] > k:
+            out_rows = mx.shape[0]
+            aliases = {6: 0}      # mx -> out: unvisited rows ride through
     return pl.pallas_call(
         partial(_sweep_kernel_t, db, tiles, lb, vdt, mix is not None,
                 interpret),
         grid=(k // bk, faces // nf),
         in_specs=in_specs,
         out_specs=blk(),
-        out_shape=jax.ShapeDtypeStruct((k, e16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, e16), jnp.float32),
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=SWEEP_VMEM_CAP,
         ),

@@ -40,12 +40,15 @@ _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
 def _vlap_kernel_t(split, rrearth, ext, *refs):
+    # u/v/t arrive as separate k-row refs so callers can alias them into a
+    # TALLER stacked state (e.g. the [4*nlev] prognostic buffer) via
+    # row-block index maps — no XLA slice copy feeding the kernel
     if ext:
         (sf_ref, scal_ref, dxbt_ref, dybt_ref, dxb_ref, dyb_ref, meta_ref,
-         x_ref, o_ref, ext_ref) = refs
+         u_ref, v_ref, t_ref, o_ref, ext_ref) = refs
     else:
         (scal_ref, dxbt_ref, dybt_ref, dxb_ref, dyb_ref, meta_ref,
-         x_ref, o_ref) = refs
+         u_ref, v_ref, t_ref, o_ref) = refs
     f32 = jnp.float32
     nu_ratio = scal_ref[0, 0]
     dot, _, _ = make_dots(split)
@@ -68,9 +71,8 @@ def _vlap_kernel_t(split, rrearth, ext, *refs):
     mi01 = dinv00 * dinv10 + dinv01 * dinv11
     mi11 = dinv10 * dinv10 + dinv11 * dinv11
 
-    k = x_ref.shape[0] // 3
-    u, v = x_ref[0:k], x_ref[k:2 * k]
-    t = x_ref[2 * k:3 * k]
+    k = u_ref.shape[0]
+    u, v, t = u_ref[:], v_ref[:], t_ref[:]
 
     # -- scalar: laplace_simple(T) = div_wk(grad(T)) --------------------------
     v1 = dot(t, dxbt) * rr
@@ -124,18 +126,24 @@ def _vlap_kernel_t(split, rrearth, ext, *refs):
 @partial(jax.jit, static_argnames=("eb", "nlev", "interpret"))
 def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
                          eb: int, nlev: int, interpret: bool = False):
-    """Weak (vlaplace_u, vlaplace_v, laplace_T) of the stacked [3*nlev, E16]
-    field ``x`` — spheremp-weighted residuals, to be closed by
-    rspheremp * DSS. ``scal[0, 0]`` carries nu_ratio (hpp:938 nu_div/nu)."""
-    k3, e16 = x.shape
+    """Weak (vlaplace_u, vlaplace_v, laplace_T) of the (u, v, T) rows of
+    the stacked field ``x`` — spheremp-weighted residuals, to be closed by
+    rspheremp * DSS. ``scal[0, 0]`` carries nu_ratio (hpp:938 nu_div/nu).
+    ``x`` may be TALLER than [3*nlev, E16] (e.g. the full [4*nlev]
+    prognostic buffer): only its first three nlev-row blocks are read,
+    via row-block index maps — no slice copy. Output is [3*nlev, E16]."""
+    kx, e16 = x.shape
     k = nlev
-    assert k3 == 3 * k, (k3, k)
+    assert kx >= 3 * k and kx % k == 0, (kx, k)
     eb16 = eb * NPSQ
     assert e16 % eb16 == 0, (e16, eb16)
     nblocks = e16 // eb16
     f = jnp.float32
 
     fld = lambda r: pl.BlockSpec((r, eb16), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    row = lambda r: pl.BlockSpec((k, eb16),
+                                 lambda i, r=r: (r, i),
                                  memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
@@ -151,7 +159,7 @@ def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
             rep((eb16, eb16)), rep((eb16, eb16)),
             pl.BlockSpec((len(META_COLS), eb16), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            fld(3 * k),
+            row(0), row(1), row(2),
         ],
         out_specs=fld(3 * k),
         out_shape=jax.ShapeDtypeStruct((3 * k, e16), f),
@@ -162,7 +170,7 @@ def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
         ),
         interpret=interpret,
     )(scal, dxbt, dybt,
-      jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x)
+      jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x, x, x)
 
 
 @partial(jax.jit, static_argnames=("nt", "nlev", "interpret"))
@@ -172,10 +180,11 @@ def vlap_pallas_packed_t_ext(scal, dxbt, dybt, meta, x, sf,
     is the slot/flag table from kernels.dss_pallas.ext_slot_arrays and the
     second output is the transposed affected-tile slab [nt*128, 3*nlev]
     for dss_structured_t_pallas_pre. Lane grid fixed at 128-lane blocks
-    (elem_block == 8); requires e16 % 128 == 0."""
-    k3, e16 = x.shape
+    (elem_block == 8); requires e16 % 128 == 0. ``x`` may be taller than
+    [3*nlev] (only the first three nlev-row blocks are read)."""
+    kx, e16 = x.shape
     k = nlev
-    assert k3 == 3 * k, (k3, k)
+    assert kx >= 3 * k and kx % k == 0, (kx, k)
     assert e16 % 128 == 0, e16
     nblocks = e16 // 128
     assert sf.shape == (2, nblocks), (sf.shape, nblocks)
@@ -183,6 +192,9 @@ def vlap_pallas_packed_t_ext(scal, dxbt, dybt, meta, x, sf,
     f = jnp.float32
 
     fld = lambda r: pl.BlockSpec((r, eb16), lambda i, sf: (0, i),
+                                 memory_space=pltpu.VMEM)
+    row = lambda r: pl.BlockSpec((k, eb16),
+                                 lambda i, sf, r=r: (r, i),
                                  memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
                                      memory_space=pltpu.VMEM)
@@ -198,7 +210,7 @@ def vlap_pallas_packed_t_ext(scal, dxbt, dybt, meta, x, sf,
             rep((eb16, eb16)), rep((eb16, eb16)),
             pl.BlockSpec((len(META_COLS), eb16), lambda i, sf: (0, i),
                          memory_space=pltpu.VMEM),
-            fld(3 * k),
+            row(0), row(1), row(2),
         ],
         out_specs=[fld(3 * k),
                    pl.BlockSpec((128, 3 * k), lambda i, sf: (sf[0, i], 0),
@@ -216,4 +228,4 @@ def vlap_pallas_packed_t_ext(scal, dxbt, dybt, meta, x, sf,
         ),
         interpret=interpret,
     )(sf, scal, dxbt, dybt,
-      jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x)
+      jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x, x, x)

@@ -69,14 +69,19 @@ def _tracer_kernel_t(split, rrearth, nq, fold_sph, ext, *refs):
                 ext_ref[:, t * k:(t + 1) * k] = out.T
 
 
-@partial(jax.jit, static_argnames=("eb", "nlev", "fold_sph", "interpret"))
+@partial(jax.jit, static_argnames=("eb", "nlev", "fold_sph", "wind_rows",
+                                   "interpret"))
 def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
                                  eb: int, nlev: int, fold_sph: bool = True,
+                                 wind_rows: tuple = (0, 0),
                                  interpret: bool = False):
     """spheremp * (qdp - dt*div(vstar*qdp)) for the stacked
     [qsize*nlev, E16] tracer block; ``scal[0, 0]`` carries dt.
     ``fold_sph=False`` returns the plain advected value (the limiter path
-    applies spheremp after clipping)."""
+    applies spheremp after clipping). ``wind_rows`` are the nlev-row BLOCK
+    indices of the u/v winds inside ``vu``/``vv`` — pass the stacked
+    prognostic state as both with wind_rows=(0, 1) to read the winds
+    in place (no slice copies)."""
     qk, e16 = qdp.shape
     k = nlev
     assert qk % k == 0, (qk, k)
@@ -84,8 +89,12 @@ def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
     eb16 = eb * NPSQ
     assert e16 % eb16 == 0, (e16, eb16)
     nblocks = e16 // eb16
+    wu, wv = wind_rows
+    assert vu.shape[0] >= (wu + 1) * k and vv.shape[0] >= (wv + 1) * k
 
     fld = lambda r: pl.BlockSpec((r, eb16), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    row = lambda r: pl.BlockSpec((k, eb16), lambda i, r=r: (r, i),
                                  memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
@@ -99,7 +108,7 @@ def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
             rep((eb16, eb16)), rep((eb16, eb16)),
             pl.BlockSpec((len(META_COLS), eb16), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            fld(k), fld(k), fld(qk),
+            row(wu), row(wv), fld(qk),
         ],
         out_specs=fld(qk),
         out_shape=jax.ShapeDtypeStruct((qk, e16), jnp.float32),
@@ -112,15 +121,18 @@ def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
     )(scal, dxbt, dybt, meta, vu, vv, qdp)
 
 
-@partial(jax.jit, static_argnames=("nt", "nlev", "fold_sph", "interpret"))
+@partial(jax.jit, static_argnames=("nt", "nlev", "fold_sph", "wind_rows",
+                                   "interpret"))
 def tracer_euler_pallas_packed_t_ext(scal, dxbt, dybt, meta, vu, vv, qdp,
                                      sf, nt: int, nlev: int,
                                      fold_sph: bool = True,
+                                     wind_rows: tuple = (0, 0),
                                      interpret: bool = False):
     """`tracer_euler_pallas_packed_t` with producer-fused tile extraction:
     second output is the transposed affected-tile slab [nt*128, qk] for
     dss_structured_t_pallas_pre (see kernels.dss_pallas.ext_slot_arrays).
-    Lane grid fixed at 128-lane blocks; requires e16 % 128 == 0."""
+    Lane grid fixed at 128-lane blocks; requires e16 % 128 == 0.
+    ``wind_rows`` as in the unfused variant."""
     qk, e16 = qdp.shape
     k = nlev
     assert qk % k == 0, (qk, k)
@@ -129,8 +141,12 @@ def tracer_euler_pallas_packed_t_ext(scal, dxbt, dybt, meta, vu, vv, qdp,
     nblocks = e16 // 128
     assert sf.shape == (2, nblocks), (sf.shape, nblocks)
     eb16 = 128
+    wu, wv = wind_rows
+    assert vu.shape[0] >= (wu + 1) * k and vv.shape[0] >= (wv + 1) * k
 
     fld = lambda r: pl.BlockSpec((r, eb16), lambda i, sf: (0, i),
+                                 memory_space=pltpu.VMEM)
+    row = lambda r: pl.BlockSpec((k, eb16), lambda i, sf, r=r: (r, i),
                                  memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
                                      memory_space=pltpu.VMEM)
@@ -145,7 +161,7 @@ def tracer_euler_pallas_packed_t_ext(scal, dxbt, dybt, meta, vu, vv, qdp,
             rep((eb16, eb16)), rep((eb16, eb16)),
             pl.BlockSpec((len(META_COLS), eb16), lambda i, sf: (0, i),
                          memory_space=pltpu.VMEM),
-            fld(k), fld(k), fld(qk),
+            row(wu), row(wv), fld(qk),
         ],
         out_specs=[fld(qk),
                    pl.BlockSpec((128, qk), lambda i, sf: (sf[0, i], 0),
