@@ -62,51 +62,54 @@ def ssprk3_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         plan, m, mesh, eb, s0.shape[1], interpret)
 
     def kern(sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp, pecnd,
-             a1, a2, a3):
+             a1, a2, a3, emit_phi):
         out = caar_pallas_packed_t4_rk(
             sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp, pecnd,
             a1, a2, a3,
             sf=None if sf_np is None else jnp.asarray(sf_np),
             nt=0 if nt is None else nt, eb=eb, nlev=nlev, moist=moist,
-            interpret=interpret)
+            emit_phi=emit_phi, interpret=interpret)
         xd_t = out[5] if sf_np is not None else None
         return out[0], out[1], out[2:5], xd_t
 
-    def body_plain(sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp,
-                   pecnd, a1, a2, a3, rsp, dm_l, masks_l):
-        s1k, phi, acc, xd_t = kern(sc, dxbt, dybt, ainct, astrt, bstrt,
-                                   meta, u, qdp, pecnd, a1, a2, a3)
-        return dss_local(s1k, rsp, dm_l, masks_l, xd_t), phi, *acc
+    def make_plain():
+        def body(sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp,
+                 pecnd, a1, a2, a3, rsp, dm_l, masks_l):
+            s1k, phi, acc, xd_t = kern(sc, dxbt, dybt, ainct, astrt, bstrt,
+                                       meta, u, qdp, pecnd, a1, a2, a3,
+                                       False)
+            return dss_local(s1k, rsp, dm_l, masks_l, xd_t), phi, *acc
 
-    def body_mix(sc, coef, dxbt, dybt, ainct, astrt, bstrt, meta, u, mx,
+        return shard_map(body, mesh=mesh,
+                         in_specs=(_REP,) * 6 + (_SPEC_L,) * 10,
+                         out_specs=(_SPEC_L,) * 5, check_vma=False)
+
+    def make_mix(emit_phi):
+        def body(sc, coef, dxbt, dybt, ainct, astrt, bstrt, meta, u, mx,
                  qdp, pecnd, a1, a2, a3, rsp, dm_l, masks_l):
-        s1k, phi, acc, xd_t = kern(sc, dxbt, dybt, ainct, astrt, bstrt,
-                                   meta, u, qdp, pecnd, a1, a2, a3)
-        mix = (mx, coef[0, 0], coef[0, 1])
-        return dss_local(s1k, rsp, dm_l, masks_l, xd_t, mix), phi, *acc
+            s1k, phi, acc, xd_t = kern(sc, dxbt, dybt, ainct, astrt, bstrt,
+                                       meta, u, qdp, pecnd, a1, a2, a3,
+                                       emit_phi)
+            mix = (mx, coef[0, 0], coef[0, 1])
+            return dss_local(s1k, rsp, dm_l, masks_l, xd_t, mix), phi, *acc
 
-    outs = (_SPEC_L,) * 5
-    stage_plain = shard_map(
-        body_plain, mesh=mesh,
-        in_specs=(_REP,) * 6 + (_SPEC_L,) * 10, out_specs=outs,
-        check_vma=False)
-    stage_mix = shard_map(
-        body_mix, mesh=mesh,
-        in_specs=(_REP,) * 7 + (_SPEC_L,) * 11, out_specs=outs,
-        check_vma=False)
+        return shard_map(body, mesh=mesh,
+                         in_specs=(_REP,) * 7 + (_SPEC_L,) * 11,
+                         out_specs=(_SPEC_L,) * 5, check_vma=False)
 
     consts = (dxbt, dybt, ainct, astrt, bstrt)
     cf = lambda a, b: jnp.asarray([a, b], jnp.float32).reshape(1, 2)
     sc1 = scal.at[0, 1].set(scal[0, 1] * f.type(B[0]))
-    u1, _, *acc = stage_plain(sc1, *consts, meta, s0, qdp, pecnd,
-                              vn0u, vn0v, omg, rsp_lanes, dm_g, masks_g)
+    u1, _, *acc = make_plain()(sc1, *consts, meta, s0, qdp, pecnd,
+                               vn0u, vn0v, omg, rsp_lanes, dm_g, masks_g)
     sc2 = scal.at[0, 1].set(scal[0, 1] * f.type(B[1]))
-    u2, _, *acc = stage_mix(sc2, cf(0.75, 0.25), *consts, meta, u1, s0,
-                            qdp, pecnd, *acc, rsp_lanes, dm_g, masks_g)
+    u2, _, *acc = make_mix(False)(sc2, cf(0.75, 0.25), *consts, meta, u1,
+                                  s0, qdp, pecnd, *acc, rsp_lanes, dm_g,
+                                  masks_g)
     sc3 = scal.at[0, 1].set(scal[0, 1] * f.type(B[2]))
-    u3, phi, *acc = stage_mix(sc3, cf(1.0 / 3.0, 2.0 / 3.0), *consts,
-                              meta, u2, s0, qdp, pecnd, *acc, rsp_lanes,
-                              dm_g, masks_g)
+    u3, phi, *acc = make_mix(True)(sc3, cf(1.0 / 3.0, 2.0 / 3.0), *consts,
+                                   meta, u2, s0, qdp, pecnd, *acc,
+                                   rsp_lanes, dm_g, masks_g)
     return (u3, phi, *acc)
 
 

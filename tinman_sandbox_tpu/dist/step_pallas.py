@@ -280,12 +280,12 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     else:
         sfj, nt_ext = None, 0
 
-    def kstage(u, b, acc):
+    def kstage(u, b, acc, emit_phi=False):
         sc = scal.at[0, 1].set(scal[0, 1] * f.type(b))
         out = caar_pallas_packed_t4_rk(
             sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp, pecnd,
             *acc, sf=sfj, nt=nt_ext, eb=eb, nlev=nlev, moist=moist,
-            interpret=interpret)
+            emit_phi=emit_phi, interpret=interpret)
         s1, phi = out[0], out[1]
         xd_t = out[5] if fuse else None
         return s1, phi, out[2:5], xd_t
@@ -301,7 +301,7 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     u1 = proj(s1k, xd)
     s2k, _, acc, xd = kstage(u1, B[1], acc)
     u2 = proj(s2k, xd, mix=(s0, f.type(0.75), f.type(0.25)))
-    s3k, phi, acc, xd = kstage(u2, B[2], acc)
+    s3k, phi, acc, xd = kstage(u2, B[2], acc, emit_phi=True)
     u3 = proj(s3k, xd, mix=(s0, f.type(1.0 / 3.0), f.type(2.0 / 3.0)))
     return (u3, phi, *acc)
 

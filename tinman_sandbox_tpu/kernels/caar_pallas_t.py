@@ -439,11 +439,13 @@ def caar_pallas_packed_t4_ext(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
       s0, sm1, qdp, pecnd, vn0u, vn0v, omg)
 
 
-@partial(jax.jit, static_argnames=("nt", "eb", "nlev", "moist", "interpret"))
+@partial(jax.jit, static_argnames=("nt", "eb", "nlev", "moist", "emit_phi",
+                                   "interpret"))
 def caar_pallas_packed_t4_rk(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                              s, qdp, pecnd, vn0u, vn0v, omg, sf=None,
                              nt: int = 0, eb: int = 8, nlev: int = 72,
-                             moist: bool = True, interpret: bool = False):
+                             moist: bool = True, emit_phi: bool = True,
+                             interpret: bool = False):
     """RK-stage variant of `caar_pallas_packed_t4`: the evaluation and
     base states are the SAME array in every SSPRK3 stage (U + dt L(U)), so
     this kernel takes ONE stacked state operand — the generic pair kernel
@@ -451,7 +453,10 @@ def caar_pallas_packed_t4_rk(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     With ``sf`` (slot/flag table from kernels.dss_pallas.ext_slot_arrays)
     it also emits the producer-fused extraction slab (requires
     e16 % 128 == 0; the lane grid is then fixed at 128-lane blocks and
-    ``eb`` is ignored). Returns (s1, phi, vn0u', vn0v', omega_p'[, xd_t])."""
+    ``eb`` is ignored). ``emit_phi=False`` coalesces the phi output into
+    one revisited 128-lane block (the RK stages 1-2 never read phi — only
+    the last stage's survives, timeloop/rk.py semantics), saving a full
+    field write. Returns (s1, phi, vn0u', vn0v', omega_p'[, xd_t])."""
     k4, e16 = s.shape
     k = nlev
     assert k4 == 4 * k, (k4, k)
@@ -498,9 +503,15 @@ def caar_pallas_packed_t4_rk(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         fld(k), fld(k),                      # qdp, pecnd
         fld(k), fld(k), fld(k),              # accumulators
     ]
-    out_specs = [fld(4 * k), fld(k), fld(k), fld(k), fld(k)]
-    out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f),
-                 jax.ShapeDtypeStruct((k, e16), f)] + [
+    if emit_phi:
+        phi_spec = fld(k)
+        phi_shape = jax.ShapeDtypeStruct((k, e16), f)
+    else:
+        # all grid steps revisit block (0, 0): one flush of 128 lanes
+        phi_spec = rep((k, eb16))
+        phi_shape = jax.ShapeDtypeStruct((k, eb16), f)
+    out_specs = [fld(4 * k), phi_spec, fld(k), fld(k), fld(k)]
+    out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f), phi_shape] + [
         jax.ShapeDtypeStruct((k, e16), f) for _ in range(3)]
     operands = [scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                 s, qdp, pecnd, vn0u, vn0v, omg]
