@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--checkpoint", default=None,
                     help="write a packed-chain checkpoint here at the end "
                          "and restart from it if it already exists")
+    ap.add_argument("--drift-out", default=None,
+                    help="record the sampled IE/KE/M diagnostics to this "
+                         "JSON (long-run drift artifact for the packed "
+                         "cadence, ENERGY_DRIFT.json analog)")
     args = ap.parse_args()
 
     import jax
@@ -122,6 +126,7 @@ def main():
           energy_diagnostics_packed_t(s, pt["meta"], nlev=cfg.nlev).items()}
     print(f" step {step0}: "
           + "  ".join(f"{k}={v:.6e}" for k, v in d0.items()), flush=True)
+    samples = [dict(step=step0, **d0)]
 
     t0 = time.perf_counter()
     for step in range(step0 + 1, step0 + args.steps + 1):
@@ -133,9 +138,12 @@ def main():
         if args.rsplit and step % args.rsplit == 0:
             s, qdp = remap_packed_t4(s, qdp, hv, nelem=cfg.nelem,
                                      nlev=cfg.nlev, qsize=cfg.qsize)
-        if step == step0 + args.steps or step % max(args.steps // 4, 1) == 0:
+        nsample = 24 if args.drift_out else 4
+        if (step == step0 + args.steps
+                or step % max(args.steps // nsample, 1) == 0):
             d = {k: float(v) for k, v in energy_diagnostics_packed_t(
                 s, pt["meta"], nlev=cfg.nlev).items()}
+            samples.append(dict(step=step, **d))
             print(f" step {step}: "
                   + "  ".join(f"{k}={v:.6e}" for k, v in d.items()),
                   flush=True)
@@ -151,6 +159,22 @@ def main():
 
     drift = abs(d["M"] - d0["M"]) / abs(d0["M"])
     finite = bool(jnp.all(jnp.isfinite(s)))
+    if args.drift_out:
+        import json
+
+        with open(args.drift_out, "w") as fh:
+            json.dump({
+                "config": dict(ne=args.ne, nelem=cfg.nelem, nlev=cfg.nlev,
+                               dt=args.dt, steps=args.steps, nu=args.nu,
+                               qsize=args.qsize, qsplit=args.qsplit,
+                               rsplit=args.rsplit),
+                "backend": jax.default_backend(),
+                "path": "prim_step_packed_t4 (fused packed Pallas cadence)",
+                "samples": samples,
+                "mass_drift_rel": drift,
+                "finite": finite,
+            }, fh, indent=1)
+        print(f" drift samples written to {args.drift_out}", flush=True)
     print(f" {args.steps} steps in {wall:.1f} s "
           f"({wall / args.steps * 1e3:.1f} ms/step incl. diagnostics); "
           f"relative mass drift {drift:.2e}; finite={finite}")
