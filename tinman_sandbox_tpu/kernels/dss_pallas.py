@@ -268,6 +268,16 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
     lb = nf * ne * ne * NPSQ
     assert nf == faces or lb % 128 == 0, (lb, nf)
     bk = fit_block_k(k, lb, block_k)
+    if vdt and not interpret and not (bk == k or bk % 128 == 0):
+        # The transposed vals buffer puts the row-block size bk on the LANE
+        # axis; Mosaic requires lane blocks to be multiples of 128 or the
+        # full dimension, and no divisor of a typical k (4*nlev = 288) is a
+        # multiple of 128 while a full-k block blows the VMEM cap. The
+        # producer-fused slab path (dss_structured_t_pallas_pre) supersedes
+        # this experiment: its scatter-into-zeros costs only ~44 us at ne30.
+        raise NotImplementedError(
+            f"vdt cannot lower on TPU: vals lane block bk={bk} is neither "
+            f"k={k} nor a multiple of 128 (use vdt=False)")
     masks = jnp.asarray(_sweep_masks_np(ne, nf))
     db = NPSQ * ne - (NP - 1)
     wd = len(tiles) * 128

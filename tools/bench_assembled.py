@@ -264,7 +264,13 @@ def main():
             return nchunks * chunk
 
         t0 = time.time()
-        run(2 * chunk)   # compile + warm
+        try:
+            run(2 * chunk)   # compile + warm
+        except NotImplementedError as e:
+            # e.g. the vdt vals layout cannot lower on TPU
+            results[name] = {"skipped": str(e)}
+            print(json.dumps({name: results[name]}), flush=True)
+            continue
         print(f"# {name}: compiled in {time.time()-t0:.1f}s", flush=True)
         best = float("inf")
         for _ in range(args.reps):
