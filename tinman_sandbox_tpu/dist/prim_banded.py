@@ -35,8 +35,10 @@ def _fused_ext_tables(plan, m, mesh, eb, lanes_global, interpret):
     N = mesh.shape["e"]
     dss_local, dm_g, masks_g, gtiles = _banded_dss_builder(
         plan, m, N, interpret)
+    from ..fastpath import fused_admissible
+
     local_lanes = lanes_global // N
-    if eb * NPSQ == 128 and local_lanes % 128 == 0:
+    if fused_admissible(eb, local_lanes, "prim_banded_t4"):
         sf_np, nt = slot_arrays_for_gtiles(gtiles, local_lanes // 128)
         return dss_local, dm_g, masks_g, sf_np, nt
     return dss_local, dm_g, masks_g, None, None

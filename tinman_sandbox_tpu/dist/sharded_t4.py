@@ -152,8 +152,10 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
     # producer-fused tile extraction when the shard's lane axis is 128-
     # aligned and the kernel runs 128-lane blocks (elem_block == 8)
+    from ..fastpath import fused_admissible
+
     local_lanes = fps * fl
-    fuse_ext = eb * NPSQ == 128 and local_lanes % 128 == 0
+    fuse_ext = fused_admissible(eb, local_lanes, "caar_dss_sharded_t4")
     if fuse_ext:
         sf_np, nt_ext = slot_arrays_for_gtiles(gtiles_shard,
                                                local_lanes // 128)

@@ -218,8 +218,11 @@ def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
         ext_slot_arrays,
     )
 
+    from ..fastpath import fused_admissible
+
     e16 = s0.shape[1]
-    if fuse_extract and eb * 16 == 128 and e16 % 128 == 0:
+    if fuse_extract and fused_admissible(
+            eb, e16, "caar_dss_structured_packed_t4"):
         sf, nt = ext_slot_arrays(plan, e16 // 128)
         s1, phi, vn0u1, vn0v1, omg1, xd_t = caar_pallas_packed_t4_ext(
             scal, dxbt, dybt, ainct, astrt, bstrt, meta,
@@ -270,10 +273,12 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         ext_slot_arrays,
     )
 
+    from ..fastpath import fused_admissible
+
     B = (1.0 / 6.0, 1.0 / 6.0, 2.0 / 3.0)
     f = s0.dtype
     e16 = s0.shape[1]
-    fuse = eb * 16 == 128 and e16 % 128 == 0
+    fuse = fused_admissible(eb, e16, "ssprk3_packed_t4")
     if fuse:
         sf_np, nt_ext = ext_slot_arrays(plan, e16 // 128)
         sfj = jnp.asarray(sf_np)
@@ -336,7 +341,10 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
         (1, 4), jnp.float32)
     step = jnp.asarray(dt, f) / subcycle * jnp.asarray(nu, f)
 
-    if fuse_extract and eb * 16 == 128 and e16 % 128 == 0:
+    from ..fastpath import fused_admissible
+
+    if fuse_extract and fused_admissible(
+            eb, e16, "apply_hypervis_packed_t"):
         sf, nt = ext_slot_arrays(plan, e16 // 128)
         sfj = jnp.asarray(sf)
 
@@ -396,7 +404,10 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
         # P is linear and P(qdp) = qdp, so it pulls inside the convex
         # combinations and each stage is one fused kernel + one DSS, with
         # the Shu-Osher combinations folded into the sweep (mix)
-        if fuse_extract and eb * 16 == 128 and e16 % 128 == 0:
+        from ..fastpath import fused_admissible
+
+        if fuse_extract and fused_admissible(
+                eb, e16, "ssprk3_tracer_packed_t"):
             sf, nt = ext_slot_arrays(plan, e16 // 128)
             sfj = jnp.asarray(sf)
 
@@ -455,14 +466,20 @@ def remap_packed_t4(s, qdp, hv, nelem: int, nlev: int, qsize: int,
     back to the reference hybrid levels (ops/remap.py::vertical_remap on
     the packed layout; call every rsplit-th step). Returns (s', qdp')."""
     from ..kernels.layout import pack_field_t, unpack_field_t
-    from ..ops.remap import reference_dp, remap_column
+    from ..ops.remap import (
+        _match_column_total, comp_sum, reference_dp, remap_column,
+    )
 
     k = nlev
     unp = lambda x: unpack_field_t(x, nelem)
     u, v, t, dp_src = (unp(s[i * k:(i + 1) * k]) for i in range(4))
+    # compensated level sum + column-total renormalization: the f32
+    # hybrid reconstruction's bias was the cadence's linear air-mass
+    # drift (ENERGY_DRIFT_PACKED.json, VERDICT r2 weak #6)
     ptop = hv.hyai[0] * hv.ps0
-    ps = ptop + jnp.sum(dp_src, axis=-3)
-    dp_tgt = reference_dp(hv, ps).astype(s.dtype)
+    ps = ptop + comp_sum(dp_src, -3)
+    dp_tgt = _match_column_total(
+        reference_dp(hv, ps), dp_src).astype(s.dtype)
     rmp = lambda x: remap_column(x, dp_src, dp_tgt, scheme=scheme)
     s_new = jnp.concatenate(
         [pack_field_t(rmp(x).astype(s.dtype)) for x in (u, v, t)]

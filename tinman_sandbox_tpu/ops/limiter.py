@@ -16,7 +16,19 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .remap import comp_sum
+
 __all__ = ["limit_tracer", "element_bounds"]
+
+
+def _gll_sum(x):
+    """Compensated sum over the 16 GLL nodes (last two axes), keepdims.
+
+    The limiter's mass and headroom sums are where f32 roundoff
+    accumulates into tracer-mass drift (the reference's analog discipline
+    is Kahan summation in utils_mod.F90:10-33)."""
+    s = comp_sum(x.reshape(*x.shape[:-2], x.shape[-2] * x.shape[-1]), -1)
+    return s[..., None, None]
 
 
 def element_bounds(q):
@@ -36,16 +48,15 @@ def limit_tracer(q, w, qmin, qmax, iters: int = 2):
     infeasible for the mass) is spread uniformly by weight so conservation
     is exact regardless.
     """
-    axes = (-2, -1)
-    mass = jnp.sum(w * q, axis=axes, keepdims=True)
+    mass = _gll_sum(w * q)
 
     for _ in range(iters):
         q = jnp.clip(q, qmin, qmax)
-        deficit = mass - jnp.sum(w * q, axis=axes, keepdims=True)
+        deficit = mass - _gll_sum(w * q)
         up_room = w * (qmax - q)          # mass that can still be added
         dn_room = w * (q - qmin)          # mass that can still be removed
-        up_tot = jnp.sum(up_room, axis=axes, keepdims=True)
-        dn_tot = jnp.sum(dn_room, axis=axes, keepdims=True)
+        up_tot = _gll_sum(up_room)
+        dn_tot = _gll_sum(dn_room)
         tiny = jnp.finfo(q.dtype).tiny     # 1e-300 would underflow in f32
         add = jnp.where(
             deficit > 0,
@@ -57,6 +68,6 @@ def limit_tracer(q, w, qmin, qmax, iters: int = 2):
         q = q + add / jnp.maximum(w, tiny)
 
     # exact-conservation fallback: spread any residual uniformly by weight
-    residual = mass - jnp.sum(w * q, axis=axes, keepdims=True)
-    wsum = jnp.sum(w, axis=axes, keepdims=True)
+    residual = mass - _gll_sum(w * q)
+    wsum = _gll_sum(w)
     return q + residual / wsum
