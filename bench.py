@@ -68,6 +68,15 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (pallas runs interpreted "
                          "elsewhere; smoke-testing only)")
+    ap.add_argument("--scan", action="store_true",
+                    help="lax.scan the per-dispatch step chunk instead of "
+                         "unrolling it (compiles ~chunk-x faster; the "
+                         "102 s ne30 --prim cold compile drops to the "
+                         "one-step cost). Same honest chaining.")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache "
+                         "(.jax_cache; second processes reuse compiled "
+                         "executables)")
     args = ap.parse_args()
 
     # the remote-TPU tunnel can die and leave jax.devices() hanging
@@ -93,6 +102,20 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if not args.no_compile_cache:
+        # persistent compilation cache: a second process rebuilding the
+        # same config skips the (minutes-scale for --prim) XLA compile
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception as e:      # cache is best-effort
+            print(f"WARNING: compile cache unavailable: {e}",
+                  file=sys.stderr)
 
     from tinman_sandbox_tpu.fastpath import path_report
     from tinman_sandbox_tpu import (
@@ -221,8 +244,8 @@ def main() -> None:
             )
 
             plan = make_structured_plan(cs.gdof, args.ne)
-            rsp = jnp.asarray(geom.rspheremp, jnp.float32).reshape(
-                1, cfg.nelem * 16)
+            from tinman_sandbox_tpu.dist.structured_dss import rsp_lanes_2f
+            rsp = jnp.asarray(rsp_lanes_2f(geom.spheremp, cs.gdof, cs.ndof))
             s0_0 = jnp.concatenate(
                 [p["u0"], p["v0"], p["t0"], p["dp0"]], axis=0)
             qdp0 = p["qdp"] if args.qsize <= 1 else jnp.concatenate(
@@ -252,8 +275,8 @@ def main() -> None:
             )
 
             plan = make_structured_plan(cs.gdof, args.ne)
-            rsp = jnp.asarray(geom.rspheremp, jnp.float32).reshape(
-                1, cfg.nelem * 16)
+            from tinman_sandbox_tpu.dist.structured_dss import rsp_lanes_2f
+            rsp = jnp.asarray(rsp_lanes_2f(geom.spheremp, cs.gdof, cs.ndof))
             s0_0 = jnp.concatenate(
                 [p["u0"], p["v0"], p["t0"], p["dp0"]], axis=0)
             sm1_0 = jnp.concatenate(
@@ -347,6 +370,10 @@ def main() -> None:
             # kernel-only (this inflated the early round-2 records).
             from functools import partial as _partial
 
+            # scan only touches carry slots 7/8 — valid for the t4/prim
+            # rotations (installed above), not the row-layout default one
+            scan_ok = rotate is not None
+
             # donate the chained buffers: the honest rotation otherwise
             # keeps two generations of the prognostic set alive and ne120
             # (8.5 GB working set) exhausts HBM
@@ -358,13 +385,35 @@ def main() -> None:
 
                 acc_of = lambda o: (o[5], o[6], o[7])
 
-            @_partial(jax.jit, donate_argnums=(0, 1))
-            def multi(cst, acc):
-                for _ in range(chunk):
-                    o = one(cst, acc)
-                    cst = rotate(cst, o)
-                    acc = acc_of(o)
-                return cst, acc, o
+            if args.scan and scan_ok:
+                # scan over the chunk: compiles the step body ONCE
+                # (the unrolled ne30 --prim dispatch took 102 s to
+                # compile). Only slots 7/8 + the accumulators vary
+                # across steps on the t4/prim paths; everything else
+                # is loop-invariant and stays out of the carry.
+                from jax import lax as _lax
+
+                @_partial(jax.jit, donate_argnums=(0, 1))
+                def multi(cst, acc):
+                    def body(carry, _):
+                        s7, s8, a = carry
+                        c = cst[:7] + (s7, s8) + cst[9:]
+                        o = one(c, a)
+                        nc = rotate(c, o)
+                        return (nc[7], nc[8], acc_of(o)), ()
+
+                    (s7, s8, acc), _ = _lax.scan(
+                        body, (cst[7], cst[8], acc), None, length=chunk)
+                    ncst = cst[:7] + (s7, s8) + cst[9:]
+                    return ncst, acc, (s7,)
+            else:
+                @_partial(jax.jit, donate_argnums=(0, 1))
+                def multi(cst, acc):
+                    for _ in range(chunk):
+                        o = one(cst, acc)
+                        cst = rotate(cst, o)
+                        acc = acc_of(o)
+                    return cst, acc, o
 
             # persistent chain: donation invalidates the previous buffers,
             # so reps continue the integration instead of restarting

@@ -188,7 +188,8 @@ def main(argv=None) -> int:
         plan = make_structured_plan(cs.gdof, cs.ne)
         pt = pack_problem_t(state, derived, geom, hv, cfg)
         scal_p = _scal(args.dt, 1.0, hv)
-        rsp_p = jnp.asarray(geom.rspheremp, jnp.float32).reshape(1, -1)
+        from .dist.structured_dss import rsp_lanes_2f
+        rsp_p = jnp.asarray(rsp_lanes_2f(geom.spheremp, cs.gdof, cs.ndof))
         prim_chain = {
             "s": jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]],
                                  axis=0),

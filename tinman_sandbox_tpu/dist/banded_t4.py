@@ -350,9 +350,11 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool):
             A = jnp.where(first, A_f, jnp.where(last, A_l, A_m))
             B = jnp.where(first, B_f, jnp.where(last, B_l, B_m))
             vals_pat = vt[A + b * B]                        # [npat, k4]
-            rpat = rsp[0, pattern_j + l * bl][:, None]
+            # two-float-aware rsp scaling (kernels.dss_pallas._rsp_mul)
+            rpat = rsp[:, pattern_j + l * bl][:, :, None]
+            scaled = sum(vals_pat * rpat[r] for r in range(rsp.shape[0]))
             vd_c = jnp.zeros((wd, k4), s1.dtype).at[dense_pat].set(
-                vals_pat * rpat, unique_indices=True)
+                scaled, unique_indices=True)
             vd_parts.append(vd_c.T)
         vd = jnp.concatenate(vd_parts, axis=1) if cps > 1 else vd_parts[0]
 

@@ -217,13 +217,16 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
             par = zl[pf, psi]                                     # [4,nl,k4]
             fl_f = flip_j[f][:, None, None]
             par = fl_f * jnp.flip(par, axis=1) + (1.0 - fl_f) * par
-            # scale by this face's rsp at the line lanes
-            rloc = rsp[0, lineloc_j + b * fl].reshape(4, nl, 1)
-            vals_lines = (own + par) * rloc                       # [4,nl,k4]
+            # scale by this face's rsp at the line lanes (two-float aware)
+            nr = rsp.shape[0]
+            rloc = rsp[:, lineloc_j + b * fl].reshape(nr, 4, nl, 1)
+            op = own + par
+            vals_lines = sum(op * rloc[r] for r in range(nr))     # [4,nl,k4]
             cv = cv_all[fcid_j[f]]                                # [4, k4]
-            rcor = rsp[0, cornerloc_j + b * fl][:, None]
+            rcor = rsp[:, cornerloc_j + b * fl][:, :, None]
+            cvs = sum(cv * rcor[r] for r in range(nr))
             vals = jnp.concatenate(
-                [vals_lines[:, 1:-1].reshape(-1, k4), cv * rcor], axis=0)
+                [vals_lines[:, 1:-1].reshape(-1, k4), cvs], axis=0)
             vd_b = jnp.zeros((wd, k4), s1.dtype).at[di_j].set(
                 vals, unique_indices=True)
             vd_parts.append(vd_b.T)                               # [k4, wd]

@@ -165,7 +165,9 @@ def caar_dss_structured_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     slice-updates), "roll" (XLA masked lane rolls)."""
     from ..kernels.caar_pallas_t import caar_pallas_packed_t
     from ..kernels.dss_pallas import dss_structured_t_pallas
-    from .structured_dss import dss_structured_t, dss_structured_t_roll
+    from .structured_dss import (
+        apply_rsp_t, dss_structured_t, dss_structured_t_roll,
+    )
 
     o = caar_pallas_packed_t(
         scal, dxbt, dybt, ainct, astrt, bstrt, meta,
@@ -180,9 +182,9 @@ def caar_dss_structured_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         dss = lambda x, p: dss_structured_t_pallas(x, p, rsp_lanes,
                                                    interpret=interpret)
     elif impl == "roll":
-        dss = lambda x, p: rsp_lanes * dss_structured_t_roll(x, p)
+        dss = lambda x, p: apply_rsp_t(rsp_lanes, dss_structured_t_roll(x, p))
     else:
-        dss = lambda x, p: rsp_lanes * dss_structured_t(x, p)
+        dss = lambda x, p: apply_rsp_t(rsp_lanes, dss_structured_t(x, p))
     if stack_dss:
         stacked = jnp.concatenate(o[:4], axis=0)            # [4*nlev, E16]
         assembled_all = dss(stacked, plan)
@@ -461,10 +463,19 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
 
 @partial(jax.jit, static_argnames=("nelem", "nlev", "qsize", "scheme"))
 def remap_packed_t4(s, qdp, hv, nelem: int, nlev: int, qsize: int,
-                    scheme: str = "plm"):
+                    scheme: str = "plm", sph_lanes=None, mass_target=None):
     """Conservative vertical remap of the packed stacked state + tracers
     back to the reference hybrid levels (ops/remap.py::vertical_remap on
-    the packed layout; call every rsplit-th step). Returns (s', qdp')."""
+    the packed layout; call every rsplit-th step). Returns (s', qdp').
+
+    ``sph_lanes`` [1, e16] + ``mass_target`` (scalar) enable the global
+    dry-mass fixer (the CAM/HOMME production discipline): dp and qdp are
+    rescaled by mass_target / sum(sph*dp). Both masses must be measured
+    with the SAME f32 summation (``packed_air_mass``) so the measurement
+    bias cancels in the ratio; the f32 flux-form dynamics otherwise leaks
+    ~2e-8 relative mass per step (dt-proportional, from element edge
+    fluxes rounded separately on each side — the f64 oracle holds 1e-6
+    over 5 days, ENERGY_DRIFT.json)."""
     from ..kernels.layout import pack_field_t, unpack_field_t
     from ..ops.remap import (
         _match_column_total, comp_sum, reference_dp, remap_column,
@@ -488,7 +499,20 @@ def remap_packed_t4(s, qdp, hv, nelem: int, nlev: int, qsize: int,
         [pack_field_t((rmp(unp(qdp[q * k:(q + 1) * k]) / dp_src)
                        * dp_tgt).astype(s.dtype))
          for q in range(qsize)], axis=0)
+    if sph_lanes is not None and mass_target is not None:
+        r = mass_target / packed_air_mass(s_new, sph_lanes, nlev)
+        s_new = jnp.concatenate([s_new[:3 * k], r * s_new[3 * k:]], axis=0)
+        q_new = r * q_new
     return s_new, q_new
+
+
+@partial(jax.jit, static_argnames=("nlev",))
+def packed_air_mass(s, sph_lanes, nlev: int):
+    """f32 spheremp-weighted air mass of the packed stacked state's dp
+    rows — the mass-fixer's measurement functional (fixed summation
+    order; use for both the target and the current mass so the f32
+    measurement bias cancels in the ratio)."""
+    return jnp.sum(sph_lanes * s[3 * nlev:4 * nlev])
 
 
 @partial(jax.jit, static_argnames=("nu", "eb", "nlev", "plan", "qsplit",

@@ -277,8 +277,36 @@ def dss_structured_t(x, plan: StructuredDssPlan):
 @partial(jax.jit, static_argnames=("plan",))
 def dss_structured_scaled_t(x, plan: StructuredDssPlan, rsp_lanes):
     """rspheremp * DSS(x) for transposed [k, e*16] fields
-    (``rsp_lanes``: [1, e*16])."""
-    return rsp_lanes * dss_structured_t(x, plan)
+    (``rsp_lanes``: [1, e*16], or [2, e*16] two-float hi+lo)."""
+    return apply_rsp_t(rsp_lanes, dss_structured_t(x, plan))
+
+
+def apply_rsp_t(rsp_lanes, y):
+    """y * rspheremp on the lane axis, two-float aware ([2, n] = hi + lo
+    rows; see kernels.dss_pallas._rsp_mul for why)."""
+    if rsp_lanes.shape[0] == 2:
+        return y * rsp_lanes[0:1] + y * rsp_lanes[1:2]
+    return rsp_lanes * y
+
+
+def rsp_lanes_2f(spheremp, gdof, ndof: int):
+    """Two-float rspheremp lanes [2, e16] (hi + lo f32 rows).
+
+    Computed against the f32-ROUNDED spheremp actually multiplied into
+    the kernels: S = sum over a dof's aliases of f32(spheremp), in f64;
+    hi + lo = 1/S to ~2^-48. The single-f32 rspheremp satisfies
+    fl(rsp)*S = 1 + O(1e-8) with a FIXED per-dof sign — a systematic
+    multiplicative bias every DSS pass that integrates into a linear
+    mass drift (utils_mod.F90:10-33 is the reference's analogous
+    compensated-arithmetic discipline)."""
+    sph32 = np.asarray(spheremp, np.float32).astype(np.float64).reshape(-1)
+    gd = np.asarray(gdof).reshape(-1)
+    S = np.zeros(ndof, np.float64)
+    np.add.at(S, gd, sph32)
+    r = 1.0 / S[gd]
+    hi = r.astype(np.float32)
+    lo = (r - hi.astype(np.float64)).astype(np.float32)
+    return np.stack([hi, lo])
 
 
 def _sweep_masks_t(ne: int, e16: int):

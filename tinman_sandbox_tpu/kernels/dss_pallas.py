@@ -49,6 +49,23 @@ __all__ = ["dss_sweeps_pallas_t", "dss_structured_t_pallas",
            "dss_structured_t_pallas_pre", "dss_sweeps_banded_t",
            "ext_slot_arrays", "fit_block_k", "SWEEP_VMEM_CAP"]
 
+
+def _rsp_mul(rsp, v):
+    """v * rspheremp, two-float aware.
+
+    ``rsp`` may be [1, n] (plain f32) or [2, n] (hi + lo rows of a
+    double-f32 1/spheremp_assembled). The f32-rounded product
+    fl(rsp)*S_assembled deviates from 1 by a FIXED per-dof ~1e-8 — a
+    systematic multiplicative bias applied at every DSS pass that showed
+    up as the packed cadence's LINEAR air-mass drift
+    (ENERGY_DRIFT_PACKED.json, ~2.9e-8/step). With hi+lo carrying
+    1/S to ~2^-48, v*hi + v*lo leaves only unbiased storage rounding
+    (random walk, orders slower). Cost: one extra VPU multiply-add in a
+    bandwidth-bound pass."""
+    if rsp.shape[0] == 2:
+        return v * rsp[0:1] + v * rsp[1:2]
+    return rsp * v
+
 # sweep-kernel VMEM budget: ~12 live [bk, lanes] f32 buffers (x/out double-
 # buffered + Mosaic temps) under the 100 MB vmem_limit_bytes cap, with ~3
 # buffer-equivalents of fixed overhead (masks/rsp/vd/dm operands)
@@ -115,7 +132,7 @@ def _sweep_kernel_t(db: int, tiles: tuple, lb: int, vdt: bool, mix: bool,
     x = x_ref[:]
     y = x + m_ref[0:1] * roll(x, -NP) + m_ref[1:2] * roll(x, NP)
     z = y + m_ref[2:3] * roll(y, -db) + m_ref[3:4] * roll(y, db)
-    w = rsp_ref[:] * z
+    w = _rsp_mul(rsp_ref[:], z)
     if mix:
         mx = mx_ref[:]
         out_ref[:] = ca * mx + cb * w
@@ -157,7 +174,7 @@ def _sweep_banded_kernel_t(db: int, tiles: tuple, bl: int, ext: int,
     x = x_ref[:]
     y = x + m_ref[0:1] * roll(x, -NP) + m_ref[1:2] * roll(x, NP)
     z = y + m_ref[2:3] * roll(y, -db) + m_ref[3:4] * roll(y, db)
-    w = rsp_ref[:] * z[:, :bl]
+    w = _rsp_mul(rsp_ref[:], z[:, :bl])
     if mix:
         mx = mx_ref[:]
         out_ref[:] = ca * mx + cb * w
@@ -203,7 +220,7 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((4, ext), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bl), lambda i, j: (0, j),
+        pl.BlockSpec((rsp.shape[0], bl), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((bk, wd), lambda i, j: (i, j),
                      memory_space=pltpu.VMEM),
@@ -291,7 +308,7 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
         blk(),
         pl.BlockSpec((4, lb), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lb), lambda i, j: (0, j),
+        pl.BlockSpec((rsp.shape[0], lb), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
         vd_spec,
         pl.BlockSpec((1, wd), lambda i, j: (0, 0),
@@ -482,7 +499,7 @@ def dss_fixup_tiles_t(xd_t, rsp, plan):
     zl = (g + mj_hi * jnp.roll(g, -1, axis=1)
             + mj_lo * jnp.roll(g, 1, axis=1))
 
-    rsp_l = rsp[0, idx_lines.reshape(-1)].reshape(24, nl, 1)
+    rsp_l = rsp[:, idx_lines.reshape(-1)].reshape(-1, 24, nl, 1)
     outs = []
     for p, (fa, sa, fb, sb, flip) in enumerate(plan.edges):
         a, b = zl[2 * p], zl[2 * p + 1]
@@ -490,10 +507,13 @@ def dss_fixup_tiles_t(xd_t, rsp, plan):
         s = a + bo
         outs.append(s)
         outs.append(jnp.flip(s, axis=0) if flip else s)
-    vals = jnp.stack(outs, axis=0) * rsp_l                  # [24, nl, k]
+    stk = jnp.stack(outs, axis=0)                           # [24, nl, k]
+    vals = sum(stk * rsp_l[r] for r in range(rsp.shape[0]))
 
     cg = xd_t[jnp.asarray(row_corner.reshape(-1))].reshape(8, 3, k)
-    cv = cg.sum(axis=1) * rsp[0, corner[:, 0]][:, None]     # [8, k]
+    cs_ = cg.sum(axis=1)
+    rc = rsp[:, corner[:, 0]]
+    cv = sum(cs_ * rc[r][:, None] for r in range(rsp.shape[0]))  # [8, k]
 
     return jnp.concatenate(
         [vals[:, 1:-1].reshape(-1, k), jnp.repeat(cv, 3, axis=0)], axis=0)
@@ -517,7 +537,7 @@ def dss_fixup_t(x_pre, rsp, plan):
     zl = (g + mj_hi * jnp.roll(g, -1, axis=-1)
             + mj_lo * jnp.roll(g, 1, axis=-1))
 
-    rsp_l = rsp[:, idx_lines.reshape(-1)].reshape(1, 24, nl)
+    rsp_l = rsp[:, idx_lines.reshape(-1)].reshape(-1, 1, 24, nl)
     outs = []
     for p, (fa, sa, fb, sb, flip) in enumerate(plan.edges):
         a, b = zl[:, 2 * p], zl[:, 2 * p + 1]
@@ -525,10 +545,13 @@ def dss_fixup_t(x_pre, rsp, plan):
         s = a + bo
         outs.append(s)
         outs.append(jnp.flip(s, axis=-1) if flip else s)
-    vals = jnp.stack(outs, axis=1) * rsp_l                  # [k, 24, nl]
+    stk = jnp.stack(outs, axis=1)                           # [k, 24, nl]
+    vals = sum(stk * rsp_l[r] for r in range(rsp.shape[0]))
 
     cg = x_pre[:, corner.reshape(-1)].reshape(k, 8, 3)
-    cv = cg.sum(axis=-1) * rsp[:, corner[:, 0]]             # [k, 8]
+    cs_ = cg.sum(axis=-1)
+    rc = rsp[:, corner[:, 0]]                               # [nr, 8]
+    cv = sum(cs_ * rc[r] for r in range(rsp.shape[0]))      # [k, 8]
 
     vals_uniq = jnp.concatenate(
         [vals[:, :, 1:-1].reshape(k, -1), jnp.repeat(cv, 3, axis=1)],

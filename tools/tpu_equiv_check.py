@@ -277,6 +277,39 @@ def main():
     print("packed prim cadence rel-max vs field prim_run_step:",
           json.dumps(prim), flush=True)
 
+    # -- QSIZE_D=35 tracer-heavy cadence (the reference's own tracer
+    # config, level_vectorized_ppscan/config.h.in) — the fused/tall-dot
+    # tracer path must hold the cadence envelope at 35 stacked tracers
+    cfg35 = dataclasses.replace(cfgp, qsize=35)
+    st35 = cast(random_state(cfg35, seed=9))
+    sq35 = np.array(st35.qdp)
+    sq35[qn0] = np.stack([proj(sq35[qn0, :, q])
+                          for q in range(cfg35.qsize)], axis=1)
+    st35 = dataclasses.replace(st35, u=su, v=sv, t=stt, dp3d=sdp, qdp=sq35)
+    rs35, _, _ = prim_run_step(st35, dv2, geom2, hv, cfg35, gdof, cs.ndof,
+                               nu=nu)
+    qdp35 = jnp.concatenate(
+        [pack_field_t(jnp.asarray(st35.qdp[qn0, :, q], jnp.float32))
+         for q in range(cfg35.qsize)], axis=0)
+    sp35, qp35, _, _, _, _ = prim_step_packed_t4(
+        scalp, ptc["dxbt"], ptc["dybt"], ptc["ainct"], ptc["astrt"],
+        ptc["bstrt"], ptc["meta"], s0p, qdp35, ptc["pecnd"],
+        ptc["vn0u"], ptc["vn0v"], ptc["omg"], plan, rsp_t, nu,
+        eb=cfg35.elem_block, nlev=cfg35.nlev)
+    jax.block_until_ready(sp35)
+    prim35 = {
+        name: relmax(unpack_field_t(sp35[i * kk:(i + 1) * kk], cfg35.nelem),
+                     getattr(rs35, name)[cfg35.np1])
+        for i, name in enumerate(("u", "v", "t", "dp3d"))
+    }
+    for q in (0, 17, 34):
+        prim35[f"qdp{q}"] = relmax(
+            unpack_field_t(qp35[q * kk:(q + 1) * kk], cfg35.nelem),
+            rs35.qdp[1 - qn0, :, q])
+    report["prim_packed_q35_relmax"] = prim35
+    print("packed q35 prim cadence rel-max vs field prim_run_step:",
+          json.dumps(prim35), flush=True)
+
     worst = max(list(kernel.values()) + list(assembled.values())
                 + list(kernel_t.values()) + list(assembled_t.values())
                 + list(assembled_t4.values()) + list(sharded.values())
@@ -285,8 +318,10 @@ def main():
     # the prim cadence chains ~10 kernels and a nonlinear stage order, so
     # its fp-reorder envelope is wider than the single-step gate
     report["prim_worst_relmax"] = max(prim.values())
+    report["prim_q35_worst_relmax"] = max(prim35.values())
     report["pass"] = bool(worst < 5e-5            # f32 fp-reorder tolerance
-                          and report["prim_worst_relmax"] < 1e-3)
+                          and report["prim_worst_relmax"] < 1e-3
+                          and report["prim_q35_worst_relmax"] < 1e-3)
     out = args.out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "TPU_EQUIV.json")
     with open(out, "w") as f:
