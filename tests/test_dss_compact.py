@@ -1,0 +1,189 @@
+"""Compact fix-lane slab path (kernels/dss_pallas.py::_compact_arrays).
+
+The 128-dense producer slab and tile-dense vals buffer carry whole
+128-lane tiles of which only ~9-11% of lanes are fix lanes; the compact
+path stores/places only those lanes via exact one-hot selection dots
+(fdot.make_sel, 3-limb bf16 split). Everything here is gated BITWISE
+against the dense path — the selection/placement contractions are exact
+by construction, so any difference is a table bug.
+
+Replaces HOMME's edge-buffer pack layer the reference stripped
+(compute_and_apply_rhs_test/fortran/element_mod.F90:234-236) with a
+bandwidth-minimal TPU formulation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinman_sandbox_tpu import (
+    Config, analytic_hvcoord, random_state, zero_derived,
+)
+from tinman_sandbox_tpu.dist.cubed_sphere import build_cubed_sphere
+from tinman_sandbox_tpu.dist.structured_dss import make_structured_plan
+
+RNG = np.random.default_rng(7)
+
+
+def _problem(ne, nlev=8, seed=5):
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+
+    cs = build_cubed_sphere(ne)
+    cfg = Config(nelem=cs.nelem, nlev=nlev, elem_block=8)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st, dv = cast(random_state(cfg, seed=seed)), cast(zero_derived(cfg))
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    g = cast(cs.geometry)
+    plan = make_structured_plan(cs.gdof, ne)
+    p = pack_problem_t(st, dv, g, hv, cfg)
+    scal = _scalars(0.05, 1.0, hv)
+    rsp = jnp.asarray(g.rspheremp, jnp.float32).reshape(1, -1)
+    s0 = jnp.concatenate([p["u0"], p["v0"], p["t0"], p["dp0"]], axis=0)
+    sm1 = jnp.concatenate([p["um1"], p["vm1"], p["tm1"], p["dpm1"]], axis=0)
+    return cs, cfg, plan, p, scal, rsp, s0, sm1
+
+
+def test_compact_arrays_invariants():
+    from tinman_sandbox_tpu.kernels.dss_pallas import (
+        _compact_arrays, _fixup_arrays, _fixup_arrays_t,
+    )
+
+    for ne in (2, 4, 8):
+        plan = make_structured_plan(build_cubed_sphere(ne).gdof, ne)
+        (m_rows, q, rlc, rcc, di_c, wd_c, wr, p_tbl) = _compact_arrays(plan)
+        gtiles = _fixup_arrays_t(plan)[0]
+        idx_uniq = _fixup_arrays(plan)[2]
+        assert m_rows % 8 == 0 and m_rows <= 128
+        assert q.shape == (len(gtiles) * m_rows, 128)
+        assert wr % 128 == 0 and wd_c % wr == 0
+        assert len(np.unique(di_c)) == len(idx_uniq)
+        # one-hot rows: each used row selects exactly one lane
+        rowsum = np.asarray(q, np.float32).sum(axis=1)
+        assert set(np.unique(rowsum)) <= {0.0, 1.0}
+
+
+def test_compact_slab_matches_dense_rows():
+    """The producer's compact slab rows are EXACTLY the fix-lane rows of
+    the dense extract_tiles_t slab (one-hot 3-limb selection is exact)."""
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import (
+        caar_pallas_packed_t4, caar_pallas_packed_t4_ext,
+    )
+    from tinman_sandbox_tpu.kernels.dss_pallas import (
+        _compact_arrays, _fixup_arrays_t, cext_tables, extract_tiles_t,
+    )
+
+    ne, k = 2, 8
+    cs, cfg, plan, p, scal, rsp, s0, sm1 = _problem(ne, nlev=k)
+    e16 = s0.shape[1]
+    sf, nt, m_rows, q = cext_tables(plan, e16 // 128)
+    out = caar_pallas_packed_t4_ext(
+        scal, p["dxbt"], p["dybt"], p["ainct"], p["astrt"], p["bstrt"],
+        p["meta"], s0, sm1, p["qdp"], p["pecnd"],
+        p["vn0u"], p["vn0v"], p["omg"], jnp.asarray(sf),
+        nt=nt, nlev=k, cq=jnp.asarray(q), cM=m_rows, interpret=True)
+    xs = np.asarray(out[5])
+    assert xs.shape == (nt * m_rows, 4 * k)
+
+    s1 = caar_pallas_packed_t4(
+        scal, p["dxbt"], p["dybt"], p["ainct"], p["astrt"], p["bstrt"],
+        p["meta"], s0, sm1, p["qdp"], p["pecnd"],
+        p["vn0u"], p["vn0v"], p["omg"], eb=8, nlev=k, interpret=True)[0]
+    gtiles = _fixup_arrays_t(plan)[0]
+    dense = np.asarray(extract_tiles_t(s1, gtiles, interpret=True))
+    qn = np.asarray(q, np.float32)
+    for r in range(nt * m_rows):
+        lanes = np.nonzero(qn[r])[0]
+        tile = r // m_rows
+        if len(lanes) == 0:
+            continue      # pad row: never read by the fixup
+        assert np.array_equal(xs[r], dense[tile * 128 + int(lanes[0])]), r
+
+
+@pytest.mark.parametrize("ne", [2, 4])
+def test_compact_step_matches_dense(ne):
+    """All four compact step functions are BITWISE equal to the dense
+    producer-fused path (interpret mode)."""
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        apply_hypervis_packed_t, caar_dss_structured_packed_t4,
+        ssprk3_packed_t4, ssprk3_tracer_packed_t,
+    )
+
+    k = 8
+    cs, cfg, plan, p, scal, rsp, s0, sm1 = _problem(ne, nlev=k)
+    args = (scal, p["dxbt"], p["dybt"], p["ainct"], p["astrt"], p["bstrt"],
+            p["meta"], s0, sm1, p["qdp"], p["pecnd"],
+            p["vn0u"], p["vn0v"], p["omg"], plan, rsp)
+    a = caar_dss_structured_packed_t4(*args, eb=8, nlev=k, compact=True,
+                                      interpret=True)
+    b = caar_dss_structured_packed_t4(*args, eb=8, nlev=k, compact=False,
+                                      interpret=True)
+    for x, y, nm in zip(a, b, ("s1", "phi", "vn0u", "vn0v", "omg")):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), nm
+
+    rk_args = (scal, p["dxbt"], p["dybt"], p["ainct"], p["astrt"],
+               p["bstrt"], p["meta"], s0, p["qdp"], p["pecnd"],
+               p["vn0u"], p["vn0v"], p["omg"], plan, rsp)
+    a = ssprk3_packed_t4(*rk_args, eb=8, nlev=k, compact=True,
+                         interpret=True)
+    b = ssprk3_packed_t4(*rk_args, eb=8, nlev=k, compact=False,
+                         interpret=True)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+    hv_args = (p["dxbt"], p["dybt"], p["meta"], s0, plan, rsp, 1e-4, 0.05)
+    a = apply_hypervis_packed_t(*hv_args, eb=8, nlev=k, compact=True,
+                                interpret=True)
+    b = apply_hypervis_packed_t(*hv_args, eb=8, nlev=k, compact=False,
+                                interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    qdp3 = jnp.concatenate([p["qdp"] * (1.0 + 0.1 * i) for i in range(3)],
+                           axis=0)
+    tr_args = (p["dxbt"], p["dybt"], p["meta"], s0, s0, qdp3, plan, rsp,
+               jnp.float32(0.05))
+    a = ssprk3_tracer_packed_t(*tr_args, eb=8, nlev=k, compact=True,
+                               wind_rows=(0, 1), interpret=True)
+    b = ssprk3_tracer_packed_t(*tr_args, eb=8, nlev=k, compact=False,
+                               wind_rows=(0, 1), interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cpre_matches_pre_random_field():
+    """dss_structured_t_pallas_cpre == dss_structured_t_pallas_pre on a
+    random field whose slabs are built by the reference extractors, with
+    and without the affine mix epilogue."""
+    from tinman_sandbox_tpu.kernels.dss_pallas import (
+        _compact_arrays, cext_tables, dss_structured_t_pallas_pre,
+        dss_structured_t_pallas_cpre, extract_tiles_t, _fixup_arrays_t,
+    )
+
+    ne, k = 4, 16
+    cs = build_cubed_sphere(ne)
+    plan = make_structured_plan(cs.gdof, ne)
+    e16 = cs.nelem * 16
+    rsp = jnp.asarray(
+        np.asarray(cs.geometry.rspheremp, np.float32).reshape(1, -1))
+    x = jnp.asarray(RNG.standard_normal((k, e16)), jnp.float32)
+    gtiles = _fixup_arrays_t(plan)[0]
+    xd = extract_tiles_t(x, gtiles, interpret=True)
+    m_rows, q = _compact_arrays(plan)[:2]
+    # compact slab = one-hot selection of the dense slab's rows
+    qn = np.asarray(q, np.float32)
+    xs = jnp.asarray(
+        (qn.reshape(len(gtiles), m_rows, 128)
+         @ np.asarray(xd).reshape(len(gtiles), 128, k)).reshape(-1, k))
+    a = dss_structured_t_pallas_pre(x, xd, plan, rsp, interpret=True)
+    b = dss_structured_t_pallas_cpre(x, xs, plan, rsp, interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    mx = jnp.asarray(RNG.standard_normal((k, e16)), jnp.float32)
+    a = dss_structured_t_pallas_pre(x, xd, plan, rsp,
+                                    mix=(mx, np.float32(0.75),
+                                         np.float32(0.25)), interpret=True)
+    b = dss_structured_t_pallas_cpre(x, xs, plan, rsp,
+                                     mix=(mx, np.float32(0.75),
+                                          np.float32(0.25)), interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))

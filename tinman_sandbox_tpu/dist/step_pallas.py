@@ -196,13 +196,14 @@ def caar_dss_structured_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "moist", "vdt",
-                                   "fuse_extract", "interpret"))
+                                   "fuse_extract", "compact", "interpret"))
 def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
                                   meta, s0, sm1, qdp, pecnd,
                                   vn0u, vn0v, omg, plan, rsp_lanes,
                                   eb: int, nlev: int, moist: bool = True,
                                   vdt: bool = False,
                                   fuse_extract: bool = True,
+                                  compact: bool = True,
                                   interpret: bool = False):
     """Stacked-state assembled step: the four prognostics ride in ONE
     [4*nlev, E16] buffer per time level (kernels.caar_pallas_t.
@@ -211,27 +212,41 @@ def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
     (default, requires elem_block == 8 and e16 % 128 == 0 — even ne) the
     CAAR kernel itself emits the DSS fixup's transposed affected-tile slab
     as a slot-mapped extra output, eliminating the separate extract_tiles_t
-    dispatch. Returns (s1_assembled, phi, vn0u', vn0v', omega_p')."""
+    dispatch; ``compact`` (default) additionally switches the slab and the
+    fixup vals buffer to the COMPACT fix-lane layout (~3.2x less epilogue
+    side-traffic; kernels/dss_pallas.py::_compact_arrays). Returns
+    (s1_assembled, phi, vn0u', vn0v', omega_p')."""
     from ..kernels.caar_pallas_t import (
         caar_pallas_packed_t4, caar_pallas_packed_t4_ext,
     )
     from ..kernels.dss_pallas import (
-        dss_structured_t_pallas, dss_structured_t_pallas_pre,
-        ext_slot_arrays,
+        cext_tables, dss_structured_t_pallas, dss_structured_t_pallas_cpre,
+        dss_structured_t_pallas_pre, ext_slot_arrays,
     )
 
-    from ..fastpath import fused_admissible
+    from ..fastpath import fused_admissible, note_compact
 
     e16 = s0.shape[1]
     if fuse_extract and fused_admissible(
             eb, e16, "caar_dss_structured_packed_t4"):
-        sf, nt = ext_slot_arrays(plan, e16 // 128)
+        note_compact("caar_dss_structured_packed_t4", compact)
+        if compact:
+            sf, nt, cM, cq_np = cext_tables(plan, e16 // 128)
+            cq = jnp.asarray(cq_np)
+        else:
+            sf, nt = ext_slot_arrays(plan, e16 // 128)
+            cM, cq = 0, None
         s1, phi, vn0u1, vn0v1, omg1, xd_t = caar_pallas_packed_t4_ext(
             scal, dxbt, dybt, ainct, astrt, bstrt, meta,
             s0, sm1, qdp, pecnd, vn0u, vn0v, omg, jnp.asarray(sf),
-            nt=nt, nlev=nlev, moist=moist, interpret=interpret)
-        assembled = dss_structured_t_pallas_pre(
-            s1, xd_t, plan, rsp_lanes, vdt=vdt, interpret=interpret)
+            nt=nt, nlev=nlev, moist=moist, cq=cq, cM=cM,
+            interpret=interpret)
+        if compact:
+            assembled = dss_structured_t_pallas_cpre(
+                s1, xd_t, plan, rsp_lanes, interpret=interpret)
+        else:
+            assembled = dss_structured_t_pallas_pre(
+                s1, xd_t, plan, rsp_lanes, vdt=vdt, interpret=interpret)
         return assembled, phi, vn0u1, vn0v1, omg1
 
     s1, phi, vn0u1, vn0v1, omg1 = caar_pallas_packed_t4(
@@ -244,10 +259,11 @@ def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "moist",
-                                   "interpret"))
+                                   "compact", "interpret"))
 def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                      s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
                      eb: int, nlev: int, moist: bool = True,
+                     compact: bool = True,
                      interpret: bool = False):
     """SSPRK3 dynamics entirely on the packed transposed Pallas path:
 
@@ -271,17 +287,23 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     Returns (s_np1 [4*nlev, E16], phi, vn0u', vn0v', omega_p')."""
     from ..kernels.caar_pallas_t import caar_pallas_packed_t4_rk
     from ..kernels.dss_pallas import (
-        dss_structured_t_pallas, dss_structured_t_pallas_pre,
-        ext_slot_arrays,
+        cext_tables, dss_structured_t_pallas, dss_structured_t_pallas_cpre,
+        dss_structured_t_pallas_pre, ext_slot_arrays,
     )
 
-    from ..fastpath import fused_admissible
+    from ..fastpath import fused_admissible, note_compact
 
     B = (1.0 / 6.0, 1.0 / 6.0, 2.0 / 3.0)
     f = s0.dtype
     e16 = s0.shape[1]
     fuse = fused_admissible(eb, e16, "ssprk3_packed_t4")
     if fuse:
+        note_compact("ssprk3_packed_t4", compact)
+    cM, cqj = 0, None
+    if fuse and compact:
+        sf_np, nt_ext, cM, cq_np = cext_tables(plan, e16 // 128)
+        sfj, cqj = jnp.asarray(sf_np), jnp.asarray(cq_np)
+    elif fuse:
         sf_np, nt_ext = ext_slot_arrays(plan, e16 // 128)
         sfj = jnp.asarray(sf_np)
     else:
@@ -292,12 +314,15 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         out = caar_pallas_packed_t4_rk(
             sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp, pecnd,
             *acc, sf=sfj, nt=nt_ext, eb=eb, nlev=nlev, moist=moist,
-            emit_phi=emit_phi, interpret=interpret)
+            emit_phi=emit_phi, cq=cqj, cM=cM, interpret=interpret)
         s1, phi = out[0], out[1]
         xd_t = out[5] if fuse else None
         return s1, phi, out[2:5], xd_t
 
     def proj(s1, xd_t, mix=None):
+        if fuse and cM:
+            return dss_structured_t_pallas_cpre(
+                s1, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
         if fuse:
             return dss_structured_t_pallas_pre(
                 s1, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
@@ -314,10 +339,11 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "subcycle",
-                                   "fuse_extract", "interpret"))
+                                   "fuse_extract", "compact", "interpret"))
 def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
                             nu, dt, eb: int, nlev: int, nu_ratio=1.0,
                             subcycle: int = 1, fuse_extract: bool = True,
+                            compact: bool = True,
                             interpret: bool = False):
     """Biharmonic hyperviscosity on the (u, v, T) rows of ``uvt``: per
     subcycle, two (packed weak-Laplacian Pallas kernel -> structured
@@ -330,8 +356,8 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
     IN PLACE via the sweep's aliased affine output and the dp rows ride
     through untouched (no slice/concat passes)."""
     from ..kernels.dss_pallas import (
-        dss_structured_t_pallas, dss_structured_t_pallas_pre,
-        ext_slot_arrays,
+        cext_tables, dss_structured_t_pallas, dss_structured_t_pallas_cpre,
+        dss_structured_t_pallas_pre, ext_slot_arrays,
     )
     from ..kernels.hypervis_pallas_t import (
         vlap_pallas_packed_t, vlap_pallas_packed_t_ext,
@@ -343,17 +369,26 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
         (1, 4), jnp.float32)
     step = jnp.asarray(dt, f) / subcycle * jnp.asarray(nu, f)
 
-    from ..fastpath import fused_admissible
+    from ..fastpath import fused_admissible, note_compact
 
     if fuse_extract and fused_admissible(
             eb, e16, "apply_hypervis_packed_t"):
-        sf, nt = ext_slot_arrays(plan, e16 // 128)
+        note_compact("apply_hypervis_packed_t", compact)
+        if compact:
+            sf, nt, cM, cq_np = cext_tables(plan, e16 // 128)
+            cqj = jnp.asarray(cq_np)
+        else:
+            sf, nt = ext_slot_arrays(plan, e16 // 128)
+            cM, cqj = 0, None
         sfj = jnp.asarray(sf)
 
         def lap_dss(x, mix=None):
             l, xd_t = vlap_pallas_packed_t_ext(
                 sc, dxbt, dybt, meta, x, sfj,
-                nt=nt, nlev=nlev, interpret=interpret)
+                nt=nt, nlev=nlev, cq=cqj, cM=cM, interpret=interpret)
+            if cM:
+                return dss_structured_t_pallas_cpre(
+                    l, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
             return dss_structured_t_pallas_pre(l, xd_t, plan, rsp_lanes,
                                                mix=mix, interpret=interpret)
     else:
@@ -374,11 +409,12 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "limit",
-                                   "fuse_extract", "wind_rows",
+                                   "fuse_extract", "compact", "wind_rows",
                                    "interpret"))
 def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
                            dt, eb: int, nlev: int, limit: bool = False,
                            fuse_extract: bool = True,
+                           compact: bool = True,
                            wind_rows: tuple = (0, 0),
                            interpret: bool = False):
     """SSPRK3 tracer transport on the packed path: each stage is the fused
@@ -390,8 +426,8 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
     limiter (ops/limiter.py) per stage: the packed lane axis reshapes to
     [.., e, np, np] for free, spheremp is applied after the clip."""
     from ..kernels.dss_pallas import (
-        dss_structured_t_pallas, dss_structured_t_pallas_pre,
-        ext_slot_arrays,
+        cext_tables, dss_structured_t_pallas, dss_structured_t_pallas_cpre,
+        dss_structured_t_pallas_pre, ext_slot_arrays,
     )
     from ..kernels.tracer_pallas_t import (
         tracer_euler_pallas_packed_t, tracer_euler_pallas_packed_t_ext,
@@ -406,18 +442,28 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
         # P is linear and P(qdp) = qdp, so it pulls inside the convex
         # combinations and each stage is one fused kernel + one DSS, with
         # the Shu-Osher combinations folded into the sweep (mix)
-        from ..fastpath import fused_admissible
+        from ..fastpath import fused_admissible, note_compact
 
         if fuse_extract and fused_admissible(
                 eb, e16, "ssprk3_tracer_packed_t"):
-            sf, nt = ext_slot_arrays(plan, e16 // 128)
+            note_compact("ssprk3_tracer_packed_t", compact)
+            if compact:
+                sf, nt, cM, cq_np = cext_tables(plan, e16 // 128)
+                cqj = jnp.asarray(cq_np)
+            else:
+                sf, nt = ext_slot_arrays(plan, e16 // 128)
+                cM, cqj = 0, None
             sfj = jnp.asarray(sf)
 
             def stage(q, mix=None):
                 e, xd_t = tracer_euler_pallas_packed_t_ext(
                     scal, dxbt, dybt, meta, vu, vv, q, sfj,
                     nt=nt, nlev=nlev, wind_rows=wind_rows,
-                    interpret=interpret)
+                    cq=cqj, cM=cM, interpret=interpret)
+                if cM:
+                    return dss_structured_t_pallas_cpre(
+                        e, xd_t, plan, rsp_lanes, mix=mix,
+                        interpret=interpret)
                 return dss_structured_t_pallas_pre(
                     e, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
         else:

@@ -49,13 +49,18 @@ def fused_admissible(eb: int, lanes: int, site: str) -> bool:
     return ok
 
 
+def note_compact(site: str, compact: bool) -> None:
+    """Refine a 'fused' decision with the slab layout actually used
+    (compact fix-lane vs 128-dense — kernels/dss_pallas.py)."""
+    if last_path.get(site) == "fused":
+        last_path[site] = "fused_compact" if compact else "fused_dense"
+
+
 def path_report() -> str:
     """Compact 'site=fused,site=fallback' summary for bench JSON."""
     if not last_path:
         return "xla"
     vals = set(last_path.values())
-    if vals == {"fused"}:
-        return "fused"
-    if vals == {"fallback"}:
-        return "fallback"
+    if len(vals) == 1:
+        return next(iter(vals))
     return ",".join(f"{k}={v}" for k, v in sorted(last_path.items()))

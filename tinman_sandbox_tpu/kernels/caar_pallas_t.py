@@ -33,7 +33,7 @@ from ..config import NPSQ, Config
 from ..constants import CONSTANTS
 from ..grid import Geometry, HybridVCoord
 from ..state import Derived, State
-from .fdot import make_dots
+from .fdot import make_dots, make_sel
 from .layout import (
     META_COLS,
     block_derivative_ops,
@@ -56,13 +56,17 @@ _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
 def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
-                   stacked, ext, single, *refs):
+                   stacked, ext, cM, single, *refs):
     assert not (stacked and rsplit0)
     assert not ((ext or single) and not stacked)
-    sf_ref = ext_ref = None
+    sf_ref = ext_ref = q_ref = None
     if ext:
         # scalar-prefetch slot/flag table first, slab output last
         sf_ref, refs, ext_ref = refs[0], refs[1:-1], refs[-1]
+        if cM:
+            # compact extraction: one-hot row-selection table (see
+            # kernels/dss_pallas.py::cext_tables) right after sf
+            q_ref, refs = refs[0], refs[1:]
     if single:
         # RK-stage mode: ONE stacked state operand serves both the n0
         # (evaluation) and nm1 (base) roles — the generic pair mode would
@@ -233,13 +237,23 @@ def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
             # ext_slot_arrays): affected 128-lane blocks also write their
             # np1 state TRANSPOSED to the slab slot; unflagged blocks skip
             # the write so the revisit-coalesced flush keeps the affected
-            # tile's data
+            # tile's data. With cM the slab is COMPACT: only the tile's
+            # fix lanes, selected by an exact one-hot contraction
+            # (fdot.make_sel — bitwise equal to the dense rows).
             @pl.when(sf_ref[1, pl.program_id(0)] == 1)
             def _write_slab():
-                ext_ref[:, 0:k_] = u1v.T
-                ext_ref[:, k_:2 * k_] = v1v.T
-                ext_ref[:, 2 * k_:3 * k_] = t1v.T
-                ext_ref[:, 3 * k_:4 * k_] = dp1v.T
+                if cM:
+                    sel_l, _ = make_sel(split)
+                    q = q_ref[:]
+                    ext_ref[:, 0:k_] = sel_l(q, u1v.T)
+                    ext_ref[:, k_:2 * k_] = sel_l(q, v1v.T)
+                    ext_ref[:, 2 * k_:3 * k_] = sel_l(q, t1v.T)
+                    ext_ref[:, 3 * k_:4 * k_] = sel_l(q, dp1v.T)
+                else:
+                    ext_ref[:, 0:k_] = u1v.T
+                    ext_ref[:, k_:2 * k_] = v1v.T
+                    ext_ref[:, 2 * k_:3 * k_] = t1v.T
+                    ext_ref[:, 3 * k_:4 * k_] = dp1v.T
     else:
         u1_ref[:] = u1v
         v1_ref[:] = v1v
@@ -279,7 +293,7 @@ def caar_pallas_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
         CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, False, False, False,
-        False,
+        0, False,
     )
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
     return pl.pallas_call(
@@ -334,7 +348,7 @@ def caar_pallas_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas,
         CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
-        False, True, False, False,
+        False, True, False, 0, False,
     )
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
     out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f),
@@ -366,10 +380,11 @@ def caar_pallas_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
       s0, sm1, qdp, pecnd, vn0u, vn0v, omg)
 
 
-@partial(jax.jit, static_argnames=("nt", "nlev", "moist", "interpret"))
+@partial(jax.jit, static_argnames=("nt", "nlev", "moist", "cM", "interpret"))
 def caar_pallas_packed_t4_ext(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                               s0, sm1, qdp, pecnd, vn0u, vn0v, omg, sf,
                               nt: int, nlev: int, moist: bool = True,
+                              cq=None, cM: int = 0,
                               interpret: bool = False):
     """`caar_pallas_packed_t4` with PRODUCER-FUSED tile extraction for the
     structured-DSS epilogue: ``sf`` is the [2, nblocks] slot/flag table
@@ -378,6 +393,9 @@ def caar_pallas_packed_t4_ext(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     transposed, in gtiles order ([nt*128, 4*nlev]) — which feeds
     dss_structured_t_pallas_pre directly. Saves the separate
     extract_tiles_t dispatch and its read pass of ~38% of the field.
+    With ``cq``/``cM`` (from kernels.dss_pallas.cext_tables) the slab is
+    COMPACT [nt*cM, 4*nlev]: only each tile's fix lanes, selected with an
+    exact one-hot contraction — feeds dss_structured_t_pallas_cpre.
     The lane grid is fixed at 128-lane blocks (elem_block == 8); requires
     e16 % 128 == 0 (even cubed-sphere ne). Returns
     (s1, phi, vn0u', vn0v', omega_p', xd_t)."""
@@ -389,6 +407,7 @@ def caar_pallas_packed_t4_ext(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     assert sf.shape == (2, nblocks), (sf.shape, nblocks)
     f = jnp.float32
     eb16 = 128
+    srows = cM if cM else 128
 
     fld = lambda r: pl.BlockSpec((r, eb16), lambda i, sf: (0, i),
                                  memory_space=pltpu.VMEM)
@@ -397,54 +416,64 @@ def caar_pallas_packed_t4_ext(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas,
         CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
-        False, True, True, False,
+        False, True, True, cM, False,
     )
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
     out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f),
                  jax.ShapeDtypeStruct((k, e16), f)] + [
         jax.ShapeDtypeStruct((k, e16), f) for _ in range(3)] + [
-        jax.ShapeDtypeStruct((nt * 128, 4 * k), f)]
+        jax.ShapeDtypeStruct((nt * srows, 4 * k), f)]
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+                     memory_space=pltpu.SMEM),
+        rep((eb16, eb16)), rep((eb16, eb16)),
+        rep((k, k)), rep((k, k)), rep((k, k)),
+        pl.BlockSpec((len(META_COLS), eb16), lambda i, sf: (0, i),
+                     memory_space=pltpu.VMEM),
+        fld(4 * k), fld(4 * k),              # s0, sm1 (stacked)
+        fld(k), fld(k),                      # qdp, pecnd
+        fld(k), fld(k), fld(k),              # accumulators
+    ]
+    operands = [sf, scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                s0, sm1, qdp, pecnd, vn0u, vn0v, omg]
+    # operand indices in aliases include the scalar-prefetch arg
+    # (pallas_call validates against the FLAT input list)
+    aliases = {12: 2, 13: 3, 14: 4}
+    if cM:
+        in_specs.insert(0, pl.BlockSpec(
+            (cM, 128), lambda i, sf: (sf[0, i], 0),
+            memory_space=pltpu.VMEM))
+        operands.insert(1, cq)
+        aliases = {13: 2, 14: 3, 15: 4}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
-                         memory_space=pltpu.SMEM),
-            rep((eb16, eb16)), rep((eb16, eb16)),
-            rep((k, k)), rep((k, k)), rep((k, k)),
-            pl.BlockSpec((len(META_COLS), eb16), lambda i, sf: (0, i),
-                         memory_space=pltpu.VMEM),
-            fld(4 * k), fld(4 * k),              # s0, sm1 (stacked)
-            fld(k), fld(k),                      # qdp, pecnd
-            fld(k), fld(k), fld(k),              # accumulators
-        ],
+        in_specs=in_specs,
         out_specs=[fld(4 * k), fld(k), fld(k), fld(k), fld(k),
-                   pl.BlockSpec((128, 4 * k), lambda i, sf: (sf[0, i], 0),
+                   pl.BlockSpec((srows, 4 * k), lambda i, sf: (sf[0, i], 0),
                                 memory_space=pltpu.VMEM)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        # operand indices include the scalar-prefetch arg (pallas_call
-        # validates against the FLAT input list)
-        input_output_aliases={12: 2, 13: 3, 14: 4},
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=nblocks * flops_per_block,
-            bytes_accessed=(14 + 8) * e16 * k * 4 + nt * 128 * 4 * k * 4,
+            bytes_accessed=(14 + 8) * e16 * k * 4 + nt * srows * 4 * k * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(sf, scal, dxbt, dybt, ainct, astrt, bstrt, meta,
-      s0, sm1, qdp, pecnd, vn0u, vn0v, omg)
+    )(*operands)
 
 
 @partial(jax.jit, static_argnames=("nt", "eb", "nlev", "moist", "emit_phi",
-                                   "interpret"))
+                                   "cM", "interpret"))
 def caar_pallas_packed_t4_rk(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                              s, qdp, pecnd, vn0u, vn0v, omg, sf=None,
                              nt: int = 0, eb: int = 8, nlev: int = 72,
                              moist: bool = True, emit_phi: bool = True,
+                             cq=None, cM: int = 0,
                              interpret: bool = False):
     """RK-stage variant of `caar_pallas_packed_t4`: the evaluation and
     base states are the SAME array in every SSPRK3 stage (U + dt L(U)), so
@@ -456,7 +485,10 @@ def caar_pallas_packed_t4_rk(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     ``eb`` is ignored). ``emit_phi=False`` coalesces the phi output into
     one revisited 128-lane block (the RK stages 1-2 never read phi — only
     the last stage's survives, timeloop/rk.py semantics), saving a full
-    field write. Returns (s1, phi, vn0u', vn0v', omega_p'[, xd_t])."""
+    field write. ``cq``/``cM`` (kernels.dss_pallas.cext_tables) switch
+    the slab to the COMPACT fix-lane layout [nt*cM, 4*nlev] for
+    dss_structured_t_pallas_cpre. Returns
+    (s1, phi, vn0u', vn0v', omega_p'[, xd_t])."""
     k4, e16 = s.shape
     k = nlev
     assert k4 == 4 * k, (k4, k)
@@ -491,7 +523,7 @@ def caar_pallas_packed_t4_rk(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas,
         CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
-        False, True, ext, True,
+        False, True, ext, cM if ext else 0, True,
     )
     flops_per_block = 13 * 2 * eb16 * eb16 * k + 3 * 2 * eb16 * k * k
     in_specs = [
@@ -517,16 +549,23 @@ def caar_pallas_packed_t4_rk(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                 s, qdp, pecnd, vn0u, vn0v, omg]
     bytes_accessed = (10 + 8) * e16 * k * 4
     if ext:
+        srows = cM if cM else 128
         out_specs.append(
-            pl.BlockSpec((128, 4 * k), lambda i, sf: (sf[0, i], 0),
+            pl.BlockSpec((srows, 4 * k), lambda i, sf: (sf[0, i], 0),
                          memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((nt * 128, 4 * k), f))
-        bytes_accessed += nt * 128 * 4 * k * 4
+        out_shape.append(jax.ShapeDtypeStruct((nt * srows, 4 * k), f))
+        bytes_accessed += nt * srows * 4 * k * 4
+        operands = [sf] + operands
+        aliases = {11: 2, 12: 3, 13: 4}
+        if cM:
+            in_specs.insert(0, pl.BlockSpec(
+                (cM, 128), lambda i, sf: (sf[0, i], 0),
+                memory_space=pltpu.VMEM))
+            operands.insert(1, cq)
+            aliases = {12: 2, 13: 3, 14: 4}
         grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(nblocks,),
             in_specs=in_specs, out_specs=out_specs))
-        operands = [sf] + operands
-        aliases = {11: 2, 12: 3, 13: 4}
     else:
         grid_kw = dict(grid=(nblocks,), in_specs=in_specs,
                        out_specs=out_specs)
@@ -567,7 +606,7 @@ def caar_pallas_packed_rsplit0_t(scal, dxbt, dybt, ainct, astrt, bstrt,
     kernel = partial(
         _caar_kernel_t, not interpret, moist, CONSTANTS.Rgas, CONSTANTS.kappa,
         CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth, True, False, False,
-        False,
+        0, False,
     )
     return pl.pallas_call(
         kernel,

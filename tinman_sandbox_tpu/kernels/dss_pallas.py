@@ -46,8 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import NP, NPSQ
 
 __all__ = ["dss_sweeps_pallas_t", "dss_structured_t_pallas",
-           "dss_structured_t_pallas_pre", "dss_sweeps_banded_t",
-           "ext_slot_arrays", "fit_block_k", "SWEEP_VMEM_CAP"]
+           "dss_structured_t_pallas_pre", "dss_structured_t_pallas_cpre",
+           "dss_sweeps_banded_t", "dss_sweeps_pallas_ct",
+           "ext_slot_arrays", "cext_tables", "fit_block_k",
+           "SWEEP_VMEM_CAP"]
 
 
 def _rsp_mul(rsp, v):
@@ -484,8 +486,15 @@ def dss_fixup_tiles_t(xd_t, rsp, plan):
     ``xd_t`` [n_tiles*128, k] (see `extract_tiles_t`) — every lane
     selection is a major-axis row gather, so XLA never relayouts a
     [k, e16]-sized array."""
-    idx_lines, corner = _fixup_arrays(plan)[:2]
     _, row_lines, row_corner = _fixup_arrays_t(plan)
+    return _fixup_from_rows(xd_t, rsp, plan, row_lines, row_corner)
+
+
+def _fixup_from_rows(xd_t, rsp, plan, row_lines, row_corner):
+    """Fixup body shared by the 128-dense (`_fixup_arrays_t`) and compact
+    (`_compact_arrays`) slab layouts — only the lane -> slab-row maps
+    differ."""
+    idx_lines, corner = _fixup_arrays(plan)[:2]
     k = xd_t.shape[1]
     nl = idx_lines.shape[1]
 
@@ -500,14 +509,20 @@ def dss_fixup_tiles_t(xd_t, rsp, plan):
             + mj_lo * jnp.roll(g, 1, axis=1))
 
     rsp_l = rsp[:, idx_lines.reshape(-1)].reshape(-1, 24, nl, 1)
-    outs = []
+    # cross-edge pair sums via ONE static partner gather: line 2p pairs
+    # with line 2p+1 (position-flipped when the edge is flipped) — the
+    # flip rides in the index table, so the 12-edge Python loop of
+    # slices/flips/stacks (~50 small HLO ops per DSS call, 8 calls per
+    # prim step) collapses to a single take. f32 adds commute, so this
+    # is bitwise equal to the loop form.
+    part = np.empty((24, nl), np.int32)
+    tt = np.arange(nl)
     for p, (fa, sa, fb, sb, flip) in enumerate(plan.edges):
-        a, b = zl[2 * p], zl[2 * p + 1]
-        bo = jnp.flip(b, axis=0) if flip else b
-        s = a + bo
-        outs.append(s)
-        outs.append(jnp.flip(s, axis=0) if flip else s)
-    stk = jnp.stack(outs, axis=0)                           # [24, nl, k]
+        tp = (nl - 1 - tt) if flip else tt
+        part[2 * p] = (2 * p + 1) * nl + tp
+        part[2 * p + 1] = 2 * p * nl + tp
+    zl_p = zl.reshape(24 * nl, k)[jnp.asarray(part.reshape(-1))]
+    stk = zl + zl_p.reshape(24, nl, k)                      # [24, nl, k]
     vals = sum(stk * rsp_l[r] for r in range(rsp.shape[0]))
 
     cg = xd_t[jnp.asarray(row_corner.reshape(-1))].reshape(8, 3, k)
@@ -600,6 +615,216 @@ def dss_structured_t_pallas_pre(x, xd_t, plan, rsp_lanes, vdt: bool = False,
     return dss_sweeps_pallas_t(x, rsp_lanes, vd, jnp.asarray(dense_mask),
                                plan.ne, tiles, nf, vdt=vdt, mix=mix,
                                interpret=interpret)
+
+
+@lru_cache(maxsize=None)
+def _compact_arrays(plan):
+    """Static tables for the COMPACT fix-lane slab: the 128-dense slab and
+    tile-dense vals buffer carry whole 128-lane tiles but only ~9-11% of
+    those lanes are ever read or written by the fixup (per-tile max 38 at
+    ne30/ne120) — at QSIZE_D=35 that is ~1 GB/stage of nearly-empty HBM
+    traffic. Here each affected tile stores only its M fix lanes
+    (M = per-tile max rounded up to the sublane granularity 8):
+
+      * slab [nt*M, k]: the producer selects the M rows with a one-hot
+        Q[M,128] @ tile.T MXU contraction (exact 3-limb bf16 split,
+        fdot.make_sel — bitwise equal to the dense extraction);
+      * vals buffer [k, (6//nf)*wr] (wr = ntb*M padded to 128 lanes per
+        face-block region): the sweep kernel re-expands each tile with a
+        [bk, M] @ P[M, 128] placement dot (same Q matrix, same exactness).
+
+    Returns (M, Q bf16 [nt*M, 128], row_lines_c, row_corner_c,
+    di_c [len(idx_uniq)], wd_c, wr, P bf16 [ntb*M, 128])."""
+    idx_lines, corner, idx_uniq, tiles, nf, _, _ = _fixup_arrays(plan)
+    gtiles, _, _ = _fixup_arrays_t(plan)
+    ne = plan.ne
+    lb = nf * ne * ne * NPSQ
+    ntb = len(tiles)
+
+    read = np.unique(np.concatenate([idx_lines.reshape(-1),
+                                     corner.reshape(-1)]))
+    by_tile = {}
+    for l in read:
+        by_tile.setdefault(int(l) // 128, []).append(int(l))
+    assert set(by_tile) <= set(gtiles), "read lane outside affected tiles"
+    M = -(-max(len(v) for v in by_tile.values()) // 8) * 8
+
+    slot = {t: s for s, t in enumerate(gtiles)}
+    pos = {}                       # lane -> global compact slab row
+    q = np.zeros((len(gtiles) * M, 128), np.float32)
+    for t, ll in by_tile.items():
+        s = slot[t]
+        for r, l in enumerate(sorted(ll)):
+            pos[l] = s * M + r
+            q[s * M + r, l % 128] = 1.0
+
+    row_lines_c = np.asarray([[pos[int(l)] for l in row]
+                              for row in idx_lines], np.int32)
+    row_corner_c = np.asarray([[pos[int(l)] for l in row]
+                               for row in corner], np.int32)
+
+    # vals-buffer columns: per-face-block regions of width wr (128-padded
+    # so the sweep's (bk, wr) lane block is legal for nf < 6)
+    wr = -(-ntb * M // 128) * 128
+    wd_c = (6 // nf) * wr
+    di_c = np.asarray(
+        [(pos[int(l)] // (ntb * M)) * wr + pos[int(l)] % (ntb * M)
+         for l in idx_uniq], np.int32)
+    assert len(di_c) == len(np.unique(di_c))
+
+    # block-local placement table; fix-lane ranks are face-local, so every
+    # block shares block 0's (asserted, like the dense mask pattern)
+    p = q[:ntb * M]
+    for b in range(1, 6 // nf):
+        assert np.array_equal(q[b * ntb * M:(b + 1) * ntb * M], p), \
+            "fix-lane rank pattern differs between face blocks"
+    return (M, q.astype(jnp.bfloat16), row_lines_c, row_corner_c,
+            di_c, wd_c, wr, p.astype(jnp.bfloat16))
+
+
+def cext_tables(plan, nblocks: int):
+    """Producer-side tables for COMPACT fused extraction: the
+    `ext_slot_arrays` slot/flag table plus (M, Q) — the per-tile one-hot
+    row-selection matrices the producer kernels contract with
+    (fdot.make_sel). Q rows follow the slab layout [nt*M, 128]."""
+    sf, nt = ext_slot_arrays(plan, nblocks)
+    M, q = _compact_arrays(plan)[:2]
+    return sf, nt, M, q
+
+
+def _sweep_kernel_ct(db: int, tiles: tuple, lb: int, M: int, mix: bool,
+                     split: bool, interpret: bool, *refs):
+    """Sweep + COMPACT edge/corner merge: like `_sweep_kernel_t`, but the
+    fix values arrive as [bk, ntb*M] compact lanes and each affected tile
+    is re-expanded with an exact one-hot placement dot (fdot.make_sel)."""
+    from .fdot import make_sel
+
+    if mix:
+        (x_ref, m_ref, rsp_ref, vd_ref, p_ref, dm_ref, coef_ref, mx_ref,
+         out_ref) = refs
+        ca, cb = coef_ref[0, 0], coef_ref[0, 1]
+    else:
+        x_ref, m_ref, rsp_ref, vd_ref, p_ref, dm_ref, out_ref = refs
+    if interpret:
+        roll = lambda a, s: jnp.roll(a, s, axis=1)
+    else:
+        roll = lambda a, s: pltpu.roll(a, shift=s % lb, axis=1)
+    _, sel_r = make_sel(split)
+
+    x = x_ref[:]
+    y = x + m_ref[0:1] * roll(x, -NP) + m_ref[1:2] * roll(x, NP)
+    z = y + m_ref[2:3] * roll(y, -db) + m_ref[3:4] * roll(y, db)
+    w = _rsp_mul(rsp_ref[:], z)
+    if mix:
+        mx = mx_ref[:]
+        out_ref[:] = ca * mx + cb * w
+    else:
+        out_ref[:] = w
+    for n, t in enumerate(tiles):
+        placed = sel_r(vd_ref[:, n * M:(n + 1) * M],
+                       p_ref[n * M:(n + 1) * M, :])
+        m = dm_ref[:, n * 128:(n + 1) * 128]
+        merged = w[:, t * 128:(t + 1) * 128] * (1.0 - m) + placed
+        if mix:
+            merged = ca * mx[:, t * 128:(t + 1) * 128] + cb * merged
+        out_ref[:, t * 128:(t + 1) * 128] = merged
+
+
+@partial(jax.jit, static_argnames=("ne", "tiles", "nf", "faces", "m_rows",
+                                   "interpret", "block_k"))
+def dss_sweeps_pallas_ct(x, rsp, vd_c, dense_mask, p_tbl, ne: int,
+                         tiles: tuple, nf: int, m_rows: int, faces: int = 6,
+                         mix=None, interpret: bool = False,
+                         block_k: int = 16):
+    """`dss_sweeps_pallas_t` with the COMPACT vals buffer: ``vd_c`` is
+    [k, (faces/nf)*wr] (wr = len(tiles)*m_rows padded to 128) and
+    ``p_tbl`` the [len(tiles)*m_rows, 128] bf16 placement table from
+    `_compact_arrays`. Requires a 128-aligned lane axis (the compact path
+    only runs fused — even ne, elem_block 8)."""
+    k, e16 = x.shape
+    assert e16 == faces * ne * ne * NPSQ, (e16, ne, faces)
+    lb = nf * ne * ne * NPSQ
+    assert lb % 128 == 0, lb
+    bk = fit_block_k(k, lb, block_k)
+    ntb = len(tiles)
+    wr = vd_c.shape[1] // (faces // nf)
+    assert wr % 128 == 0 and wr >= ntb * m_rows, (wr, ntb, m_rows)
+    masks = jnp.asarray(_sweep_masks_np(ne, nf))
+    db = NPSQ * ne - (NP - 1)
+    blk = lambda: pl.BlockSpec((bk, lb), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)
+    mk_specs = lambda: [
+        blk(),
+        pl.BlockSpec((4, lb), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rsp.shape[0], lb), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, wr), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ntb * m_rows, 128), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ntb * 128), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, masks, rsp, vd_c, p_tbl, dense_mask]
+    out_rows = k
+    aliases = {}
+    if mix is not None:
+        mx, ca, cb = mix
+        assert mx.shape[1] == e16 and mx.shape[0] >= k, (mx.shape, x.shape)
+        if mx.shape[0] != k and mx.shape[0] % bk:
+            cands = [b for b in range(bk, 0, -1)
+                     if k % b == 0 and mx.shape[0] % b == 0]
+            bk = next((b for b in cands if b % 8 == 0), cands[0])
+            blk = lambda: pl.BlockSpec((bk, lb), lambda i, j: (i, j),
+                                       memory_space=pltpu.VMEM)
+        in_specs = mk_specs()
+        coef = jnp.stack([jnp.asarray(ca, jnp.float32),
+                          jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
+        in_specs += [pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                                  memory_space=pltpu.SMEM), blk()]
+        operands += [coef, mx]
+        if mx.shape[0] > k:
+            out_rows = mx.shape[0]
+            aliases = {7: 0}      # mx -> out: unvisited rows ride through
+    else:
+        in_specs = mk_specs()
+    return pl.pallas_call(
+        partial(_sweep_kernel_ct, db, tiles, lb, m_rows, mix is not None,
+                not interpret, interpret),
+        grid=(k // bk, faces // nf),
+        in_specs=in_specs,
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((out_rows, e16), jnp.float32),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=SWEEP_VMEM_CAP,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+@partial(jax.jit, static_argnames=("plan", "interpret"))
+def dss_structured_t_pallas_cpre(x, xs, plan, rsp_lanes, mix=None,
+                                 interpret: bool = False):
+    """`dss_structured_t_pallas_pre` on the COMPACT fix-lane slab ``xs``
+    [nt*M, k] emitted by a `cext_tables`-driven producer: the fixup's row
+    gathers use the compact row maps, the vals scatter targets the compact
+    [k, wd_c] buffer, and the sweep re-expands each affected tile with an
+    exact placement dot — ~3.2x less slab/vals HBM traffic than the
+    128-dense path at ne30/ne120 (per-tile fix-lane occupancy ~9-11%)."""
+    _, _, _, tiles, nf, _, _ = _fixup_arrays(plan)
+    (m_rows, _, row_lines_c, row_corner_c, di_c, wd_c, _,
+     p_tbl) = _compact_arrays(plan)
+    vals_t = _fixup_from_rows(xs, rsp_lanes, plan, row_lines_c,
+                              row_corner_c)
+    k = x.shape[0]
+    vd_c = jnp.zeros((k, wd_c), jnp.float32).at[
+        :, jnp.asarray(di_c)].set(vals_t.T, unique_indices=True)
+    _, _, _, _, _, _, dense_mask = _fixup_arrays(plan)
+    return dss_sweeps_pallas_ct(x, rsp_lanes, vd_c, jnp.asarray(dense_mask),
+                                jnp.asarray(p_tbl), plan.ne, tiles, nf,
+                                m_rows, mix=mix, interpret=interpret)
 
 
 @lru_cache(maxsize=None)

@@ -43,6 +43,49 @@ def _d(a, b):
     return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _split3(v):
+    """Exact 3-limb bf16 decomposition of an f32 array: each limb captures
+    8 mantissa bits (bf16 shares f32's exponent range), each residual
+    subtraction is exact, so h1 + h2 + h3 reconstructs v BITWISE (24 = 3x8
+    mantissa bits; the non-overlapping limb sums are exact in f32)."""
+    h1 = v.astype(jnp.bfloat16)
+    r1 = v - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h1, h2, h3
+
+
+def make_sel(split: bool):
+    """Exact one-hot selection contractions for the compact DSS fix-lane
+    slab (kernels/dss_pallas.py): ``sel_l(q, v) = q @ v`` and
+    ``sel_r(v, p) = v @ p`` where q/p are 0/1 matrices with AT MOST ONE
+    nonzero per output element's reduction — i.e. pure row selection /
+    lane placement. q/p are bf16-exact; v is split into three exact bf16
+    limbs (`_split3`), each MXU pass selects one limb exactly
+    (bf16 x bf16 products accumulate in f32), and the limb sums
+    reconstruct v bitwise — unlike `make_dots`'s 3-pass approximation,
+    this is EXACT, which keeps the producer-fused slab bitwise equal to
+    the `extract_tiles_t` reference (gated in tests + tpu_equiv_check)."""
+    if not split:
+        def sel_l(q, v):
+            return _d(q.astype(v.dtype), v)
+
+        def sel_r(v, p):
+            return _d(v, p.astype(v.dtype))
+
+        return sel_l, sel_r
+
+    def sel_l(q, v):
+        h1, h2, h3 = _split3(v)
+        return (_d(q, h1) + _d(q, h2)) + _d(q, h3)
+
+    def sel_r(v, p):
+        h1, h2, h3 = _split3(v)
+        return (_d(h1, p) + _d(h2, p)) + _d(h3, p)
+
+    return sel_l, sel_r
+
+
 def make_dots(split: bool):
     """Return ``(dot, dot_lx, dot_rx)`` contraction helpers.
 

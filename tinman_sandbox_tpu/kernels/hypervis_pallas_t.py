@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import NPSQ
 from ..constants import CONSTANTS
-from .fdot import make_dots
+from .fdot import make_dots, make_sel
 from .layout import META_COLS
 
 __all__ = ["vlap_pallas_packed_t", "vlap_pallas_packed_t_ext"]
@@ -39,11 +39,15 @@ __all__ = ["vlap_pallas_packed_t", "vlap_pallas_packed_t_ext"]
 _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
-def _vlap_kernel_t(split, rrearth, ext, *refs):
+def _vlap_kernel_t(split, rrearth, ext, cM, *refs):
     # u/v/t arrive as separate k-row refs so callers can alias them into a
     # TALLER stacked state (e.g. the [4*nlev] prognostic buffer) via
     # row-block index maps — no XLA slice copy feeding the kernel
-    if ext:
+    cq_ref = None
+    if ext and cM:
+        (sf_ref, cq_ref, scal_ref, dxbt_ref, dybt_ref, dxb_ref, dyb_ref,
+         meta_ref, u_ref, v_ref, t_ref, o_ref, ext_ref) = refs
+    elif ext:
         (sf_ref, scal_ref, dxbt_ref, dybt_ref, dxb_ref, dyb_ref, meta_ref,
          u_ref, v_ref, t_ref, o_ref, ext_ref) = refs
     else:
@@ -118,9 +122,16 @@ def _vlap_kernel_t(split, rrearth, ext, *refs):
         # kernels/dss_pallas.py::ext_slot_arrays)
         @pl.when(sf_ref[1, pl.program_id(0)] == 1)
         def _write_slab():
-            ext_ref[:, 0:k] = lu.T
-            ext_ref[:, k:2 * k] = lv.T
-            ext_ref[:, 2 * k:3 * k] = lap_t.T
+            if cM:
+                sel_l, _ = make_sel(split)
+                cq = cq_ref[:]
+                ext_ref[:, 0:k] = sel_l(cq, lu.T)
+                ext_ref[:, k:2 * k] = sel_l(cq, lv.T)
+                ext_ref[:, 2 * k:3 * k] = sel_l(cq, lap_t.T)
+            else:
+                ext_ref[:, 0:k] = lu.T
+                ext_ref[:, k:2 * k] = lv.T
+                ext_ref[:, 2 * k:3 * k] = lap_t.T
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "interpret"))
@@ -147,7 +158,8 @@ def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
                                  memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
-    kernel = partial(_vlap_kernel_t, not interpret, CONSTANTS.rrearth, False)
+    kernel = partial(_vlap_kernel_t, not interpret, CONSTANTS.rrearth, False,
+                     0)
     # 8 strong/adjoint derivative matmuls per block
     flops_per_block = 8 * 2 * eb16 * eb16 * k
     return pl.pallas_call(
@@ -173,15 +185,18 @@ def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
       jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x, x, x)
 
 
-@partial(jax.jit, static_argnames=("nt", "nlev", "interpret"))
+@partial(jax.jit, static_argnames=("nt", "nlev", "cM", "interpret"))
 def vlap_pallas_packed_t_ext(scal, dxbt, dybt, meta, x, sf,
-                             nt: int, nlev: int, interpret: bool = False):
+                             nt: int, nlev: int, cq=None, cM: int = 0,
+                             interpret: bool = False):
     """`vlap_pallas_packed_t` with producer-fused tile extraction: ``sf``
     is the slot/flag table from kernels.dss_pallas.ext_slot_arrays and the
     second output is the transposed affected-tile slab [nt*128, 3*nlev]
     for dss_structured_t_pallas_pre. Lane grid fixed at 128-lane blocks
     (elem_block == 8); requires e16 % 128 == 0. ``x`` may be taller than
-    [3*nlev] (only the first three nlev-row blocks are read)."""
+    [3*nlev] (only the first three nlev-row blocks are read). ``cq``/``cM``
+    (kernels.dss_pallas.cext_tables) switch the slab to the COMPACT
+    fix-lane layout [nt*cM, 3*nlev] for dss_structured_t_pallas_cpre."""
     kx, e16 = x.shape
     k = nlev
     assert kx >= 3 * k and kx % k == 0, (kx, k)
@@ -198,34 +213,44 @@ def vlap_pallas_packed_t_ext(scal, dxbt, dybt, meta, x, sf,
                                  memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
                                      memory_space=pltpu.VMEM)
-    kernel = partial(_vlap_kernel_t, not interpret, CONSTANTS.rrearth, True)
+    srows = cM if cM else 128
+    kernel = partial(_vlap_kernel_t, not interpret, CONSTANTS.rrearth, True,
+                     cM)
     flops_per_block = 8 * 2 * eb16 * eb16 * k
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+                     memory_space=pltpu.SMEM),
+        rep((eb16, eb16)), rep((eb16, eb16)),
+        rep((eb16, eb16)), rep((eb16, eb16)),
+        pl.BlockSpec((len(META_COLS), eb16), lambda i, sf: (0, i),
+                     memory_space=pltpu.VMEM),
+        row(0), row(1), row(2),
+    ]
+    operands = [sf, scal, dxbt, dybt,
+                jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1),
+                meta, x, x, x]
+    if cM:
+        in_specs.insert(0, pl.BlockSpec(
+            (cM, 128), lambda i, sf: (sf[0, i], 0),
+            memory_space=pltpu.VMEM))
+        operands.insert(1, cq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
-                         memory_space=pltpu.SMEM),
-            rep((eb16, eb16)), rep((eb16, eb16)),
-            rep((eb16, eb16)), rep((eb16, eb16)),
-            pl.BlockSpec((len(META_COLS), eb16), lambda i, sf: (0, i),
-                         memory_space=pltpu.VMEM),
-            row(0), row(1), row(2),
-        ],
+        in_specs=in_specs,
         out_specs=[fld(3 * k),
-                   pl.BlockSpec((128, 3 * k), lambda i, sf: (sf[0, i], 0),
+                   pl.BlockSpec((srows, 3 * k), lambda i, sf: (sf[0, i], 0),
                                 memory_space=pltpu.VMEM)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((3 * k, e16), f),
-                   jax.ShapeDtypeStruct((nt * 128, 3 * k), f)],
+                   jax.ShapeDtypeStruct((nt * srows, 3 * k), f)],
         cost_estimate=pl.CostEstimate(
             flops=nblocks * flops_per_block,
-            bytes_accessed=6 * e16 * k * 4 + nt * 128 * 3 * k * 4,
+            bytes_accessed=6 * e16 * k * 4 + nt * srows * 3 * k * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(sf, scal, dxbt, dybt,
-      jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x, x, x)
+    )(*operands)

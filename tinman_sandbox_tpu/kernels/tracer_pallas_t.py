@@ -20,7 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import NPSQ
 from ..constants import CONSTANTS
-from .fdot import make_dots
+from .fdot import make_dots, make_sel
 from .layout import META_COLS
 
 __all__ = ["tracer_euler_pallas_packed_t", "tracer_euler_pallas_packed_t_ext"]
@@ -28,8 +28,12 @@ __all__ = ["tracer_euler_pallas_packed_t", "tracer_euler_pallas_packed_t_ext"]
 _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
-def _tracer_kernel_t(split, rrearth, nq, fold_sph, ext, *refs):
-    if ext:
+def _tracer_kernel_t(split, rrearth, nq, fold_sph, ext, cM, *refs):
+    cq_ref = None
+    if ext and cM:
+        (sf_ref, cq_ref, scal_ref, dxbt_ref, dybt_ref, meta_ref,
+         vu_ref, vv_ref, q_ref, o_ref, ext_ref) = refs
+    elif ext:
         (sf_ref, scal_ref, dxbt_ref, dybt_ref, meta_ref,
          vu_ref, vv_ref, q_ref, o_ref, ext_ref) = refs
     else:
@@ -76,7 +80,11 @@ def _tracer_kernel_t(split, rrearth, nq, fold_sph, ext, *refs):
         # kernels/dss_pallas.py::ext_slot_arrays)
         @pl.when(sf_ref[1, pl.program_id(0)] == 1)
         def _write_slab():
-            ext_ref[:] = out.T
+            if cM:
+                sel_l, _ = make_sel(split)
+                ext_ref[:] = sel_l(cq_ref[:], out.T)
+            else:
+                ext_ref[:] = out.T
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "fold_sph", "wind_rows",
@@ -109,7 +117,7 @@ def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     kernel = partial(_tracer_kernel_t, not interpret, CONSTANTS.rrearth, nq,
-                     fold_sph, False)
+                     fold_sph, False, 0)
     return pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -132,17 +140,20 @@ def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
 
 
 @partial(jax.jit, static_argnames=("nt", "nlev", "fold_sph", "wind_rows",
-                                   "interpret"))
+                                   "cM", "interpret"))
 def tracer_euler_pallas_packed_t_ext(scal, dxbt, dybt, meta, vu, vv, qdp,
                                      sf, nt: int, nlev: int,
                                      fold_sph: bool = True,
                                      wind_rows: tuple = (0, 0),
+                                     cq=None, cM: int = 0,
                                      interpret: bool = False):
     """`tracer_euler_pallas_packed_t` with producer-fused tile extraction:
     second output is the transposed affected-tile slab [nt*128, qk] for
     dss_structured_t_pallas_pre (see kernels.dss_pallas.ext_slot_arrays).
     Lane grid fixed at 128-lane blocks; requires e16 % 128 == 0.
-    ``wind_rows`` as in the unfused variant."""
+    ``wind_rows`` as in the unfused variant. ``cq``/``cM``
+    (kernels.dss_pallas.cext_tables) switch the slab to the COMPACT
+    fix-lane layout [nt*cM, qk] for dss_structured_t_pallas_cpre."""
     qk, e16 = qdp.shape
     k = nlev
     assert qk % k == 0, (qk, k)
@@ -160,32 +171,40 @@ def tracer_euler_pallas_packed_t_ext(scal, dxbt, dybt, meta, vu, vv, qdp,
                                  memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
                                      memory_space=pltpu.VMEM)
+    srows = cM if cM else 128
     kernel = partial(_tracer_kernel_t, not interpret, CONSTANTS.rrearth, nq,
-                     fold_sph, True)
+                     fold_sph, True, cM)
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+                     memory_space=pltpu.SMEM),
+        rep((eb16, eb16)), rep((eb16, eb16)),
+        pl.BlockSpec((len(META_COLS), eb16), lambda i, sf: (0, i),
+                     memory_space=pltpu.VMEM),
+        row(wu), row(wv), fld(qk),
+    ]
+    operands = [sf, scal, dxbt, dybt, meta, vu, vv, qdp]
+    if cM:
+        in_specs.insert(0, pl.BlockSpec(
+            (cM, 128), lambda i, sf: (sf[0, i], 0),
+            memory_space=pltpu.VMEM))
+        operands.insert(1, cq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
-                         memory_space=pltpu.SMEM),
-            rep((eb16, eb16)), rep((eb16, eb16)),
-            pl.BlockSpec((len(META_COLS), eb16), lambda i, sf: (0, i),
-                         memory_space=pltpu.VMEM),
-            row(wu), row(wv), fld(qk),
-        ],
+        in_specs=in_specs,
         out_specs=[fld(qk),
-                   pl.BlockSpec((128, qk), lambda i, sf: (sf[0, i], 0),
+                   pl.BlockSpec((srows, qk), lambda i, sf: (sf[0, i], 0),
                                 memory_space=pltpu.VMEM)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((qk, e16), jnp.float32),
-                   jax.ShapeDtypeStruct((nt * 128, qk), jnp.float32)],
+                   jax.ShapeDtypeStruct((nt * srows, qk), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=nblocks * nq * 2 * 2 * eb16 * eb16 * k,
-            bytes_accessed=2 * (qk + k) * e16 * 4 + nt * 128 * qk * 4,
+            bytes_accessed=2 * (qk + k) * e16 * 4 + nt * srows * qk * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(sf, scal, dxbt, dybt, meta, vu, vv, qdp)
+    )(*operands)

@@ -172,6 +172,49 @@ def main():
         rb(v)
     print("scatter_zeros  %8.1f us (incl. mix-in)" % timed(run_sc))
 
+    # --- COMPACT path stages (kernels/dss_pallas.py::_compact_arrays)
+    from tinman_sandbox_tpu.kernels.dss_pallas import (
+        _compact_arrays, _fixup_from_rows, dss_sweeps_pallas_ct,
+    )
+
+    (m_rows, q, rlc, rcc, di_c, wd_c, wr, p_tbl) = _compact_arrays(plan)
+    vd_c0 = jnp.zeros((4 * k, wd_c), jnp.float32)
+    p_j = jnp.asarray(p_tbl)
+
+    @jax.jit
+    def cs_step(x):
+        return dss_sweeps_pallas_ct(x, rsp, vd_c0, dm, p_j, plan.ne,
+                                    tiles, nf, m_rows)
+
+    def run_csweep(n):
+        x = s0
+        for _ in range(n):
+            x = cs_step(x)
+        rb(x)
+    print("c_sweep_only   %8.1f us (compact vd, zero fixup)"
+          % timed(run_csweep))
+
+    qn = np.asarray(q, np.float32)
+    xs0 = jnp.asarray(
+        (qn.reshape(-1, m_rows, 128) @ np.asarray(
+            extract_tiles_t(s0, gtiles)).reshape(-1, 128, 4 * k)
+         ).reshape(-1, 4 * k))
+    dic_j = jnp.asarray(di_c)
+
+    @jax.jit
+    def cf_step(xs):
+        vals = _fixup_from_rows(xs, rsp, plan, rlc, rcc)
+        vd = jnp.zeros((4 * k, wd_c), jnp.float32).at[
+            :, dic_j].set(vals.T, unique_indices=True)
+        return xs + 1e-30 * vd[:, :1].T[:1]
+
+    def run_cfix(n):
+        xs = xs0
+        for _ in range(n):
+            xs = cf_step(xs)
+        rb(xs)
+    print("c_fixup+scat   %8.1f us (incl. mix-in)" % timed(run_cfix))
+
 
 if __name__ == "__main__":
     main()

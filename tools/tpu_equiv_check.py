@@ -191,6 +191,24 @@ def main():
     print(f"producer-fused extract slab rel-max vs extract_tiles_t: "
           f"{slab_rel:.3e}", flush=True)
 
+    # -- COMPACT fix-lane slab (exact one-hot selection, on chip) -------------
+    from tinman_sandbox_tpu.kernels.dss_pallas import cext_tables
+
+    sfc, ntc, m_rows, cq = cext_tables(plan, e16_t4 // 128)
+    cext_out = caar_pallas_packed_t4_ext(
+        scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"], pt["bstrt"],
+        pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+        pt["vn0u"], pt["vn0v"], pt["omg"], jnp.asarray(sfc),
+        nt=ntc, nlev=cfg2.nlev, cq=jnp.asarray(cq), cM=m_rows)
+    qn = np.asarray(cq, np.float32)
+    cslab_ref = (qn.reshape(ntc, m_rows, 128)
+                 @ np.asarray(slab_ref).reshape(ntc, 128, -1)
+                 ).reshape(ntc * m_rows, -1)
+    cslab_rel = relmax(cext_out[5], jnp.asarray(cslab_ref))
+    report["compact_extract_slab_relmax"] = cslab_rel
+    print(f"COMPACT extract slab rel-max vs one-hot-selected dense slab: "
+          f"{cslab_rel:.3e}", flush=True)
+
     # -- multi-chip code paths, degenerate 1-device mesh ----------------------
     # (compiles the face-sharded and banded sweep/fixup kernels ON CHIP;
     # the collectives degenerate but the Mosaic programs are the real ones)
@@ -313,7 +331,8 @@ def main():
     worst = max(list(kernel.values()) + list(assembled.values())
                 + list(kernel_t.values()) + list(assembled_t.values())
                 + list(assembled_t4.values()) + list(sharded.values())
-                + [report["fused_extract_slab_relmax"]])
+                + [report["fused_extract_slab_relmax"],
+                   report["compact_extract_slab_relmax"]])
     report["worst_relmax"] = worst
     # the prim cadence chains ~10 kernels and a nonlinear stage order, so
     # its fp-reorder envelope is wider than the single-step gate
