@@ -211,9 +211,16 @@ def main() -> None:
             )
 
             if direct_packed:
-                assert args.storage == "f32", \
-                    "direct packed init is f32-only"
                 p = random_packed_problem_t(cfg, seed=7, geom=geom)
+                if args.storage != "f32":
+                    # apply the pack_problem_t storage contract post-init
+                    # (the on-device init itself is f32): bf16_aux = qdp +
+                    # pecnd, bf16_ro additionally the four nm1 fields
+                    keys = ["qdp", "pecnd"]
+                    if args.storage == "bf16_ro":
+                        keys += ["um1", "vm1", "tm1", "dpm1"]
+                    for kk in keys:
+                        p[kk] = jnp.asarray(p[kk], jnp.bfloat16)
             else:
                 p = pack_problem_t(state, derived, geom, hv, cfg,
                                    storage=args.storage)

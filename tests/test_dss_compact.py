@@ -53,7 +53,8 @@ def test_compact_arrays_invariants():
 
     for ne in (2, 4, 8):
         plan = make_structured_plan(build_cubed_sphere(ne).gdof, ne)
-        (m_rows, q, rlc, rcc, di_c, wd_c, wr, p_tbl) = _compact_arrays(plan)
+        (m_rows, q, rlc, rcc, di_c, wd_c, wr, p_tbl,
+         _) = _compact_arrays(plan)
         gtiles = _fixup_arrays_t(plan)[0]
         idx_uniq = _fixup_arrays(plan)[2]
         assert m_rows % 8 == 0 and m_rows <= 128

@@ -23,7 +23,8 @@ __all__ = ["dss_scaled_packed", "caar_dss_pallas_packed", "make_packed_dss",
            "caar_dss_structured_packed", "caar_dss_structured_packed_t",
            "caar_dss_structured_packed_t4", "ssprk3_packed_t4",
            "apply_hypervis_packed_t", "ssprk3_tracer_packed_t",
-           "prim_step_packed_t4"]
+           "prim_step_packed_t4", "caar_dss_ring_t4", "ssprk3_ring_t4",
+           "ssprk3_tracer_ring_t"]
 
 
 def make_packed_dss(gdof, rspheremp):
@@ -559,6 +560,115 @@ def packed_air_mass(s, sph_lanes, nlev: int):
     order; use for both the target and the current mass so the f32
     measurement bias cancels in the ratio)."""
     return jnp.sum(sph_lanes * s[3 * nlev:4 * nlev])
+
+
+
+
+def _ring_tables(plan, e16, ne):
+    from ..kernels.dss_pallas import _sweep_masks_np, cext_tables
+
+    sf, nt, cM, cq = cext_tables(plan, e16 // 128)
+    masks = jnp.asarray(_sweep_masks_np(ne, 6))
+    return jnp.asarray(sf), nt, cM, jnp.asarray(cq), masks
+
+
+@partial(jax.jit, static_argnames=("ne", "nlev", "plan", "moist",
+                                   "interpret"))
+def caar_dss_ring_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                     s0, sm1, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
+                     ne: int, nlev: int, moist: bool = True,
+                     interpret: bool = False):
+    """RING-FUSED assembled step: ONE Pallas dispatch computes the CAAR
+    update and emits the rsp-scaled DSS sweeps through a VMEM ring buffer
+    (kernels/ring_fused.py) — s1 never round-trips HBM (was 2 extra
+    full-field passes; 3.2 GB/step at ne120). The cube-edge tiles are then
+    rewritten in place by the compact fixup + merge_patch_pallas. Output
+    is bitwise equal to caar_dss_structured_packed_t4 (compact=True).
+    Requires elem_block == 8 semantics (e16 % 128 == 0, even ne)."""
+    from ..kernels.dss_pallas import fix_vals3, merge_patch_pallas
+    from ..kernels.ring_fused import caar_ring_packed_t4
+
+    e16 = s0.shape[1]
+    sfj, nt, cM, cqj, masks = _ring_tables(plan, e16, ne)
+    w, phi, a1, b1, c1, xs = caar_ring_packed_t4(
+        scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+        s0, sm1, qdp, pecnd, vn0u, vn0v, omg, masks, rsp_lanes, sfj, cqj,
+        nt=nt, cM=cM, ne=ne, nlev=nlev, moist=moist, single=False,
+        interpret=interpret)
+    vals3 = fix_vals3(xs, rsp_lanes, plan)
+    out = merge_patch_pallas(w, vals3, plan, interpret=interpret)
+    return out, phi, a1, b1, c1
+
+
+@partial(jax.jit, static_argnames=("ne", "nlev", "plan", "moist",
+                                   "interpret"))
+def ssprk3_ring_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                   s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
+                   ne: int, nlev: int, moist: bool = True,
+                   interpret: bool = False):
+    """`ssprk3_packed_t4` on the RING-FUSED path: each stage is ONE
+    kernel+sweep dispatch (Shu-Osher mix folded into the emission) + the
+    compact fixup + an in-place edge-tile patch. Bitwise equal to the
+    compact ssprk3_packed_t4."""
+    from ..kernels.dss_pallas import fix_vals3, merge_patch_pallas
+    from ..kernels.ring_fused import caar_ring_packed_t4
+
+    B = (1.0 / 6.0, 1.0 / 6.0, 2.0 / 3.0)
+    f = s0.dtype
+    e16 = s0.shape[1]
+    sfj, nt, cM, cqj, masks = _ring_tables(plan, e16, ne)
+
+    def stage(u, b, acc, emit_phi=False, mix=None):
+        sc = scal.at[0, 1].set(scal[0, 1] * f.type(b))
+        w, phi, a1, b1, c1, xs = caar_ring_packed_t4(
+            sc, dxbt, dybt, ainct, astrt, bstrt, meta,
+            u, None, qdp, pecnd, *acc, masks, rsp_lanes, sfj, cqj,
+            nt=nt, cM=cM, ne=ne, nlev=nlev, moist=moist, single=True,
+            emit_phi=emit_phi, mix=mix, interpret=interpret)
+        vals3 = fix_vals3(xs, rsp_lanes, plan)
+        pmix = None if mix is None else (mix[0], mix[1], mix[2])
+        out = merge_patch_pallas(w, vals3, plan, mix=pmix,
+                                 interpret=interpret)
+        return out, phi, (a1, b1, c1)
+
+    u1, _, acc = stage(s0, B[0], (vn0u, vn0v, omg))
+    u2, _, acc = stage(u1, B[1], acc,
+                       mix=(s0, f.type(0.75), f.type(0.25)))
+    u3, phi, acc = stage(u2, B[2], acc, emit_phi=True,
+                         mix=(s0, f.type(1.0 / 3.0), f.type(2.0 / 3.0)))
+    return (u3, phi, *acc)
+
+
+@partial(jax.jit, static_argnames=("ne", "nlev", "plan", "wind_rows",
+                                   "interpret"))
+def ssprk3_tracer_ring_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
+                         dt, ne: int, nlev: int,
+                         wind_rows: tuple = (0, 0),
+                         interpret: bool = False):
+    """`ssprk3_tracer_packed_t` (limit=False) on the RING-FUSED path —
+    the dominant QSIZE_D=35 cost: each stage drops the qdp round-trip
+    (2 x 868 MB/stage at ne30 q35). Bitwise equal to the compact path."""
+    from ..kernels.dss_pallas import fix_vals3, merge_patch_pallas
+    from ..kernels.ring_fused import tracer_ring_packed_t
+
+    f = qdp.dtype
+    e16 = qdp.shape[1]
+    sfj, nt, cM, cqj, masks = _ring_tables(plan, e16, ne)
+    scal = jnp.zeros((1, 4), jnp.float32).at[0, 0].set(
+        jnp.asarray(dt, jnp.float32))
+
+    def stage(q, mix=None):
+        w, xs = tracer_ring_packed_t(
+            scal, dxbt, dybt, meta, vu, vv, q, masks, rsp_lanes, sfj, cqj,
+            nt=nt, cM=cM, ne=ne, nlev=nlev, wind_rows=wind_rows, mix=mix,
+            interpret=interpret)
+        vals3 = fix_vals3(xs, rsp_lanes, plan)
+        return merge_patch_pallas(w, vals3, plan, mix=mix,
+                                  interpret=interpret)
+
+    q1 = stage(qdp)
+    q2 = stage(q1, mix=(qdp, f.type(0.75), f.type(0.25)))
+    return stage(q2, mix=(qdp, f.type(1.0 / 3.0), f.type(2.0 / 3.0)))
 
 
 @partial(jax.jit, static_argnames=("nu", "eb", "nlev", "plan", "qsplit",

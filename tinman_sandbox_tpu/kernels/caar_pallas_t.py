@@ -55,6 +55,84 @@ __all__ = [
 _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
+
+def _caar_physics(split, moist, rgas, kappa, rv_factor, rrearth,
+                  scal_ref, dxbt, dybt, ainct_ref, astrt_ref, bstrt_ref,
+                  row, u, v, t, dp, um1x, vm1x, tm1x, dpm1x,
+                  qdp_ref, pecnd_ref):
+    """The CAAR update for one lane block (routine_mod.F90:7-193 math,
+    rsplit>0): returns (u1v, v1v, t1v, dp1v, phi, vdp1, vdp2, omega_p).
+    Shared verbatim by `_caar_kernel_t` and the ring-fused kernel
+    (kernels/ring_fused.py) so the two compile to identical fp-op
+    sequences."""
+    f32 = jnp.float32
+    dt2 = scal_ref[0, 0]
+    dot, dot_lx, _ = make_dots(split)
+    rr = f32(rrearth)
+
+    dinv00, dinv01 = row("dinv00"), row("dinv01")
+    dinv10, dinv11 = row("dinv10"), row("dinv11")
+    metdet, rmetdet = row("metdet"), row("rmetdet")
+
+    def grad(s):
+        v1 = dot(s, dxbt) * rr
+        v2 = dot(s, dybt) * rr
+        return dinv00 * v1 + dinv10 * v2, dinv01 * v1 + dinv11 * v2
+
+    def div(a, b):
+        gv1 = metdet * (dinv00 * a + dinv01 * b)
+        gv2 = metdet * (dinv10 * a + dinv11 * b)
+        return (dot(gv1, dxbt) + dot(gv2, dybt)) * (rmetdet * rr)
+
+    ld = lambda ref: ref[:].astype(f32)
+
+    # 1. midpoint pressure: p = hyai0*ps0 + cumsum_k(dp) - dp/2
+    p = scal_ref[0, 2] + dot_lx(ainct_ref[:], dp) - 0.5 * dp
+
+    # 2. grad p / v.grad p / mass flux
+    gp1, gp2 = grad(p)
+    vgrad_p = u * gp1 + v * gp2
+    vdp1, vdp2 = u * dp, v * dp
+
+    # 3. div(v*dp) + vorticity
+    divdp = div(vdp1, vdp2)
+    vco1 = row("d00") * u + row("d10") * v
+    vco2 = row("d01") * u + row("d11") * v
+    vort = (dot(vco2, dxbt) - dot(vco1, dybt)) * (rmetdet * rr)
+
+    # 4. virtual temperature
+    if moist:
+        t_v = t * (1.0 + f32(rv_factor) * (ld(qdp_ref) / dp))
+    else:
+        t_v = t
+
+    # 5. hydrostatic: phi = phis + revcumsum_strict(q) + q/2
+    q = f32(rgas) * t_v * (dp / p)
+    phi = row("phis") + dot_lx(bstrt_ref[:], q) + 0.5 * q
+
+    # 6. omega/p
+    cum_strict = dot_lx(astrt_ref[:], divdp)
+    omega_p = (vgrad_p - cum_strict - 0.5 * divdp) / p
+
+    # 8. tendencies (rsplit>0: no vertical advection terms)
+    ephi = 0.5 * (u * u + v * v) + phi + ld(pecnd_ref)
+    gt1, gt2 = grad(t)
+    ge1, ge2 = grad(ephi)
+    gpterm = f32(rgas) * (t_v / p)
+    fcor_vort = row("fcor") + vort
+    vtens1 = v * fcor_vort - ge1 - gpterm * gp1
+    vtens2 = -(u * fcor_vort) - ge2 - gpterm * gp2
+    ttens = -(u * gt1 + v * gt2) + f32(kappa) * t_v * omega_p
+
+    # 9. apply
+    sph = row("spheremp")
+    u1v = sph * (um1x + dt2 * vtens1)
+    v1v = sph * (vm1x + dt2 * vtens2)
+    t1v = sph * (tm1x + dt2 * ttens)
+    dp1v = sph * (dpm1x - dt2 * divdp)
+    return u1v, v1v, t1v, dp1v, phi, vdp1, vdp2, omega_p
+
+
 def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
                    stacked, ext, cM, single, *refs):
     assert not (stacked and rsplit0)

@@ -217,16 +217,19 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
         bk = next((b for b in cands if b % 8 == 0), cands[0])
     db = rl - (NP - 1)
     wd = len(tiles) * 128
+    # grid iterates the LAST axis fastest: put the chunk axis first so
+    # the per-chunk masks/rsp/dense_mask blocks stay resident across the
+    # k sweep instead of being re-fetched every step
     in_specs = [
-        pl.BlockSpec((bk, ext), lambda i, j: (i, j),
+        pl.BlockSpec((bk, ext), lambda j, i: (i, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, ext), lambda i, j: (0, j),
+        pl.BlockSpec((4, ext), lambda j, i: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((rsp.shape[0], bl), lambda i, j: (0, j),
+        pl.BlockSpec((rsp.shape[0], bl), lambda j, i: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk, wd), lambda i, j: (i, j),
+        pl.BlockSpec((bk, wd), lambda j, i: (i, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, wd), lambda i, j: (0, j),
+        pl.BlockSpec((1, wd), lambda j, i: (0, j),
                      memory_space=pltpu.VMEM),
     ]
     operands = [x_ext, masks, rsp, vals_dense, dense_mask]
@@ -238,9 +241,9 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
             (mx.shape, k, nchunks * bl)
         coef = jnp.stack([jnp.asarray(ca, jnp.float32),
                           jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
-        in_specs += [pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+        in_specs += [pl.BlockSpec((1, 2), lambda j, i: (0, 0),
                                   memory_space=pltpu.SMEM),
-                     pl.BlockSpec((bk, bl), lambda i, j: (i, j),
+                     pl.BlockSpec((bk, bl), lambda j, i: (i, j),
                                   memory_space=pltpu.VMEM)]
         operands += [coef, mx]
         if mx.shape[0] > k:
@@ -249,9 +252,9 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
     return pl.pallas_call(
         partial(_sweep_banded_kernel_t, db, tiles, bl, ext, mix is not None,
                 interpret),
-        grid=(k // bk, nchunks),
+        grid=(nchunks, k // bk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bk, bl), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bk, bl), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((out_rows, nchunks * bl),
                                        jnp.float32),
@@ -300,20 +303,24 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
     masks = jnp.asarray(_sweep_masks_np(ne, nf))
     db = NPSQ * ne - (NP - 1)
     wd = len(tiles) * 128
-    blk = lambda: pl.BlockSpec((bk, lb), lambda i, j: (i, j),
+    # face axis FIRST in the grid (last axis iterates fastest): the
+    # per-face rsp block then stays resident across the k sweep — with
+    # the k axis fastest it was re-fetched on every grid step (~400 MB
+    # per ne120 sweep)
+    blk = lambda: pl.BlockSpec((bk, lb), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM)
-    vd_spec = pl.BlockSpec((wd, bk), lambda i, j: (j, i),
+    vd_spec = pl.BlockSpec((wd, bk), lambda j, i: (j, i),
                            memory_space=pltpu.VMEM) if vdt else \
-        pl.BlockSpec((bk, wd), lambda i, j: (i, j),
+        pl.BlockSpec((bk, wd), lambda j, i: (i, j),
                      memory_space=pltpu.VMEM)
     in_specs = [
         blk(),
-        pl.BlockSpec((4, lb), lambda i, j: (0, 0),
+        pl.BlockSpec((4, lb), lambda j, i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((rsp.shape[0], lb), lambda i, j: (0, j),
+        pl.BlockSpec((rsp.shape[0], lb), lambda j, i: (0, j),
                      memory_space=pltpu.VMEM),
         vd_spec,
-        pl.BlockSpec((1, wd), lambda i, j: (0, 0),
+        pl.BlockSpec((1, wd), lambda j, i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [x, masks, rsp, vals_dense, dense_mask]
@@ -328,18 +335,18 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
             cands = [b for b in range(bk, 0, -1)
                      if k % b == 0 and mx.shape[0] % b == 0]
             bk = next((b for b in cands if b % 8 == 0), cands[0])
-            blk = lambda: pl.BlockSpec((bk, lb), lambda i, j: (i, j),
+            blk = lambda: pl.BlockSpec((bk, lb), lambda j, i: (i, j),
                                        memory_space=pltpu.VMEM)
             in_specs[0] = blk()
             if not vdt:
-                in_specs[3] = pl.BlockSpec((bk, wd), lambda i, j: (i, j),
+                in_specs[3] = pl.BlockSpec((bk, wd), lambda j, i: (i, j),
                                            memory_space=pltpu.VMEM)
             else:
-                in_specs[3] = pl.BlockSpec((wd, bk), lambda i, j: (j, i),
+                in_specs[3] = pl.BlockSpec((wd, bk), lambda j, i: (j, i),
                                            memory_space=pltpu.VMEM)
         coef = jnp.stack([jnp.asarray(ca, jnp.float32),
                           jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
-        in_specs += [pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+        in_specs += [pl.BlockSpec((1, 2), lambda j, i: (0, 0),
                                   memory_space=pltpu.SMEM), blk()]
         operands += [coef, mx]
         if mx.shape[0] > k:
@@ -348,7 +355,7 @@ def dss_sweeps_pallas_t(x, rsp, vals_dense, dense_mask, ne: int,
     return pl.pallas_call(
         partial(_sweep_kernel_t, db, tiles, lb, vdt, mix is not None,
                 interpret),
-        grid=(k // bk, faces // nf),
+        grid=(faces // nf, k // bk),
         in_specs=in_specs,
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct((out_rows, e16), jnp.float32),
@@ -671,6 +678,7 @@ def _compact_arrays(plan):
         [(pos[int(l)] // (ntb * M)) * wr + pos[int(l)] % (ntb * M)
          for l in idx_uniq], np.int32)
     assert len(di_c) == len(np.unique(di_c))
+    rows_uniq = np.asarray([pos[int(l)] for l in idx_uniq], np.int32)
 
     # block-local placement table; fix-lane ranks are face-local, so every
     # block shares block 0's (asserted, like the dense mask pattern)
@@ -679,7 +687,7 @@ def _compact_arrays(plan):
         assert np.array_equal(q[b * ntb * M:(b + 1) * ntb * M], p), \
             "fix-lane rank pattern differs between face blocks"
     return (M, q.astype(jnp.bfloat16), row_lines_c, row_corner_c,
-            di_c, wd_c, wr, p.astype(jnp.bfloat16))
+            di_c, wd_c, wr, p.astype(jnp.bfloat16), rows_uniq)
 
 
 def cext_tables(plan, nblocks: int):
@@ -751,19 +759,21 @@ def dss_sweeps_pallas_ct(x, rsp, vd_c, dense_mask, p_tbl, ne: int,
     assert wr % 128 == 0 and wr >= ntb * m_rows, (wr, ntb, m_rows)
     masks = jnp.asarray(_sweep_masks_np(ne, nf))
     db = NPSQ * ne - (NP - 1)
-    blk = lambda: pl.BlockSpec((bk, lb), lambda i, j: (i, j),
+    # face axis FIRST (see dss_sweeps_pallas_t): keeps the per-face rsp
+    # block resident across the k sweep
+    blk = lambda: pl.BlockSpec((bk, lb), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM)
     mk_specs = lambda: [
         blk(),
-        pl.BlockSpec((4, lb), lambda i, j: (0, 0),
+        pl.BlockSpec((4, lb), lambda j, i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((rsp.shape[0], lb), lambda i, j: (0, j),
+        pl.BlockSpec((rsp.shape[0], lb), lambda j, i: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk, wr), lambda i, j: (i, j),
+        pl.BlockSpec((bk, wr), lambda j, i: (i, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ntb * m_rows, 128), lambda i, j: (0, 0),
+        pl.BlockSpec((ntb * m_rows, 128), lambda j, i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ntb * 128), lambda i, j: (0, 0),
+        pl.BlockSpec((1, ntb * 128), lambda j, i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [x, masks, rsp, vd_c, p_tbl, dense_mask]
@@ -776,12 +786,12 @@ def dss_sweeps_pallas_ct(x, rsp, vd_c, dense_mask, p_tbl, ne: int,
             cands = [b for b in range(bk, 0, -1)
                      if k % b == 0 and mx.shape[0] % b == 0]
             bk = next((b for b in cands if b % 8 == 0), cands[0])
-            blk = lambda: pl.BlockSpec((bk, lb), lambda i, j: (i, j),
+            blk = lambda: pl.BlockSpec((bk, lb), lambda j, i: (i, j),
                                        memory_space=pltpu.VMEM)
         in_specs = mk_specs()
         coef = jnp.stack([jnp.asarray(ca, jnp.float32),
                           jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
-        in_specs += [pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+        in_specs += [pl.BlockSpec((1, 2), lambda j, i: (0, 0),
                                   memory_space=pltpu.SMEM), blk()]
         operands += [coef, mx]
         if mx.shape[0] > k:
@@ -792,7 +802,7 @@ def dss_sweeps_pallas_ct(x, rsp, vd_c, dense_mask, p_tbl, ne: int,
     return pl.pallas_call(
         partial(_sweep_kernel_ct, db, tiles, lb, m_rows, mix is not None,
                 not interpret, interpret),
-        grid=(k // bk, faces // nf),
+        grid=(faces // nf, k // bk),
         in_specs=in_specs,
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct((out_rows, e16), jnp.float32),
@@ -815,7 +825,7 @@ def dss_structured_t_pallas_cpre(x, xs, plan, rsp_lanes, mix=None,
     128-dense path at ne30/ne120 (per-tile fix-lane occupancy ~9-11%)."""
     _, _, _, tiles, nf, _, _ = _fixup_arrays(plan)
     (m_rows, _, row_lines_c, row_corner_c, di_c, wd_c, _,
-     p_tbl) = _compact_arrays(plan)
+     p_tbl, _) = _compact_arrays(plan)
     vals_t = _fixup_from_rows(xs, rsp_lanes, plan, row_lines_c,
                               row_corner_c)
     k = x.shape[0]
@@ -860,3 +870,91 @@ def slot_arrays_for_gtiles(gtiles: tuple, nblocks: int):
             flags[i] = 1
         slots[i] = s
     return np.stack([slots, flags]), len(gtiles)
+
+
+def fix_vals3(xs, rsp_lanes, plan):
+    """Per-tile fixup value blocks [nt, M, k] from the compact slab ``xs``
+    [nt*M, k]: the cube-edge/corner line math (`_fixup_from_rows`) followed
+    by a ROW scatter back into slab-row order — no transposes, so XLA never
+    relayouts anything k-sized. Feeds `merge_patch_pallas`."""
+    (m_rows, _, row_lines_c, row_corner_c, _, _, _, _,
+     rows_uniq) = _compact_arrays(plan)
+    vals = _fixup_from_rows(xs, rsp_lanes, plan, row_lines_c, row_corner_c)
+    k = xs.shape[1]
+    nt = xs.shape[0] // m_rows
+    v = jnp.zeros((nt * m_rows, k), jnp.float32).at[
+        jnp.asarray(rows_uniq)].set(vals, unique_indices=True)
+    return v.reshape(nt, m_rows, k)
+
+
+def _merge_patch_kernel(mix, split, *refs):
+    from .fdot import make_sel
+
+    if mix:
+        gt_ref, w_ref, v_ref, p_ref, dm_ref, coef_ref, mx_ref, o_ref = refs
+    else:
+        gt_ref, w_ref, v_ref, p_ref, dm_ref, o_ref = refs
+    _, sel_r = make_sel(split)
+    placed = sel_r(v_ref[0].T, p_ref[:])          # [k, 128], exact
+    m = dm_ref[:]
+    w = w_ref[:]
+    if mix:
+        ca, cb = coef_ref[0, 0], coef_ref[0, 1]
+        o_ref[:] = w * (1.0 - m) + (ca * mx_ref[:] + cb * placed) * m
+    else:
+        o_ref[:] = w * (1.0 - m) + placed * m
+
+
+@partial(jax.jit, static_argnames=("plan", "interpret"))
+def merge_patch_pallas(w, vals3, plan, mix=None, interpret: bool = False):
+    """Rewrite the cube-edge/corner FIX TILES of the ring-fused output
+    ``w`` in place (input_output_aliases): grid over the affected tiles
+    only, each block re-expanded from ``vals3`` (`fix_vals3`) with the
+    exact one-hot placement dot. With ``mix=(mx, ca, cb)`` the patched
+    lanes get ca*mx + cb*vals (the ring emission already applied the mix
+    to the non-fix lanes; fix lanes carry don\'t-care partial sums)."""
+    gtiles, _, _ = _fixup_arrays_t(plan)
+    (m_rows, _, _, _, _, _, _, p_tbl, _) = _compact_arrays(plan)
+    _, _, _, _, _, _, dense_mask = _fixup_arrays(plan)
+    k, e16 = w.shape
+    nt = len(gtiles)
+    assert vals3.shape == (nt, m_rows, k), (vals3.shape, nt, m_rows, k)
+    gt = jnp.asarray(np.asarray(gtiles, np.int32))
+    # per-GLOBAL-tile mask lanes: dense_mask is per-block-local tile order,
+    # identical for every face block (asserted in _fixup_arrays)
+    ntb = dense_mask.shape[1] // 128
+
+    in_specs = [
+        pl.BlockSpec((k, 128), lambda n, gt: (0, gt[n]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m_rows, k), lambda n, gt: (n, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((m_rows, 128),
+                     lambda n, gt: (n % ntb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), lambda n, gt: (0, n % ntb),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [gt, w, vals3, jnp.asarray(p_tbl), jnp.asarray(dense_mask)]
+    if mix is not None:
+        mx, ca, cb = mix
+        coef = jnp.stack([jnp.asarray(ca, jnp.float32),
+                          jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
+        in_specs += [pl.BlockSpec((1, 2), lambda n, gt: (0, 0),
+                                  memory_space=pltpu.SMEM),
+                     pl.BlockSpec((k, 128), lambda n, gt: (0, gt[n]),
+                                  memory_space=pltpu.VMEM)]
+        operands += [coef, mx]
+    return pl.pallas_call(
+        partial(_merge_patch_kernel, mix is not None, not interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((k, 128), lambda n, gt: (0, gt[n]),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, e16), jnp.float32),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(*operands)

@@ -194,6 +194,13 @@ def main():
                                              eb=args.eb, nlev=args.nlev,
                                              fuse_extract=False)
 
+    def v_t4_structured_densevd(ops, acc):
+        # A/B control: producer-fused but 128-DENSE slab + tile-dense vals
+        # (compact fix-lane layout is the default since round 3)
+        return caar_dss_structured_packed_t4(*ops, *acc, plan, rsp_t,
+                                             eb=args.eb, nlev=args.nlev,
+                                             compact=False)
+
     variants = {
         "kernel_only": v_kernel_only,
         "t_kernel_only": v_t_kernel_only,
@@ -201,8 +208,9 @@ def main():
         "t_structured_slice": v_t_structured_slice,
         "t_structured_roll": v_t_structured_roll,
         "t_structured_nostack": v_t_structured_nostack,
-        "t4_structured": v_t4_structured,        # fuse_extract=True default
+        "t4_structured": v_t4_structured,        # fused + compact default
         "t4_structured_nofuse": v_t4_structured_nofuse,
+        "t4_structured_densevd": v_t4_structured_densevd,
         "t4_structured_bf16ro": v_t4_structured_bf16ro,
         "t4_structured_vdt": v_t4_structured_vdt,
         "kernel_only_chunks5": v_kernel_only_c5,

@@ -177,7 +177,8 @@ def main():
         _compact_arrays, _fixup_from_rows, dss_sweeps_pallas_ct,
     )
 
-    (m_rows, q, rlc, rcc, di_c, wd_c, wr, p_tbl) = _compact_arrays(plan)
+    (m_rows, q, rlc, rcc, di_c, wd_c, wr, p_tbl,
+     _) = _compact_arrays(plan)
     vd_c0 = jnp.zeros((4 * k, wd_c), jnp.float32)
     p_j = jnp.asarray(p_tbl)
 
