@@ -68,6 +68,11 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (pallas runs interpreted "
                          "elsewhere; smoke-testing only)")
+    ap.add_argument("--ring", action="store_true",
+                    help="assembled step: ring-fused single-dispatch "
+                         "kernel+sweep (kernels/ring_fused.py; measured "
+                         "win at ne120, loss at ne30 — see BENCH_LOCAL "
+                         "ring_fused_r3)")
     ap.add_argument("--scan", action="store_true",
                     help="lax.scan the per-dispatch step chunk instead of "
                          "unrolling it (compiles ~chunk-x faster; the "
@@ -275,7 +280,7 @@ def main() -> None:
             # stacked-state form: prognostics ride ONE [4*nlev, E16] buffer
             # per time level, one Pallas DSS pass, no concat/split
             from tinman_sandbox_tpu.dist.step_pallas import (
-                caar_dss_structured_packed_t4,
+                caar_dss_ring_t4, caar_dss_structured_packed_t4,
             )
             from tinman_sandbox_tpu.dist.structured_dss import (
                 make_structured_plan,
@@ -294,10 +299,15 @@ def main() -> None:
             # accumulators are still needed below
             p = {k: p[k] for k in ("vn0u", "vn0v", "omg")}
 
-            def one(cst, acc):
-                return caar_dss_structured_packed_t4(
-                    *cst, *acc, plan, rsp, eb=cfg.elem_block,
-                    nlev=cfg.nlev)
+            if args.ring:
+                def one(cst, acc):
+                    return caar_dss_ring_t4(
+                        *cst, *acc, plan, rsp, ne=args.ne, nlev=cfg.nlev)
+            else:
+                def one(cst, acc):
+                    return caar_dss_structured_packed_t4(
+                        *cst, *acc, plan, rsp, eb=cfg.elem_block,
+                        nlev=cfg.nlev)
 
             def rotate(cst, o):
                 # keep the nm1 slot's storage dtype stable (bf16_ro)
