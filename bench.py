@@ -490,7 +490,9 @@ def main() -> None:
             float(s.t[cfg.np1, 0, 0, 0, 0])
             return nsteps
 
+    t0 = time.perf_counter()
     run(2)  # warm-up + compile (excluded, kokkos_init.cpp:108 analog)
+    warmup_s = time.perf_counter() - t0  # compile-dominated first call
 
     best = float("inf")
     executed = args.nexec
@@ -568,6 +570,7 @@ def main() -> None:
                       f" grid_chunks={args.grid_chunks}")
                      if cs is not None else ""),
         "seconds": round(best, 4),
+        "warmup_s": round(warmup_s, 1),
         "us_per_step": round(best / executed * 1e6, 1),
         "bytes_per_step": bytes_per_step,
         "achieved_gb_per_s": round(gbs, 1),

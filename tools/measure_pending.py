@@ -1,15 +1,21 @@
 #!/usr/bin/env python3
-"""Run every TPU measurement that the round-2 tunnel outage interrupted.
+"""Run every pending TPU measurement (round 3: post-tall-dot sweep).
 
 Probes the backend first (subprocess + timeout, the tunnel can hang
 forever), then runs, in order:
 
-  1. tools/tpu_equiv_check.py      — on-chip equivalence incl. the packed
-                                     prim cadence (updates TPU_EQUIV.json)
-  2. tools/bench_assembled.py      — t4 / t4-bf16ro / kernel-only sweep
+  1. tools/tpu_equiv_check.py      — on-chip equivalence (tall-dot stacking
+                                     is bitwise per row; gate must not move)
+  2. tools/bench_assembled.py      — t4 / nofuse / kernel-only sweep
   3. bench.py --ne 30 --prim       — composed full-cadence number
-  4. bench.py                      — headline raw kernel
-  5. bench.py --ne 120             — assembled ne120
+  4. bench.py --ne 30 --prim --qsize 35 — tracer-heavy cadence
+  5. bench.py                      — headline raw kernel
+  6. bench.py --ne 120             — assembled ne120 (+ --ring A/B)
+  7. compile-time gate             — cold --prim compile with a FRESH
+                                     cache dir + --scan, then a second
+                                     process reusing the persistent cache
+                                     (VERDICT r2 item 7: cold <= 30 s or
+                                     warm reuse <= 5 s)
 
 Each step gets its own timeout; results append to MEASURE_PENDING.log and
 the bench JSON lines are echoed for manual BENCH_LOCAL.json updates.
@@ -68,17 +74,45 @@ def main():
         run("assembled_sweep",
             [py, "tools/bench_assembled.py", "--variants", "t_kernel_only",
              "t4_structured", "t4_structured_nofuse",
-             "t4_structured_bf16ro", "t4_structured_vdt",
              "--nexec", "150",
              "--reps", "2"], 1500, log)
+        run("headline", [py, "bench.py"], 1200, log)
+        run("ne120_assembled", [py, "bench.py", "--ne", "120",
+                                "--nexec", "30", "--reps", "2"], 1800, log)
+        run("ne120_ring", [py, "bench.py", "--ne", "120", "--ring",
+                           "--nexec", "30", "--reps", "2"], 1800, log)
         run("prim_ne30", [py, "bench.py", "--ne", "30", "--prim",
                           "--nexec", "60", "--reps", "2"], 2400, log)
         run("prim_ne30_q35", [py, "bench.py", "--ne", "30", "--prim",
                               "--qsize", "35", "--nexec", "30",
                               "--reps", "2"], 2400, log)
-        run("headline", [py, "bench.py"], 1200, log)
-        run("ne120_assembled", [py, "bench.py", "--ne", "120",
-                                "--nexec", "30", "--reps", "2"], 1800, log)
+        # compile-time gate (VERDICT r2 item 7): cold --scan compile into a
+        # FRESH cache dir, then a second process reusing that cache. The
+        # bench line's "compile_s" field carries the number; the warm run
+        # passing in <= ~60 s wall total implies cache reuse worked.
+        cold_dir = os.path.join(HERE, ".jax_cache_gate")
+        import shutil
+        shutil.rmtree(cold_dir, ignore_errors=True)
+        env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=cold_dir)
+        for tag, tmo in (("prim_compile_cold_scan", 2400),
+                         ("prim_compile_warm_cache", 1200)):
+            print(f"== {tag}", flush=True)
+            t0 = time.time()
+            try:
+                r = subprocess.run(
+                    [py, "bench.py", "--ne", "30", "--prim", "--scan",
+                     "--nexec", "10", "--reps", "1"],
+                    cwd=HERE, capture_output=True, text=True, timeout=tmo,
+                    env=env)
+                out = r.stdout[-3000:] + r.stderr[-1500:]
+                status = f"rc={r.returncode}"
+            except subprocess.TimeoutExpired:
+                out, status = "", "TIMEOUT"
+            entry = (f"\n===== {tag} ({status}, {time.time() - t0:.0f}s "
+                     f"wall) =====\n{out}\n")
+            log.write(entry)
+            log.flush()
+            print(entry, flush=True)
     print("done — see MEASURE_PENDING.log")
     return 0
 
