@@ -115,6 +115,28 @@ def _banded_tables(plan, m: int):
     row_of = {s: np.asarray([dp(l) for l in sides_loc[s]], np.int32)
               for s in _SIDES}
 
+    # COMPACT fix-lane tables (the banded port of kernels/dss_pallas.py::
+    # _compact_arrays): each affected tile stores only its Mc fix lanes —
+    # the union pattern (W|E|S|N) is band-position-independent, so one Q
+    # selection matrix serves every chunk variant; the variant masks (dmv)
+    # still gate which lanes actually merge.
+    by_tile = {}
+    for l in pattern:
+        by_tile.setdefault(int(l) // 128, []).append(int(l))
+    ntb = len(tiles)
+    Mc = -(-max(len(v) for v in by_tile.values()) // 8) * 8
+    cpos = {}
+    qc = np.zeros((ntb * Mc, 128), np.float32)
+    for t, ll in by_tile.items():
+        s = tile_pos[t]
+        for r, l in enumerate(sorted(ll)):
+            cpos[l] = s * Mc + r
+            qc[s * Mc + r, l % 128] = 1.0
+    rowc_of = {s_: np.asarray([cpos[int(l)] for l in sides_loc[s_]],
+                              np.int32) for s_ in _SIDES}
+    cpat = np.asarray([cpos[int(l)] for l in pattern], np.int32)
+    wr = -(-ntb * Mc // 128) * 128
+
     # per-variant (first,last) affine value-table indices: idx = A + b*B
     # into vt = [vals4 (4*nl) | cv4 (SW,SE,NW,NE) | zero] rows
     zrow = 4 * nl + 4
@@ -226,16 +248,27 @@ def _banded_tables(plan, m: int):
                 tiles=tuple(int(t) for t in tiles), wd=wd, row_of=row_of,
                 variants=variants, dmv=dmv, maskv=maskv,
                 corner_slot=corner_slot, cid4=cid4, partner=partner,
-                flip_tab=flip_tab)
+                flip_tab=flip_tab,
+                Mc=Mc, qc=qc.astype(jnp.bfloat16), rowc_of=rowc_of,
+                cpat=cpat, wr=wr)
 
 
 @lru_cache(maxsize=None)
-def _banded_dss_builder(plan, m: int, N: int, interpret: bool):
+def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
+                        compact: bool = False):
     """Build the per-shard banded-DSS closure + its chunk-order static
     operands (dm, masks). The closure runs INSIDE shard_map and performs:
     halo-row ppermute -> [band|next|prev] extension -> compact line
-    all_gather -> affine fixup -> banded sweep kernel."""
-    from ..kernels.dss_pallas import dss_sweeps_banded_t, extract_tiles_t
+    all_gather -> affine fixup -> banded sweep kernel.
+
+    With ``compact`` the closure consumes the COMPACT fix-lane slab
+    ([nt_shard*Mc, k], producer-fused via cq/cM — REQUIRED, there is no
+    unfused compact extract) and the sweep re-expands each affected tile
+    with an exact placement dot (`dss_sweeps_banded_ct`); the 5th return
+    is (Mc, qc_shard) for the producer kernels' cext operands."""
+    from ..kernels.dss_pallas import (
+        dss_sweeps_banded_ct, dss_sweeps_banded_t, extract_tiles_t,
+    )
 
     T = _banded_tables(plan, m)
     ne, nl, rl, br, bl, ext = (T["ne"], T["nl"], T["rl"], T["br"], T["bl"],
@@ -262,16 +295,22 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool):
                          for l in range(cps) for t in tiles) \
         if cps > 1 else tiles
 
+    Mc, wr, cpat_np = T["Mc"], T["wr"], T["cpat"]
+    ntb = len(tiles)
+    srows_chunk = ntb * Mc                   # compact slab rows per chunk
+    cext = (Mc, np.tile(np.asarray(T["qc"]), (cps, 1))) if compact else None
+
     var = T["variants"]
     A_f, B_f = var[(True, False)]
     A_l, B_l = var[(False, True)]
     A_m, B_m = var[(False, False)]
-    dense_pat = T["dense_pat"]
+    dense_pat = T["cpat"] if compact else T["dense_pat"]
     pattern_j = T["pattern"]
-    rowW = T["row_of"]["W"]
-    rowE = T["row_of"]["E"]
-    rowS = T["row_of"]["S"]
-    rowN = T["row_of"]["N"]
+    row_src = T["rowc_of"] if compact else T["row_of"]
+    rowW, rowE = row_src["W"], row_src["E"]
+    rowS, rowN = row_src["S"], row_src["N"]
+    slab_w = srows_chunk if compact else wd
+    vd_rows = wr if compact else wd
     cslot_j = T["corner_slot"].reshape(-1)
     cid4_j = T["cid4"]
     partner_j = T["partner"]
@@ -315,11 +354,13 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool):
         # compact line segments -> all_gather -> full lines (the slab may
         # arrive producer-fused from the CAAR kernel's extra output)
         if xd_t is None:
+            assert not compact, \
+                "the compact banded path requires a producer-fused slab"
             xd_t = extract_tiles_t(s1, gtiles_shard, interpret=interpret)
-        ws = jnp.stack([xd_t[rowW + l * wd] for l in range(cps)])
-        es = jnp.stack([xd_t[rowE + l * wd] for l in range(cps)])
-        sn = jnp.stack([jnp.stack([xd_t[rowS + l * wd],
-                                   xd_t[rowN + l * wd]])
+        ws = jnp.stack([xd_t[rowW + l * slab_w] for l in range(cps)])
+        es = jnp.stack([xd_t[rowE + l * slab_w] for l in range(cps)])
+        sn = jnp.stack([jnp.stack([xd_t[rowS + l * slab_w],
+                                   xd_t[rowN + l * slab_w]])
                         for l in range(cps)])       # [cps, 2, nl, k4]
         ws_g = jax.lax.all_gather(ws, "e").reshape(6, m * br * NP, k4)
         es_g = jax.lax.all_gather(es, "e").reshape(6, m * br * NP, k4)
@@ -353,16 +394,21 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool):
             # two-float-aware rsp scaling (kernels.dss_pallas._rsp_mul)
             rpat = rsp[:, pattern_j + l * bl][:, :, None]
             scaled = sum(vals_pat * rpat[r] for r in range(rsp.shape[0]))
-            vd_c = jnp.zeros((wd, k4), s1.dtype).at[dense_pat].set(
+            vd_c = jnp.zeros((vd_rows, k4), s1.dtype).at[dense_pat].set(
                 scaled, unique_indices=True)
             vd_parts.append(vd_c.T)
         vd = jnp.concatenate(vd_parts, axis=1) if cps > 1 else vd_parts[0]
 
+        if compact:
+            return dss_sweeps_banded_ct(
+                x_ext, rsp, vd, jnp.asarray(cext[1][:srows_chunk]), dm_l,
+                masks_l, tiles, nchunks=cps, bl=bl, rl=rl, m_rows=Mc,
+                mix=mix, interpret=interpret)
         return dss_sweeps_banded_t(
             x_ext, rsp, vd, dm_l, masks_l, tiles, nchunks=cps, bl=bl,
             rl=rl, mix=mix, interpret=interpret)
 
-    return dss_local, dm_g, masks_g, gtiles_shard
+    return dss_local, dm_g, masks_g, gtiles_shard, cext
 
 
 _SPEC_L = P(None, "e")
@@ -385,18 +431,20 @@ def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     from ..kernels.dss_pallas import slot_arrays_for_gtiles
 
     N = mesh.shape["e"]
-    dss_local, dm_g, masks_g, gtiles_shard = _banded_dss_builder(
-        plan, m, N, interpret)
 
     # producer-fused tile extraction when the shard's lane axis is 128-
-    # aligned and the kernel runs 128-lane blocks (elem_block == 8)
+    # aligned and the kernel runs 128-lane blocks (elem_block == 8);
+    # fused implies the COMPACT fix-lane slab (round-3 port)
     from ..fastpath import fused_admissible
 
     local_lanes = s0.shape[1] // N
     fuse_ext = fused_admissible(eb, local_lanes, "caar_dss_banded_t4")
+    dss_local, dm_g, masks_g, gtiles_shard, cext = _banded_dss_builder(
+        plan, m, N, interpret, compact=fuse_ext)
     if fuse_ext:
         sf_np, nt_ext = slot_arrays_for_gtiles(gtiles_shard,
                                                local_lanes // 128)
+        cM, cq_np = cext
 
     def body(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
              s0, sm1, qdp, pecnd, vn0u, vn0v, omg, rsp, dm_l, masks_l):
@@ -404,7 +452,8 @@ def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
             s1, phi, a1, b1, c1, xd_t = caar_pallas_packed_t4_ext(
                 scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                 s0, sm1, qdp, pecnd, vn0u, vn0v, omg, jnp.asarray(sf_np),
-                nt=nt_ext, nlev=nlev, moist=moist, interpret=interpret)
+                nt=nt_ext, nlev=nlev, moist=moist,
+                cq=jnp.asarray(cq_np), cM=cM, interpret=interpret)
         else:
             s1, phi, a1, b1, c1 = caar_pallas_packed_t4(
                 scal, dxbt, dybt, ainct, astrt, bstrt, meta,
@@ -433,7 +482,7 @@ def dss_banded_t(x, plan, rsp_lanes, mesh: Mesh, m: int,
     """rspheremp * DSS(x) on a band-sharded [k, E16] field — the
     standalone sharded assembly used by the sharded hyperviscosity and
     tracer paths. Drop-in (sharded) for dss_structured_t_pallas."""
-    dss_local, dm_g, masks_g, _ = _banded_dss_builder(
+    dss_local, dm_g, masks_g, _, _ = _banded_dss_builder(
         plan, m, mesh.shape["e"], interpret)
     fn = shard_map(
         lambda x, rsp, dm_l, masks_l: dss_local(x, rsp, dm_l, masks_l),

@@ -27,21 +27,25 @@ __all__ = ["ssprk3_banded_t4", "hypervis_banded_t", "tracer_banded_t",
 
 
 def _fused_ext_tables(plan, m, mesh, eb, lanes_global, interpret):
-    """(dss_local, dm_g, masks_g, sf_np, nt) for a producer+DSS fused
-    shard_map body; sf_np/nt are None when the slot-mapped extraction is
-    inadmissible (elem_block != 8 or a non-128-aligned shard lane axis)."""
+    """(dss_local, dm_g, masks_g, sf_np, nt, cM, cq_np) for a producer+DSS
+    fused shard_map body; sf_np/nt/cM/cq are None when the slot-mapped
+    extraction is inadmissible (elem_block != 8 or a non-128-aligned shard
+    lane axis). Fused implies the COMPACT fix-lane slab (round-3 port):
+    the producers select only each tile's Mc fix lanes (cq/cM) and the
+    banded sweep re-expands them with exact placement dots."""
     from ..kernels.dss_pallas import slot_arrays_for_gtiles
 
     N = mesh.shape["e"]
-    dss_local, dm_g, masks_g, gtiles = _banded_dss_builder(
-        plan, m, N, interpret)
     from ..fastpath import fused_admissible
 
     local_lanes = lanes_global // N
-    if fused_admissible(eb, local_lanes, "prim_banded_t4"):
+    fuse = fused_admissible(eb, local_lanes, "prim_banded_t4")
+    dss_local, dm_g, masks_g, gtiles, cext = _banded_dss_builder(
+        plan, m, N, interpret, compact=fuse)
+    if fuse:
         sf_np, nt = slot_arrays_for_gtiles(gtiles, local_lanes // 128)
-        return dss_local, dm_g, masks_g, sf_np, nt
-    return dss_local, dm_g, masks_g, None, None
+        return dss_local, dm_g, masks_g, sf_np, nt, cext[0], cext[1]
+    return dss_local, dm_g, masks_g, None, None, None, None
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
@@ -60,7 +64,7 @@ def ssprk3_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
     B = (1.0 / 6.0, 1.0 / 6.0, 2.0 / 3.0)
     f = s0.dtype
-    dss_local, dm_g, masks_g, sf_np, nt = _fused_ext_tables(
+    dss_local, dm_g, masks_g, sf_np, nt, cM, cq_np = _fused_ext_tables(
         plan, m, mesh, eb, s0.shape[1], interpret)
 
     def kern(sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp, pecnd,
@@ -70,7 +74,9 @@ def ssprk3_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
             a1, a2, a3,
             sf=None if sf_np is None else jnp.asarray(sf_np),
             nt=0 if nt is None else nt, eb=eb, nlev=nlev, moist=moist,
-            emit_phi=emit_phi, interpret=interpret)
+            emit_phi=emit_phi,
+            cq=None if cq_np is None else jnp.asarray(cq_np),
+            cM=0 if cM is None else cM, interpret=interpret)
         xd_t = out[5] if sf_np is not None else None
         return out[0], out[1], out[2:5], xd_t
 
@@ -133,14 +139,15 @@ def hypervis_banded_t(dxbt, dybt, meta, uvt, plan, rsp_lanes, mesh: Mesh,
     sc = jnp.asarray(nu_ratio, jnp.float32).reshape(1, 1) * jnp.ones(
         (1, 4), jnp.float32)
     step = jnp.asarray(dt, f) / subcycle * jnp.asarray(nu, f)
-    dss_local, dm_g, masks_g, sf_np, nt = _fused_ext_tables(
+    dss_local, dm_g, masks_g, sf_np, nt, cM, cq_np = _fused_ext_tables(
         plan, m, mesh, eb, uvt.shape[1], interpret)
 
     def lap(sc, dxbt, dybt, meta, x):
         if sf_np is not None:
             return vlap_pallas_packed_t_ext(
                 sc, dxbt, dybt, meta, x, jnp.asarray(sf_np),
-                nt=nt, nlev=nlev, interpret=interpret)
+                nt=nt, nlev=nlev, cq=jnp.asarray(cq_np), cM=cM,
+                interpret=interpret)
         return vlap_pallas_packed_t(
             sc, dxbt, dybt, meta, x,
             eb=eb, nlev=nlev, interpret=interpret), None
@@ -190,14 +197,15 @@ def tracer_banded_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
 
     scal = jnp.zeros((1, 4), jnp.float32).at[0, 0].set(
         jnp.asarray(dt, jnp.float32))
-    dss_local, dm_g, masks_g, sf_np, nt = _fused_ext_tables(
+    dss_local, dm_g, masks_g, sf_np, nt, cM, cq_np = _fused_ext_tables(
         plan, m, mesh, eb, qdp.shape[1], interpret)
 
     def adv(scal, dxbt, dybt, meta, vu, vv, q):
         if sf_np is not None:
             return tracer_euler_pallas_packed_t_ext(
                 scal, dxbt, dybt, meta, vu, vv, q, jnp.asarray(sf_np),
-                nt=nt, nlev=nlev, wind_rows=wind_rows, interpret=interpret)
+                nt=nt, nlev=nlev, wind_rows=wind_rows,
+                cq=jnp.asarray(cq_np), cM=cM, interpret=interpret)
         return tracer_euler_pallas_packed_t(
             scal, dxbt, dybt, meta, vu, vv, q, eb=eb, nlev=nlev,
             wind_rows=wind_rows, interpret=interpret), None

@@ -78,6 +78,27 @@ def _sharded_fixup_arrays(plan, fps: int):
     row_lines = np.asarray([[pos(l) for l in row] for row in line_loc],
                            np.int32)
 
+    # COMPACT fix-lane tables (kernels/dss_pallas.py::_compact_arrays
+    # ported to the face-local pattern): the slab read set is exactly the
+    # side lines (their ends ARE the face corners), so one Q matrix both
+    # selects the producer's fix rows and places the sweep's merge lanes.
+    by_tile = {}
+    for l in np.unique(line_loc.reshape(-1)):
+        by_tile.setdefault(int(l) // 128, []).append(int(l))
+    ntb = len(tiles)
+    Mc = -(-max(len(v) for v in by_tile.values()) // 8) * 8
+    cpos = {}
+    qc = np.zeros((ntb * Mc, 128), np.float32)
+    for t, ll in by_tile.items():
+        s = tile_pos[t]
+        for r, l in enumerate(sorted(ll)):
+            cpos[l] = s * Mc + r
+            qc[s * Mc + r, l % 128] = 1.0
+    rowc_lines = np.asarray([[cpos[int(l)] for l in row]
+                             for row in line_loc], np.int32)
+    ci_c = np.asarray([cpos[int(l)] for l in idx_uniq], np.int32)
+    wr = -(-ntb * Mc // 128) * 128
+
     # cross-face pairing: face f side si -> (partner face, side, flip)
     partner = np.zeros((6, 4, 2), np.int32)
     flip_tab = np.zeros((6, 4), np.float32)
@@ -111,7 +132,8 @@ def _sharded_fixup_arrays(plan, fps: int):
 
     return (line_loc, idx_uniq, tuple(int(t) for t in tiles), dense_idx,
             dense_mask, row_lines, partner, flip_tab, corner_slot,
-            face_cid, corner_dense, nl, fl)
+            face_cid, corner_dense, nl, fl,
+            Mc, qc.astype(jnp.bfloat16), rowc_lines, ci_c, wr)
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "eb", "nlev", "moist",
@@ -130,15 +152,16 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         caar_pallas_packed_t4, caar_pallas_packed_t4_ext,
     )
     from ..kernels.dss_pallas import (
-        dss_sweeps_pallas_t, extract_tiles_t, slot_arrays_for_gtiles,
+        dss_sweeps_pallas_ct, dss_sweeps_pallas_t, extract_tiles_t,
+        slot_arrays_for_gtiles,
     )
 
     nshards = mesh.shape["e"]
     assert 6 % nshards == 0, nshards
     fps = 6 // nshards                                   # faces per shard
     (line_loc, idx_uniq, tiles, dense_idx, dense_mask, row_lines,
-     partner, flip_tab, corner_slot, face_cid, corner_dense, nl, fl) = \
-        _sharded_fixup_arrays(plan, fps)
+     partner, flip_tab, corner_slot, face_cid, corner_dense, nl, fl,
+     Mc, qc, rowc_lines, ci_c, wr) = _sharded_fixup_arrays(plan, fps)
     ne = plan.ne
     k4 = s0.shape[0]
     k = nlev
@@ -157,15 +180,24 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     local_lanes = fps * fl
     fuse_ext = fused_admissible(eb, local_lanes, "caar_dss_sharded_t4")
     if fuse_ext:
+        # fused implies the COMPACT fix-lane slab (round-3 port): the
+        # producer selects each tile's Mc fix lanes (cq/cM) and the sweep
+        # re-expands them with exact placement dots
         sf_np, nt_ext = slot_arrays_for_gtiles(gtiles_shard,
                                                local_lanes // 128)
+        cq_np = np.tile(np.asarray(qc), (fps, 1))
+
+    ntb = len(tiles)
+    slab_w = ntb * Mc if fuse_ext else wd       # slab rows per face
+    vd_rows = wr if fuse_ext else wd
 
     partner_j = jnp.asarray(partner)
     flip_j = jnp.asarray(flip_tab)
     cslot_j = jnp.asarray(corner_slot.reshape(-1))
     fcid_j = jnp.asarray(face_cid)
-    rows_j = jnp.asarray(row_lines.reshape(-1))
-    di_j = jnp.asarray(dense_idx)
+    rows_j = jnp.asarray((rowc_lines if fuse_ext else row_lines)
+                         .reshape(-1))
+    di_j = jnp.asarray(ci_c if fuse_ext else dense_idx)
     dm_j = jnp.asarray(dense_mask)
     lineloc_j = jnp.asarray(line_loc.reshape(-1))
     corner_loc = np.unique(line_loc[:, [0, -1]].reshape(-1))
@@ -188,7 +220,8 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
             s1, phi, a1, b1, c1, xd_t = caar_pallas_packed_t4_ext(
                 scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                 s0, sm1, qdp, pecnd, vn0u, vn0v, omg, jnp.asarray(sf_np),
-                nt=nt_ext, nlev=k, moist=moist, interpret=interpret)
+                nt=nt_ext, nlev=k, moist=moist,
+                cq=jnp.asarray(cq_np), cM=Mc, interpret=interpret)
         else:
             s1, phi, a1, b1, c1 = caar_pallas_packed_t4(
                 scal, dxbt, dybt, ainct, astrt, bstrt, meta,
@@ -198,7 +231,7 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
         # 3. compact side lines of the shard's faces -> all_gather
         lines = xd_t[rows_j].reshape(1, 4, nl, k4) if fps == 1 else \
-            jnp.stack([xd_t[rows_j + b * wd].reshape(4, nl, k4)
+            jnp.stack([xd_t[rows_j + b * slab_w].reshape(4, nl, k4)
                        for b in range(fps)], axis=0)
         all_lines = jax.lax.all_gather(lines, "e").reshape(6, 4, nl, k4)
 
@@ -227,15 +260,20 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
             cvs = sum(cv * rcor[r] for r in range(nr))
             vals = jnp.concatenate(
                 [vals_lines[:, 1:-1].reshape(-1, k4), cvs], axis=0)
-            vd_b = jnp.zeros((wd, k4), s1.dtype).at[di_j].set(
+            vd_b = jnp.zeros((vd_rows, k4), s1.dtype).at[di_j].set(
                 vals, unique_indices=True)
-            vd_parts.append(vd_b.T)                               # [k4, wd]
+            vd_parts.append(vd_b.T)                               # [k4, *]
         vd = jnp.concatenate(vd_parts, axis=1) if fps > 1 else vd_parts[0]
 
-        # 5. local sweeps + tile merge
-        assembled = dss_sweeps_pallas_t(
-            s1, rsp, vd, dm_j, ne, tiles, nf=1, faces=fps,
-            interpret=interpret)
+        # 5. local sweeps + tile merge (compact re-expansion when fused)
+        if fuse_ext:
+            assembled = dss_sweeps_pallas_ct(
+                s1, rsp, vd, dm_j, jnp.asarray(qc), ne, tiles, nf=1,
+                m_rows=Mc, faces=fps, interpret=interpret)
+        else:
+            assembled = dss_sweeps_pallas_t(
+                s1, rsp, vd, dm_j, ne, tiles, nf=1, faces=fps,
+                interpret=interpret)
         return assembled, phi, a1, b1, c1
 
     spec_l = P(None, "e")

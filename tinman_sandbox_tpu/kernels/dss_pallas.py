@@ -47,7 +47,8 @@ from ..config import NP, NPSQ
 
 __all__ = ["dss_sweeps_pallas_t", "dss_structured_t_pallas",
            "dss_structured_t_pallas_pre", "dss_structured_t_pallas_cpre",
-           "dss_sweeps_banded_t", "dss_sweeps_pallas_ct",
+           "dss_sweeps_banded_t", "dss_sweeps_banded_ct",
+           "dss_sweeps_pallas_ct",
            "ext_slot_arrays", "cext_tables", "fit_block_k",
            "SWEEP_VMEM_CAP"]
 
@@ -252,6 +253,121 @@ def dss_sweeps_banded_t(x_ext, rsp, vals_dense, dense_mask, masks,
     return pl.pallas_call(
         partial(_sweep_banded_kernel_t, db, tiles, bl, ext, mix is not None,
                 interpret),
+        grid=(nchunks, k // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bk, bl), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((out_rows, nchunks * bl),
+                                       jnp.float32),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=SWEEP_VMEM_CAP,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _sweep_banded_kernel_ct(db: int, tiles: tuple, bl: int, ext: int,
+                            M: int, mix: bool, split: bool,
+                            interpret: bool, *refs):
+    """`_sweep_banded_kernel_t` with the COMPACT vals buffer: the fix
+    values arrive as [bk, ntb*M] compact lanes per chunk and each affected
+    tile is re-expanded with an exact one-hot placement dot
+    (fdot.make_sel), like `_sweep_kernel_ct` on the single-chip path."""
+    from .fdot import make_sel
+
+    if mix:
+        (x_ref, m_ref, rsp_ref, vd_ref, p_ref, dm_ref, coef_ref, mx_ref,
+         out_ref) = refs
+        ca, cb = coef_ref[0, 0], coef_ref[0, 1]
+    else:
+        x_ref, m_ref, rsp_ref, vd_ref, p_ref, dm_ref, out_ref = refs
+    if interpret:
+        roll = lambda a, s: jnp.roll(a, s, axis=1)
+    else:
+        roll = lambda a, s: pltpu.roll(a, shift=s % ext, axis=1)
+    _, sel_r = make_sel(split)
+
+    x = x_ref[:]
+    y = x + m_ref[0:1] * roll(x, -NP) + m_ref[1:2] * roll(x, NP)
+    z = y + m_ref[2:3] * roll(y, -db) + m_ref[3:4] * roll(y, db)
+    w = _rsp_mul(rsp_ref[:], z[:, :bl])
+    if mix:
+        mx = mx_ref[:]
+        out_ref[:] = ca * mx + cb * w
+    else:
+        out_ref[:] = w
+    for n, t in enumerate(tiles):
+        placed = sel_r(vd_ref[:, n * M:(n + 1) * M],
+                       p_ref[n * M:(n + 1) * M, :])
+        wdt = min(128, bl - t * 128)
+        m = dm_ref[:, n * 128:n * 128 + wdt]
+        merged = (w[:, t * 128:t * 128 + wdt] * (1.0 - m)
+                  + placed[:, :wdt])
+        if mix:
+            merged = ca * mx[:, t * 128:t * 128 + wdt] + cb * merged
+        out_ref[:, t * 128:t * 128 + wdt] = merged
+
+
+@partial(jax.jit, static_argnames=("tiles", "nchunks", "bl", "rl", "m_rows",
+                                   "interpret", "block_k"))
+def dss_sweeps_banded_ct(x_ext, rsp, vd_c, p_tbl, dense_mask, masks,
+                         tiles: tuple, nchunks: int, bl: int, rl: int,
+                         m_rows: int, mix=None,
+                         interpret: bool = False, block_k: int = 16):
+    """`dss_sweeps_banded_t` with the COMPACT vals buffer: ``vd_c`` is
+    [k, nchunks*wr] (wr = len(tiles)*m_rows padded to 128) and ``p_tbl``
+    the [len(tiles)*m_rows, 128] bf16 placement table (banded compact
+    tables, dist/banded_t4.py) — ~3x less vals HBM traffic than the
+    tile-dense buffer at the fix lanes' ~9-11% occupancy."""
+    k, _ = x_ext.shape
+    ext = bl + 2 * rl
+    assert x_ext.shape[1] == nchunks * ext, (x_ext.shape, nchunks, ext)
+    ntb = len(tiles)
+    wr = vd_c.shape[1] // nchunks
+    assert wr % 128 == 0 and wr >= ntb * m_rows, (wr, ntb, m_rows)
+    bk = fit_block_k(k, ext, block_k)
+    if mix is not None and mix[0].shape[0] != k and mix[0].shape[0] % bk:
+        cands = [b for b in range(bk, 0, -1)
+                 if k % b == 0 and mix[0].shape[0] % b == 0]
+        bk = next((b for b in cands if b % 8 == 0), cands[0])
+    db = rl - (NP - 1)
+    # chunk axis FIRST (see dss_sweeps_banded_t): per-chunk static blocks
+    # stay resident across the k sweep
+    in_specs = [
+        pl.BlockSpec((bk, ext), lambda j, i: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, ext), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rsp.shape[0], bl), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, wr), lambda j, i: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ntb * m_rows, 128), lambda j, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ntb * 128), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x_ext, masks, rsp, vd_c, p_tbl, dense_mask]
+    out_rows = k
+    aliases = {}
+    if mix is not None:
+        mx, ca, cb = mix
+        assert mx.shape[1] == nchunks * bl and mx.shape[0] >= k, \
+            (mx.shape, k, nchunks * bl)
+        coef = jnp.stack([jnp.asarray(ca, jnp.float32),
+                          jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
+        in_specs += [pl.BlockSpec((1, 2), lambda j, i: (0, 0),
+                                  memory_space=pltpu.SMEM),
+                     pl.BlockSpec((bk, bl), lambda j, i: (i, j),
+                                  memory_space=pltpu.VMEM)]
+        operands += [coef, mx]
+        if mx.shape[0] > k:
+            out_rows = mx.shape[0]
+            aliases = {7: 0}      # mx -> out: unvisited rows ride through
+    return pl.pallas_call(
+        partial(_sweep_banded_kernel_ct, db, tiles, bl, ext, m_rows,
+                mix is not None, not interpret, interpret),
         grid=(nchunks, k // bk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bk, bl), lambda j, i: (i, j),
