@@ -83,6 +83,7 @@ def main() -> None:
                          "(.jax_cache; second processes reuse compiled "
                          "executables)")
     args = ap.parse_args()
+    t_setup0 = time.perf_counter()
 
     # the remote-TPU tunnel can die and leave jax.devices() hanging
     # FOREVER (observed: a multi-hour relay outage mid-round). Probe the
@@ -491,6 +492,7 @@ def main() -> None:
             return nsteps
 
     t0 = time.perf_counter()
+    setup_s = t0 - t_setup0              # imports + problem construction
     run(2)  # warm-up + compile (excluded, kokkos_init.cpp:108 analog)
     warmup_s = time.perf_counter() - t0  # compile-dominated first call
 
@@ -571,6 +573,7 @@ def main() -> None:
                      if cs is not None else ""),
         "seconds": round(best, 4),
         "warmup_s": round(warmup_s, 1),
+        "setup_s": round(setup_s, 1),
         "us_per_step": round(best / executed * 1e6, 1),
         "bytes_per_step": bytes_per_step,
         "achieved_gb_per_s": round(gbs, 1),
