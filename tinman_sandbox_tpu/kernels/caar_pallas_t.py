@@ -79,31 +79,26 @@ def _caar_physics(split, moist, rgas, kappa, rv_factor, rrearth,
         v2 = dot(s, dybt) * rr
         return dinv00 * v1 + dinv10 * v2, dinv01 * v1 + dinv11 * v2
 
+    def div(a, b):
+        gv1 = metdet * (dinv00 * a + dinv01 * b)
+        gv2 = metdet * (dinv10 * a + dinv11 * b)
+        return (dot(gv1, dxbt) + dot(gv2, dybt)) * (rmetdet * rr)
+
     ld = lambda ref: ref[:].astype(f32)
 
     # 1. midpoint pressure: p = hyai0*ps0 + cumsum_k(dp) - dp/2
     p = scal_ref[0, 2] + dot_lx(ainct_ref[:], dp) - 0.5 * dp
 
-    # 2-3. ONE tall [4k, lanes] MXU contraction per derivative direction
-    # covers grad(p), div(v*dp), the vorticity, and grad(T): per-field
-    # [k, 128] dots leave the MXU's M dimension mostly idle (pipeline
-    # fill dominates at k=72). Row-wise results are BITWISE identical to
-    # the separate dots — each output row contracts only its own input
-    # row — and every downstream scaling keeps the original fp-op order.
+    # 2. grad p / v.grad p / mass flux
+    gp1, gp2 = grad(p)
+    vgrad_p = u * gp1 + v * gp2
     vdp1, vdp2 = u * dp, v * dp
-    gv1 = metdet * (dinv00 * vdp1 + dinv01 * vdp2)
-    gv2 = metdet * (dinv10 * vdp1 + dinv11 * vdp2)
+
+    # 3. div(v*dp) + vorticity
+    divdp = div(vdp1, vdp2)
     vco1 = row("d00") * u + row("d10") * v
     vco2 = row("d01") * u + row("d11") * v
-    k = u.shape[0]
-    tx = dot(jnp.concatenate([p, gv1, vco2, t], axis=0), dxbt)
-    ty = dot(jnp.concatenate([p, gv2, vco1, t], axis=0), dybt)
-    v1p, v2p = tx[0:k] * rr, ty[0:k] * rr
-    gp1 = dinv00 * v1p + dinv10 * v2p
-    gp2 = dinv01 * v1p + dinv11 * v2p
-    vgrad_p = u * gp1 + v * gp2
-    divdp = (tx[k:2 * k] + ty[k:2 * k]) * (rmetdet * rr)
-    vort = (tx[2 * k:3 * k] - ty[2 * k:3 * k]) * (rmetdet * rr)
+    vort = (dot(vco2, dxbt) - dot(vco1, dybt)) * (rmetdet * rr)
 
     # 4. virtual temperature
     if moist:
@@ -121,9 +116,7 @@ def _caar_physics(split, moist, rgas, kappa, rv_factor, rrearth,
 
     # 8. tendencies (rsplit>0: no vertical advection terms)
     ephi = 0.5 * (u * u + v * v) + phi + ld(pecnd_ref)
-    v1t, v2t = tx[3 * k:4 * k] * rr, ty[3 * k:4 * k] * rr
-    gt1 = dinv00 * v1t + dinv10 * v2t
-    gt2 = dinv01 * v1t + dinv11 * v2t
+    gt1, gt2 = grad(t)
     ge1, ge2 = grad(ephi)
     gpterm = f32(rgas) * (t_v / p)
     fcor_vort = row("fcor") + vort
@@ -217,6 +210,11 @@ def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
         v2 = dot(s, dybt) * rr
         return dinv00 * v1 + dinv10 * v2, dinv01 * v1 + dinv11 * v2
 
+    def div(a, b):
+        gv1 = metdet * (dinv00 * a + dinv01 * b)
+        gv2 = metdet * (dinv10 * a + dinv11 * b)
+        return (dot(gv1, dxbt) + dot(gv2, dybt)) * (rmetdet * rr)
+
     ld = lambda ref: ref[:].astype(f32)
 
     if stacked:
@@ -239,24 +237,16 @@ def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
     # 1. midpoint pressure: p = hyai0*ps0 + cumsum_k(dp) - dp/2
     p = hyai0ps0 + dot_lx(ainct_ref[:], dp) - 0.5 * dp
 
-    # 2-3. tall-dot stage (see _caar_physics): ONE [4k, lanes] MXU
-    # contraction per derivative direction covers grad(p), div(v*dp),
-    # the vorticity, and grad(T); bitwise-equal per row to the separate
-    # [k, lanes] dots.
+    # 2. grad p / v.grad p / mass flux
+    gp1, gp2 = grad(p)
+    vgrad_p = u * gp1 + v * gp2
     vdp1, vdp2 = u * dp, v * dp
-    gv1 = metdet * (dinv00 * vdp1 + dinv01 * vdp2)
-    gv2 = metdet * (dinv10 * vdp1 + dinv11 * vdp2)
+
+    # 3. div(v*dp) + vorticity
+    divdp = div(vdp1, vdp2)
     vco1 = row("d00") * u + row("d10") * v
     vco2 = row("d01") * u + row("d11") * v
-    kk = u.shape[0]
-    tx = dot(jnp.concatenate([p, gv1, vco2, t], axis=0), dxbt)
-    ty = dot(jnp.concatenate([p, gv2, vco1, t], axis=0), dybt)
-    v1p, v2p = tx[0:kk] * rr, ty[0:kk] * rr
-    gp1 = dinv00 * v1p + dinv10 * v2p
-    gp2 = dinv01 * v1p + dinv11 * v2p
-    vgrad_p = u * gp1 + v * gp2
-    divdp = (tx[kk:2 * kk] + ty[kk:2 * kk]) * (rmetdet * rr)
-    vort = (tx[2 * kk:3 * kk] - ty[2 * kk:3 * kk]) * (rmetdet * rr)
+    vort = (dot(vco2, dxbt) - dot(vco1, dybt)) * (rmetdet * rr)
 
     # 4. virtual temperature
     if moist:
@@ -301,9 +291,7 @@ def _caar_kernel_t(split, moist, rgas, kappa, rv_factor, rrearth, rsplit0,
 
     # 8. tendencies
     ephi = 0.5 * (u * u + v * v) + phi + ld(pecnd_ref)
-    v1t, v2t = tx[3 * kk:4 * kk] * rr, ty[3 * kk:4 * kk] * rr
-    gt1 = dinv00 * v1t + dinv10 * v2t
-    gt2 = dinv01 * v1t + dinv11 * v2t
+    gt1, gt2 = grad(t)
     ge1, ge2 = grad(ephi)
     gpterm = f32(rgas) * (t_v / p)
     fcor_vort = row("fcor") + vort

@@ -78,49 +78,36 @@ def _vlap_kernel_t(split, rrearth, ext, cM, *refs):
     k = u_ref.shape[0]
     u, v, t = u_ref[:], v_ref[:], t_ref[:]
 
-    # TWO tall [3k, lanes] MXU contractions per derivative orientation
-    # replace the 12 separate [k, lanes] dots (grad T / div / vort on the
-    # strong side; lap_T adjoint / grad_wk / curl_wk on the weak side):
-    # per-field dots leave the MXU's M dimension mostly idle at k=72, and
-    # this kernel is COMPUTE-bound (BYTES_MODEL.md: ~1.15 ms/call vs the
-    # 0.26 ms stream roofline). Row-wise results are BITWISE identical —
-    # each output row contracts only its own input row, and all scalings
-    # keep the original fp-op order.
-    gv1 = metdet * (dinv00 * u + dinv01 * v)
-    gv2 = metdet * (dinv10 * u + dinv11 * v)
-    vco1 = d00 * u + d10 * v
-    vco2 = d01 * u + d11 * v
-    sx = dot(jnp.concatenate([t, gv1, vco2], axis=0), dxbt)
-    sy = dot(jnp.concatenate([t, gv2, vco1], axis=0), dybt)
-
     # -- scalar: laplace_simple(T) = div_wk(grad(T)) --------------------------
-    v1, v2 = sx[0:k] * rr, sy[0:k] * rr
+    v1 = dot(t, dxbt) * rr
+    v2 = dot(t, dybt) * rr
     g1 = dinv00 * v1 + dinv10 * v2
     g2 = dinv01 * v1 + dinv11 * v2
     c1 = dinv00 * g1 + dinv01 * g2
     c2 = dinv10 * g1 + dinv11 * g2
+    lap_t = -rr * (dot(sph * c1, dxb) + dot(sph * c2, dyb))
 
     # -- vector: vlaplace_sphere_wk_contra(u, v) ------------------------------
-    div = (sx[k:2 * k] + sy[k:2 * k]) * (rmetdet * rr)
-    vort = (sx[2 * k:3 * k] - sy[2 * k:3 * k]) * (rmetdet * rr)
-
-    # weak-side tall dots: lap_T closure + grad_wk(nu_ratio*div) + curl_wk(vort)
-    xg = mp * (nu_ratio * div)
-    xc = mp * vort
-    wx = dot(jnp.concatenate([sph * c1, xg, xc], axis=0), dxb)
-    wy = dot(jnp.concatenate([sph * c2, xg, xc], axis=0), dyb)
-    lap_t = -rr * (wx[0:k] + wy[0:k])
+    gv1 = metdet * (dinv00 * u + dinv01 * v)
+    gv2 = metdet * (dinv10 * u + dinv11 * v)
+    div = (dot(gv1, dxbt) + dot(gv2, dybt)) * (rmetdet * rr)
+    vco1 = d00 * u + d10 * v
+    vco2 = d01 * u + d11 * v
+    vort = (dot(vco2, dxbt) - dot(vco1, dybt)) * (rmetdet * rr)
 
     # grad_sphere_wk_testcov(nu_ratio * div)
-    axg, ayg = wx[k:2 * k], wy[k:2 * k]
+    xg = mp * (nu_ratio * div)
+    axg = dot(xg, dxb)
+    ayg = dot(xg, dyb)
     b0 = -metdet * (mi00 * axg + mi01 * ayg)
     b1 = -metdet * (mi01 * axg + mi11 * ayg)
     gw1 = (d00 * b0 + d01 * b1) * rr
     gw2 = (d10 * b0 + d11 * b1) * rr
 
     # curl_sphere_wk_testcov(vort)
-    c0 = -wy[2 * k:3 * k]
-    c1c = wx[2 * k:3 * k]
+    xc = mp * vort
+    c0 = -dot(xc, dyb)
+    c1c = dot(xc, dxb)
     cw1 = (d00 * c0 + d01 * c1c) * rr
     cw2 = (d10 * c0 + d11 * c1c) * rr
 
