@@ -11,6 +11,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is measured against the reference's own cxx/basic benchmark
 compiled -O3 on this container's host CPU (BASELINE_MEASURED.json).
+
+Cold-cache discipline: the reference flushes a 20 MB buffer between reps
+and inserts escape/clobber barriers (kokkos_init.cpp:21-56) because CPU
+caches transparently keep the working set hot across reps. The TPU analog
+is a NON-issue by construction: there is no transparent cache between HBM
+and the compute units — every Pallas dispatch explicitly DMAs its blocks
+from HBM into software-managed VMEM, and the multi-hundred-MB state far
+exceeds the ~128 MB VMEM, so every rep pays full HBM traffic. The TPU-
+specific hazards are different and ARE handled here: XLA dead-code
+elimination across unrolled steps (honest chaining: np1 feeds the next
+step's n0) and the axon tunnel's early block_until_ready (every timed
+region ends with a device-to-host readback).
 """
 from __future__ import annotations
 
