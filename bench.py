@@ -66,6 +66,11 @@ def main() -> None:
                     help="--prim tracer count (stacked on sublanes; the "
                          "reference's tracer-heavy config is QSIZE_D=35, "
                          "level_vectorized_ppscan/config.h.in)")
+    ap.add_argument("--limit", action="store_true",
+                    help="--prim: apply the monotone mass-conserving "
+                         "tracer limiter per SSP stage (the reference's "
+                         "EulerStepFunctor limiter8 analog; default off "
+                         "to keep the r2/r3 numbers comparable)")
     ap.add_argument("--gather-dss", action="store_true",
                     help="use the round-1 alias-gather DSS instead of the "
                          "structured sweeps (for comparison)")
@@ -282,7 +287,7 @@ def main() -> None:
             def one(cst, acc):
                 return prim_step_packed_t4(
                     *cst, *acc, plan, rsp, args.nu, eb=cfg.elem_block,
-                    nlev=cfg.nlev)
+                    nlev=cfg.nlev, limit_tracers=args.limit)
 
             def rotate(cst, o):
                 return cst[:7] + (o[0], o[1]) + cst[9:10]
@@ -575,7 +580,8 @@ def main() -> None:
         "vs_baseline": round(gps / baseline, 2) if baseline else None,
         "config": f"{args.nelem}x{args.nlev}x16 {args.dtype} nexec={args.nexec} kernel={kernel}"
                   + ((" prim(ssprk3+hypervis+tracers)"
-                      + (f" qsize={args.qsize}" if args.qsize > 1 else ""))
+                      + (f" qsize={args.qsize}" if args.qsize > 1 else "")
+                      + (" limit" if args.limit else ""))
                      if (cs is not None and args.prim) else "")
                   + (" layout=t" if args.layout == "t" else "")
                   + (f" storage={args.storage}" if args.storage != "f32" else "")
