@@ -295,7 +295,7 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
                          for l in range(cps) for t in tiles) \
         if cps > 1 else tiles
 
-    Mc, wr, cpat_np = T["Mc"], T["wr"], T["cpat"]
+    Mc, wr = T["Mc"], T["wr"]
     ntb = len(tiles)
     srows_chunk = ntb * Mc                   # compact slab rows per chunk
     cext = (Mc, np.tile(np.asarray(T["qc"]), (cps, 1))) if compact else None

@@ -88,7 +88,8 @@ def main():
                               "--reps", "2"], 2400, log)
         # compile-time gate (VERDICT r2 item 7): cold --scan compile into a
         # FRESH cache dir, then a second process reusing that cache. The
-        # bench line's "compile_s" field carries the number; the warm run
+        # bench line's "warmup_s" field carries the number (compile_s
+        # only exists in tools/compile_gate.py output); the warm run
         # passing in <= ~60 s wall total implies cache reuse worked.
         cold_dir = os.path.join(HERE, ".jax_cache_gate")
         import shutil
