@@ -154,3 +154,41 @@ def test_run_leapfrog_pallas_t_rejects_rsplit0():
     cfg = dataclasses.replace(cfg, rsplit=0)
     with pytest.raises(NotImplementedError):
         run_leapfrog_pallas_t(st, dv, geom, hv, cfg, 2, interpret=True)
+
+
+def test_lane_grouped_t4_bitwise_matches_t4():
+    """caar_pallas_packed_t4_lg (lg 128-lane groups per grid step, built
+    for the ne120 kernel-at-scale ledger) must be BITWISE equal to the
+    eb=8 stacked kernel — same per-group math, shorter grid."""
+    import jax.numpy as jnp
+
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import (
+        caar_pallas_packed_t4,
+        caar_pallas_packed_t4_lg,
+        caar_pallas_packed_t4_rk,
+        pack_problem_t,
+    )
+
+    cfg, st, dv, geom, hv = _setup(nelem=64, nlev=8, eb=8)
+    p = pack_problem_t(st, dv, geom, hv, cfg)
+    scal = _scalars(np.float32(0.1), np.float32(1.0), hv)
+    s0 = jnp.concatenate([p["u0"], p["v0"], p["t0"], p["dp0"]], axis=0)
+    sm1 = jnp.concatenate([p["um1"], p["vm1"], p["tm1"], p["dpm1"]], axis=0)
+    com = (scal, p["dxbt"], p["dybt"], p["ainct"], p["astrt"], p["bstrt"],
+           p["meta"])
+    tail = (p["qdp"], p["pecnd"], p["vn0u"], p["vn0v"], p["omg"])
+    ref = caar_pallas_packed_t4(*com, s0, sm1, *tail, eb=8, nlev=8,
+                                interpret=True)
+    for lg in (2, 4):
+        got = caar_pallas_packed_t4_lg(*com, s0, sm1, *tail, nlev=8, lg=lg,
+                                       interpret=True)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # single-state mode vs the RK kernel
+    ref_rk = caar_pallas_packed_t4_rk(*com, s0, *tail, eb=8, nlev=8,
+                                      interpret=True)
+    got_rk = caar_pallas_packed_t4_lg(*com, s0, s0, *tail, nlev=8, lg=2,
+                                      single=True, interpret=True)
+    for a, b in zip(ref_rk, got_rk):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -458,6 +458,131 @@ def caar_pallas_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
       s0, sm1, qdp, pecnd, vn0u, vn0v, omg)
 
 
+def _caar_kernel_t4_lg(split, moist, rgas, kappa, rv_factor, rrearth,
+                       single, lg, *refs):
+    """Lane-grouped stacked kernel body: ``lg`` independent 128-lane
+    groups per grid step. Each group runs the exact `_caar_physics`
+    128-lane math (same MXU shapes, same fp-op order as the eb=8 kernel);
+    only the grid length shrinks by lg. Built for the ne120 kernel-at-
+    scale A/B (VERDICT r3 item 1): at 86,400 elements the eb=8 grid is
+    10,800 steps, and per-grid-step fixed costs that are invisible at
+    1,024 elements (128 steps) become measurable."""
+    if single:
+        (scal_ref, dxbt_ref, dybt_ref, ainct_ref, astrt_ref, bstrt_ref,
+         meta_ref, s0_ref, qdp_ref, pecnd_ref,
+         vn0u_ref, vn0v_ref, omg_ref,
+         s1_ref, phi_ref, vn0u_out, vn0v_out, omg_out) = refs
+        sm1_ref = None
+    else:
+        (scal_ref, dxbt_ref, dybt_ref, ainct_ref, astrt_ref, bstrt_ref,
+         meta_ref, s0_ref, sm1_ref, qdp_ref, pecnd_ref,
+         vn0u_ref, vn0v_ref, omg_ref,
+         s1_ref, phi_ref, vn0u_out, vn0v_out, omg_out) = refs
+    f32 = jnp.float32
+    eta = scal_ref[0, 1]
+    k_ = s0_ref.shape[0] // 4
+    dxbt = dxbt_ref[:]
+    dybt = dybt_ref[:]
+    ainct = ainct_ref[:]
+    astrt = astrt_ref[:]
+    bstrt = bstrt_ref[:]
+    for g in range(lg):
+        sl = slice(g * 128, (g + 1) * 128)
+
+        def row(name, sl=sl):
+            i = _MC[name]
+            return meta_ref[i:i + 1, sl]
+
+        u, v = s0_ref[0:k_, sl], s0_ref[k_:2 * k_, sl]
+        t, dp = s0_ref[2 * k_:3 * k_, sl], s0_ref[3 * k_:4 * k_, sl]
+        if single:
+            um1x, vm1x, tm1x, dpm1x = u, v, t, dp
+        else:
+            um1x = sm1_ref[0:k_, sl].astype(f32)
+            vm1x = sm1_ref[k_:2 * k_, sl].astype(f32)
+            tm1x = sm1_ref[2 * k_:3 * k_, sl].astype(f32)
+            dpm1x = sm1_ref[3 * k_:4 * k_, sl].astype(f32)
+        (u1v, v1v, t1v, dp1v, phi, vdp1, vdp2,
+         omega_p) = _caar_physics(
+            split, moist, rgas, kappa, rv_factor, rrearth,
+            scal_ref, dxbt, dybt, ainct, astrt, bstrt,
+            row, u, v, t, dp, um1x, vm1x, tm1x, dpm1x,
+            qdp_ref[:, sl], pecnd_ref[:, sl])
+        s1_ref[0:k_, sl] = u1v
+        s1_ref[k_:2 * k_, sl] = v1v
+        s1_ref[2 * k_:3 * k_, sl] = t1v
+        s1_ref[3 * k_:4 * k_, sl] = dp1v
+        phi_ref[:, sl] = phi
+        vn0u_out[:, sl] = vn0u_ref[:, sl] + eta * vdp1
+        vn0v_out[:, sl] = vn0v_ref[:, sl] + eta * vdp2
+        omg_out[:, sl] = omg_ref[:, sl] + eta * omega_p
+
+
+@partial(jax.jit, static_argnames=("nlev", "moist", "lg", "single",
+                                   "interpret"))
+def caar_pallas_packed_t4_lg(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                             s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+                             nlev: int, moist: bool = True, lg: int = 4,
+                             single: bool = False, interpret: bool = False):
+    """Lane-grouped `caar_pallas_packed_t4`: BlockSpec lane width
+    128*lg, grid length e16/(128*lg). ``single=True`` is the RK-stage
+    mode (sm1 ignored; pass s0 twice). Requires e16 % (128*lg) == 0."""
+    k4, e16 = s0.shape
+    k = nlev
+    assert k4 == 4 * k, (k4, k)
+    w = 128 * lg
+    assert e16 % w == 0, (e16, w)
+    nblocks = e16 // w
+    f = jnp.float32
+
+    fld = lambda r: pl.BlockSpec((r, w), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = partial(
+        _caar_kernel_t4_lg, not interpret, moist, CONSTANTS.Rgas,
+        CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
+        single, lg,
+    )
+    flops_per_block = lg * (13 * 2 * 128 * 128 * k + 3 * 2 * 128 * k * k)
+    out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f),
+                 jax.ShapeDtypeStruct((k, e16), f)] + [
+        jax.ShapeDtypeStruct((k, e16), f) for _ in range(3)]
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        rep((128, 128)), rep((128, 128)),
+        rep((k, k)), rep((k, k)), rep((k, k)),
+        pl.BlockSpec((len(META_COLS), w), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        fld(4 * k),                          # s0
+        fld(k), fld(k),                      # qdp, pecnd
+        fld(k), fld(k), fld(k),              # accumulators
+    ]
+    operands = [scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                s0, qdp, pecnd, vn0u, vn0v, omg]
+    aliases = {10: 2, 11: 3, 12: 4}
+    nbytes = (10 + 8) * e16 * k * 4
+    if not single:
+        in_specs.insert(8, fld(4 * k))       # sm1
+        operands.insert(8, sm1)
+        aliases = {11: 2, 12: 3, 13: 4}
+        nbytes = (14 + 8) * e16 * k * 4
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=in_specs,
+        out_specs=[fld(4 * k), fld(k), fld(k), fld(k), fld(k)],
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * flops_per_block,
+            bytes_accessed=nbytes,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
 @partial(jax.jit, static_argnames=("nt", "nlev", "moist", "cM", "interpret"))
 def caar_pallas_packed_t4_ext(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                               s0, sm1, qdp, pecnd, vn0u, vn0v, omg, sf,
