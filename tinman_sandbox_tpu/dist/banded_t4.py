@@ -359,14 +359,25 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
             xd_t = extract_tiles_t(s1, gtiles_shard, interpret=interpret)
         ws = jnp.stack([xd_t[rowW + l * slab_w] for l in range(cps)])
         es = jnp.stack([xd_t[rowE + l * slab_w] for l in range(cps)])
-        sn = jnp.stack([jnp.stack([xd_t[rowS + l * slab_w],
-                                   xd_t[rowN + l * slab_w]])
-                        for l in range(cps)])       # [cps, 2, nl, k4]
         ws_g = jax.lax.all_gather(ws, "e").reshape(6, m * br * NP, k4)
         es_g = jax.lax.all_gather(es, "e").reshape(6, m * br * NP, k4)
-        sn_g = jax.lax.all_gather(sn, "e").reshape(6, m, 2, nl, k4)
+        # S/N face lines: only band 0's S rows and band m-1's N rows are
+        # ever read, so an all_gather of every band's rows over-receives
+        # by a factor m — at N=64/m=32 that term alone (~1.1 GB/shard/step
+        # at ne120 q1) would exceed the shard's compute (SCALING_MODEL.md).
+        # Instead each shard scatters its (at most cps) contributing rows
+        # into a zero [6, 2, nl, k4] buffer and ONE psum assembles them:
+        # volume is m-independent and matches the W/E gathers.
+        sn_buf = jnp.zeros((6, 2, nl, k4), s1.dtype)
+        for l in range(cps):
+            c = shard * cps + l
+            f, b = c // m, c % m
+            s_rows = jnp.where(b == 0, xd_t[rowS + l * slab_w], 0.0)
+            n_rows = jnp.where(b == m - 1, xd_t[rowN + l * slab_w], 0.0)
+            sn_buf = sn_buf.at[f].add(jnp.stack([s_rows, n_rows]))
+        sn_g = jax.lax.psum(sn_buf, "e")                    # [6, 2, nl, k4]
         all_lines = jnp.stack(
-            [ws_g, es_g, sn_g[:, 0, 0], sn_g[:, m - 1, 1]], axis=1)
+            [ws_g, es_g, sn_g[:, 0], sn_g[:, 1]], axis=1)
 
         zl = (all_lines + mj_hi * jnp.roll(all_lines, -1, axis=2)
                         + mj_lo * jnp.roll(all_lines, 1, axis=2))

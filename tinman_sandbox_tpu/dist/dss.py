@@ -18,7 +18,28 @@ import jax.numpy as jnp
 
 from ..config import NPSQ
 
-__all__ = ["dss_sum", "dss_scaled", "dss_project"]
+__all__ = ["dss_sum", "dss_scaled", "dss_project", "rsp_2f"]
+
+
+def rsp_2f(spheremp, gdof, ndof: int):
+    """Two-float (hi, lo) rspheremp for the FIELD layout: the exact f64
+    reciprocal of the sum of f32-ROUNDED spheremp over each dof's aliases,
+    split into f32 hi + lo (structured_dss.rsp_lanes_2f's contract on
+    [nelem, np, np] arrays). The single-f32 rspheremp carries a fixed-sign
+    O(1e-8) multiplicative bias per DSS pass that integrates into the
+    field cadence's linear mass drift (ENERGY_DRIFT.json r2:
+    3.4e-5/5 days; reference discipline utils_mod.F90:10-33)."""
+    import numpy as np
+
+    shape = np.asarray(spheremp).shape
+    sph32 = np.asarray(spheremp, np.float32).astype(np.float64).reshape(-1)
+    gd = np.asarray(gdof).reshape(-1)
+    S = np.zeros(ndof, np.float64)
+    np.add.at(S, gd, sph32)
+    r = 1.0 / S[gd]
+    hi = r.astype(np.float32)
+    lo = (r - hi.astype(np.float64)).astype(np.float32)
+    return hi.reshape(shape), lo.reshape(shape)
 
 
 def _to_cols(x):
@@ -51,11 +72,20 @@ def dss_sum(x, gdof, ndof: int):
 def dss_scaled(x, gdof, ndof: int, rspheremp):
     """rspheremp * DSS(x): the assembly step applied to an already
     spheremp-weighted update (routine_mod.F90:182-190 produces
-    spheremp*(...); full HOMME then exchanges + multiplies rspheremp)."""
+    spheremp*(...); full HOMME then exchanges + multiplies rspheremp).
+    ``rspheremp`` may be a ``(hi, lo)`` two-float pair (from ``rsp_2f``):
+    the product is then evaluated as y*hi + y*lo, cancelling the single-
+    f32 reciprocal's systematic bias."""
+    y = dss_sum(x, gdof, ndof)
+    if isinstance(rspheremp, tuple):
+        hi, lo = rspheremp
+        while hi.ndim < x.ndim:
+            hi, lo = hi[:, None], lo[:, None]
+        return y * hi + y * lo
     r = rspheremp
     while r.ndim < x.ndim:
         r = r[:, None]  # broadcast level axes between element and GLL dims
-    return r * dss_sum(x, gdof, ndof)
+    return r * y
 
 
 def dss_project(x, gdof, ndof: int, spheremp, rspheremp):

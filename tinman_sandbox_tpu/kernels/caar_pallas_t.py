@@ -963,7 +963,7 @@ def random_packed_problem_t(cfg: Config, seed: int = 1,
         # meta: O(1) well-conditioned metric terms (throughput benchmarking)
         met = u(ks[0], 0.5, 1.5, (len(META_COLS), e16))
         met = met.at[_MC["rmetdet"]].set(1.0 / met[_MC["metdet"]])
-        met = met.at[_MC["pad0"]:].set(0.0)
+        met = met.at[_MC["pad1"]:].set(0.0)
 
     return dict(
         dxbt=jnp.asarray(dxb).T, dybt=jnp.asarray(dyb).T,

@@ -28,19 +28,19 @@ from .hyperviscosity import apply_hyperviscosity
 from .rk import ssprk3_step
 from .tracer import ssprk3_tracer_step
 
-__all__ = ["prim_run_step"]
+__all__ = ["prim_run_step", "air_mass"]
 
 
 @partial(jax.jit, static_argnames=("cfg", "ndof", "nu", "qsplit", "moist",
                                    "limit_tracers", "remap"))
 def _prim_step_body(state, derived, geom, hv, cfg, gdof, ndof, nu, qsplit,
-                    moist, limit_tracers, remap):
+                    moist, limit_tracers, remap, rsp2, mass_target):
     # one jit over the WHOLE cadence: composing the jitted pieces eagerly
     # pays a device round-trip per op between them (measured 3.9 s/step vs
     # 35 ms jitted at ne30 through the remote-dispatch tunnel)
     state, derived = ssprk3_step(
         state, derived, geom, hv, cfg, cfg.dt, gdof=gdof, ndof=ndof,
-        moist=moist,
+        moist=moist, rsp2=rsp2,
     )
     if nu:
         state = apply_hyperviscosity(state, geom, gdof, ndof, cfg, nu=nu,
@@ -53,15 +53,35 @@ def _prim_step_body(state, derived, geom, hv, cfg, gdof, ndof, nu, qsplit,
     dt_q = cfg.dt / max(qsplit, 1)
     for _ in range(max(qsplit, 1)):
         qdp = ssprk3_tracer_step(qdp, vu, vv, geom, cfg, dt_q, gdof=gdof,
-                                 ndof=ndof, limit=limit_tracers)
+                                 ndof=ndof, limit=limit_tracers, rsp2=rsp2)
     state = dataclasses.replace(
         state, qdp=jnp.asarray(state.qdp).at[np1_q].set(qdp)
     )
     if remap:
         from ..ops.remap import vertical_remap
 
-        state = vertical_remap(state, hv, dataclasses.replace(cfg, qn0=np1_q))
+        cfg_r = dataclasses.replace(cfg, qn0=np1_q)
+        state = vertical_remap(state, hv, cfg_r)
+        if mass_target is not None:
+            # global dry-mass fixer (CAM/HOMME production discipline, the
+            # packed path's remap_packed_t4 analog): rescale dp3d + qdp so
+            # the spheremp-weighted air mass matches the run's initial
+            # value. Target and current mass use the SAME f32 functional
+            # (air_mass) so the measurement bias cancels in the ratio.
+            r = mass_target / air_mass(state, geom.spheremp, cfg)
+            state = dataclasses.replace(
+                state,
+                dp3d=jnp.asarray(state.dp3d).at[cfg.np1].multiply(r),
+                qdp=jnp.asarray(state.qdp).at[np1_q].multiply(r),
+            )
     return state, derived
+
+
+def air_mass(state, spheremp, cfg):
+    """f32 spheremp-weighted global air mass of dp3d at np1 — the mass
+    fixer's measurement functional (fixed summation order; use for both
+    target and current so the f32 bias cancels in the ratio)."""
+    return jnp.sum(spheremp[:, None] * jnp.asarray(state.dp3d)[cfg.np1])
 
 
 def prim_run_step(
@@ -77,6 +97,8 @@ def prim_run_step(
     moist: bool = True,
     limit_tracers: bool = False,
     remap: bool = False,
+    rsp2=None,
+    mass_target=None,
 ):
     """One full model step of length cfg.dt. Returns (state, derived, cfg)
     with cfg carrying the rotated time-level indices.
@@ -85,11 +107,15 @@ def prim_run_step(
     every tracer substage; ``remap=True`` conservatively remaps the np1
     state back to the reference hybrid levels (the rsplit cadence — call
     with remap=True every rsplit-th step; requires a physically monotone
-    hv, i.e. increasing interface pressures).
+    hv, i.e. increasing interface pressures). ``rsp2`` is the optional
+    two-float rspheremp pair (dist.dss.rsp_2f); ``mass_target`` (from
+    ``air_mass`` at t=0) enables the global dry-mass fixer at every remap
+    — together these are the round-3 conservation stack ported from the
+    packed path (VERDICT r3 item 7).
     """
     state, derived = _prim_step_body(
         state, derived, geom, hv, cfg, gdof, ndof, float(nu),
-        max(qsplit, 1), moist, limit_tracers, remap,
+        max(qsplit, 1), moist, limit_tracers, remap, rsp2, mass_target,
     )
     # the tracer time level flips with the dynamics rotation
     new_cfg = dataclasses.replace(rotated(cfg), qn0=1 - cfg.qn0)

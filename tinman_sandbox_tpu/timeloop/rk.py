@@ -31,13 +31,14 @@ __all__ = ["ssprk3_step"]
 _B_WEIGHTS = (1.0 / 6.0, 1.0 / 6.0, 2.0 / 3.0)
 
 
-def _project(fields, geom, gdof, ndof):
+def _project(fields, geom, gdof, ndof, rsp2=None):
     if gdof is None:
         return fields
     from ..dist.dss import dss_project
 
+    rsp = rsp2 if rsp2 is not None else geom.rspheremp
     return tuple(
-        dss_project(x, gdof, ndof, geom.spheremp, geom.rspheremp)
+        dss_project(x, gdof, ndof, geom.spheremp, rsp)
         for x in fields
     )
 
@@ -53,11 +54,14 @@ def ssprk3_step(
     gdof=None,
     ndof: int = 0,
     moist: bool = True,
+    rsp2=None,
 ):
     """One SSPRK3 step of (u, v, T, dp3d), written to time level np1.
 
     Tracers (qdp) are held fixed (advanced separately by the Euler step,
-    matching the reference's split). Returns (state, derived).
+    matching the reference's split). ``rsp2`` is an optional two-float
+    (hi, lo) rspheremp pair (dist.dss.rsp_2f) for bias-free projection.
+    Returns (state, derived).
     """
     n0, np1, qn0 = cfg.n0, cfg.np1, cfg.qn0
     dt = jnp.asarray(dt, state.u.dtype)
@@ -84,12 +88,13 @@ def ssprk3_step(
     # stage 1
     t1 = rhs(u0)
     accumulate(t1[4], _B_WEIGHTS[0])
-    u1 = _project(axpy(1.0, u0, dt, t1[:4]), geom, gdof, ndof)
+    u1 = _project(axpy(1.0, u0, dt, t1[:4]), geom, gdof, ndof, rsp2)
     # stage 2
     t2 = rhs(u1)
     accumulate(t2[4], _B_WEIGHTS[1])
     u2 = _project(
-        axpy(0.75, u0, 0.25, axpy(1.0, u1, dt, t2[:4])), geom, gdof, ndof
+        axpy(0.75, u0, 0.25, axpy(1.0, u1, dt, t2[:4])), geom, gdof, ndof,
+        rsp2,
     )
     # stage 3
     t3 = rhs(u2)
@@ -97,7 +102,7 @@ def ssprk3_step(
     phi_last = t3[4]["phi"]
     u3 = _project(
         axpy(1.0 / 3.0, u0, 2.0 / 3.0, axpy(1.0, u2, dt, t3[:4])),
-        geom, gdof, ndof,
+        geom, gdof, ndof, rsp2,
     )
 
     new_state = dataclasses.replace(

@@ -59,7 +59,8 @@ def advance_qdp(state: State, geom: Geometry, cfg: Config, dt):
 
 @partial(jax.jit, static_argnames=("cfg", "ndof", "limit"))
 def ssprk3_tracer_step(qdp, vstar_u, vstar_v, geom: Geometry, cfg: Config,
-                       dt, gdof=None, ndof: int = 0, limit: bool = False):
+                       dt, gdof=None, ndof: int = 0, limit: bool = False,
+                       rsp2=None):
     """Strong-stability-preserving RK3 tracer transport (HOMME advances
     tracers with SSP substages inside qsplit; the reference's
     EulerStepFunctor is one such stage). Each stage is the fused Euler step,
@@ -70,8 +71,8 @@ def ssprk3_tracer_step(qdp, vstar_u, vstar_v, geom: Geometry, cfg: Config,
     if gdof is not None:
         from ..dist.dss import dss_project
 
-        P = lambda q: dss_project(q, gdof, ndof, geom.spheremp,
-                                  geom.rspheremp)
+        rsp = rsp2 if rsp2 is not None else geom.rspheremp
+        P = lambda q: dss_project(q, gdof, ndof, geom.spheremp, rsp)
     else:
         P = lambda q: q
     if limit:

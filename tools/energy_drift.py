@@ -84,6 +84,16 @@ def main():
     )
     dv = zero_derived(cfg)
 
+    # round-3 conservation stack on the field cadence (VERDICT r3 item 7):
+    # two-float rspheremp projection + global dry-mass fixer at every remap
+    from tinman_sandbox_tpu.dist.dss import rsp_2f
+    from tinman_sandbox_tpu.timeloop.prim import air_mass
+
+    rsp2 = tuple(jnp.asarray(x) for x in rsp_2f(g.spheremp, cs.gdof,
+                                                cs.ndof))
+    mass_target = air_mass(st, jnp.asarray(g.spheremp),
+                           dataclasses.replace(cfg, np1=cfg.n0))
+
     d0 = {k: float(v) for k, v in
           energy_diagnostics(st, g.spheremp, cfg).items()}
     samples = [dict(step=0, **d0, dp3d_ok=True)]
@@ -94,7 +104,8 @@ def main():
     for step in range(1, args.steps + 1):
         st, dv, c = prim_run_step(st, dv, g, hv, c, gdof, cs.ndof,
                                   nu=args.nu, qsplit=2, limit_tracers=True,
-                                  remap=(step % 3 == 0))
+                                  remap=(step % 3 == 0), rsp2=rsp2,
+                                  mass_target=mass_target)
         if step % args.every == 0 or step == args.steps:
             d = {k: float(v) for k, v in
                  energy_diagnostics(st, g.spheremp, cfg, tl=c.n0).items()}
