@@ -826,3 +826,66 @@ def test_energy_diagnostics_packed_matches_field():
     for kk in ("KE", "IE", "PE", "M"):
         np.testing.assert_allclose(float(got[kk]), float(ref[kk]),
                                    rtol=1e-6, err_msg=kk)
+
+
+def test_tracer_limit_fused_kernel_matches_field():
+    """The FUSED limited tracer path (advection + Shu-Osher combination +
+    in-kernel limiter + spheremp + slab extraction in ONE Pallas kernel,
+    eb=8 fast path) == timeloop.tracer.ssprk3_tracer_step(limit=True).
+    The in-kernel group sums differ from the field path's compensated
+    sums at the f32 rounding level, hence the tolerance; tracer MASS
+    conservation is gated tightly (the fused limiter's final residual
+    pass makes it exact w.r.t. its own functional)."""
+    import jax
+
+    from tinman_sandbox_tpu import Config, random_state
+    from tinman_sandbox_tpu.dist.dss import dss_project
+    from tinman_sandbox_tpu.dist.step_pallas import ssprk3_tracer_packed_t
+    from tinman_sandbox_tpu.kernels.layout import (
+        block_derivative_ops, pack_field_t, pack_meta_t, unpack_field_t,
+    )
+    from tinman_sandbox_tpu.timeloop.tracer import ssprk3_tracer_step
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=8, qsize=2)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st = cast(random_state(cfg, seed=9))
+    g = cast(cs.geometry)
+    gdof = jnp.asarray(cs.gdof)
+    qdp = np.asarray(dss_project(jnp.asarray(st.qdp[0]), gdof, cs.ndof,
+                                 g.spheremp, g.rspheremp), np.float32)
+    vu = np.asarray(st.u[0], np.float32)
+    vv = np.asarray(st.v[0], np.float32)
+    dt = 0.02
+
+    ref = ssprk3_tracer_step(jnp.asarray(qdp), jnp.asarray(vu),
+                             jnp.asarray(vv), g, cfg, dt, gdof=gdof,
+                             ndof=cs.ndof, limit=True)
+
+    plan = make_structured_plan(cs.gdof, 2)
+    dxb, dyb = block_derivative_ops(cfg.elem_block, g.dvv, np.float32)
+    meta = jnp.asarray(pack_meta_t(g, st.phis, jnp.float32))
+    rsp = jnp.asarray(g.rspheremp, jnp.float32).reshape(1, -1)
+    q0 = jnp.concatenate([pack_field_t(jnp.asarray(qdp[:, q]))
+                          for q in range(cfg.qsize)], axis=0)
+    out = ssprk3_tracer_packed_t(
+        jnp.asarray(dxb).T, jnp.asarray(dyb).T, meta,
+        pack_field_t(jnp.asarray(vu)), pack_field_t(jnp.asarray(vv)),
+        q0, plan, rsp, dt, eb=cfg.elem_block, nlev=cfg.nlev,
+        limit=True, interpret=True)
+    from tinman_sandbox_tpu.fastpath import last_path
+
+    assert last_path.get("ssprk3_tracer_packed_t(limit)", "").startswith(
+        "fused"), last_path
+    k = cfg.nlev
+    sph = np.asarray(g.spheremp, np.float64)[:, None, None]
+    for q in range(cfg.qsize):
+        got = np.asarray(unpack_field_t(out[q * k:(q + 1) * k], cfg.nelem))
+        np.testing.assert_allclose(
+            got, np.asarray(ref[:, q]), rtol=2e-4, atol=2e-4,
+            err_msg=f"tracer {q}")
+        # tracer-mass conservation of the fused limited step: the
+        # projected step conserves sum(sph * qdp) globally
+        m_got = float((sph * got.astype(np.float64)).sum())
+        m_in = float((sph * np.asarray(qdp[:, q], np.float64)).sum())
+        assert abs(m_got / m_in - 1.0) < 2e-6, (q, m_got, m_in)

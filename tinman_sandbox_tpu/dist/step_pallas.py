@@ -481,8 +481,48 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
         return stage(q2, mix=(qdp, f.type(1.0 / 3.0), f.type(2.0 / 3.0)))
 
     # the limiter is NONLINEAR: follow the field path's exact order
-    # P(L(combo, bounds(q_in))) — advect unscaled, combine, clip,
-    # spheremp-weight, assemble
+    # P(L(combo, bounds(q_in))). On the fused fast path (eb=8, 128-aligned
+    # lanes) the WHOLE stage — advection, Shu-Osher combination, limiter,
+    # spheremp weighting, DSS-slab extraction — is ONE Pallas kernel
+    # (kernels/tracer_pallas_t.py::tracer_limit_pallas_packed_t_ext):
+    # the limiter's group reductions are 16-lane-group one-hot MXU dots
+    # and lane shuffles, so the packed layout is never reshaped (the old
+    # path transposed the full tracer state 3x per step).
+    from ..fastpath import fused_admissible, note_compact
+
+    if fuse_extract and fused_admissible(
+            eb, e16, "ssprk3_tracer_packed_t(limit)"):
+        from ..kernels.tracer_pallas_t import (
+            tracer_limit_pallas_packed_t_ext,
+        )
+
+        note_compact("ssprk3_tracer_packed_t(limit)", compact)
+        if compact:
+            sf, nt, cM, cq_np = cext_tables(plan, e16 // 128)
+            cqj = jnp.asarray(cq_np)
+        else:
+            sf, nt = ext_slot_arrays(plan, e16 // 128)
+            cM, cqj = 0, None
+        sfj = jnp.asarray(sf)
+
+        def lstage(q, ca=None, cb=None, mx=None):
+            sc = scal if ca is None else \
+                scal.at[0, 1].set(jnp.float32(ca)).at[0, 2].set(
+                    jnp.float32(cb))
+            e, xd_t = tracer_limit_pallas_packed_t_ext(
+                sc, dxbt, dybt, meta, vu, vv, q, mx, sfj,
+                nt=nt, nlev=nlev, has_mix=mx is not None,
+                wind_rows=wind_rows, cq=cqj, cM=cM, interpret=interpret)
+            if cM:
+                return dss_structured_t_pallas_cpre(
+                    e, xd_t, plan, rsp_lanes, interpret=interpret)
+            return dss_structured_t_pallas_pre(
+                e, xd_t, plan, rsp_lanes, interpret=interpret)
+
+        q1 = lstage(qdp)
+        q2 = lstage(q1, 0.75, 0.25, qdp)
+        return lstage(q2, 1.0 / 3.0, 2.0 / 3.0, qdp)
+
     from ..config import NP
     from ..kernels.layout import META_COLS
     from ..ops.limiter import element_bounds, limit_tracer

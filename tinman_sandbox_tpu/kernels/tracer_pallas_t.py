@@ -23,9 +23,137 @@ from ..constants import CONSTANTS
 from .fdot import make_dots, make_sel
 from .layout import META_COLS
 
-__all__ = ["tracer_euler_pallas_packed_t", "tracer_euler_pallas_packed_t_ext"]
+__all__ = ["tracer_euler_pallas_packed_t", "tracer_euler_pallas_packed_t_ext",
+           "tracer_limit_pallas_packed_t_ext"]
 
 _MC = {name: i for i, name in enumerate(META_COLS)}
+
+
+def _group_tables(dtype=jnp.bfloat16):
+    """One-hot group-sum operators for 16-lane element groups in a
+    128-lane block: Gd [128, 8] (down: lane -> its group's column) and
+    Gu [8, 128] (up: group value -> all 16 of its lanes). Exact in bf16
+    (0/1 entries)."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 0)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1)
+    gd = (li // 16 == gi).astype(dtype)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    gu = (lj // 16 == gj).astype(dtype)
+    return gd, gu
+
+
+def _gsum8(x, gd, limbs: int):
+    """Group sums [r, 128] -> [r, 8] via the one-hot down-dot.
+    limbs=2 splits x into bf16 hi+lo (each product exact; ~1e-7 rel),
+    limbs=1 truncates to bf16 (~4e-3 rel — enough for redistribution
+    coefficients, whose error the final conservation pass absorbs)."""
+    if gd is None:                          # interpret: plain f32 math
+        r = x.shape[0]
+        return x.reshape(r, 8, 16).sum(axis=2)
+    hi = x.astype(jnp.bfloat16)
+    out = jax.lax.dot(hi, gd, preferred_element_type=jnp.float32)
+    if limbs == 2:
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = out + jax.lax.dot(lo, gd, preferred_element_type=jnp.float32)
+    return out
+
+
+def _bcast8(s, gu):
+    """[r, 8] group values -> [r, 128] lanes (bf16 one-limb: the
+    broadcast feeds redistribution coefficients only)."""
+    if gu is None:                          # interpret
+        return jnp.repeat(s, 16, axis=1)
+    return jax.lax.dot(s.astype(jnp.bfloat16), gu,
+                       preferred_element_type=jnp.float32)
+
+
+def _group_minmax(x, strategy: str):
+    """Per-16-lane-group (min, max) of [r, 128], broadcast back to every
+    lane of the group. ``strategy``:
+
+    * "stride": 16 lane-strided slices + 15 min/max on [r, 8] + one-hot
+      broadcast dots — cheapest IF Mosaic lowers strided lane slices;
+    * "roll": within-group cyclic butterfly (2 rolls + select + op per
+      step, 4 steps) — guaranteed lowerable (the DSS sweeps are built on
+      lane rolls), ~4x the VPU traffic;
+    * "interp": plain reshape math for interpret mode.
+    """
+    r = x.shape[0]
+    if strategy == "interp":
+        x3 = x.reshape(r, 8, 16)
+        mn = jnp.repeat(x3.min(axis=2), 16, axis=1)
+        mx = jnp.repeat(x3.max(axis=2), 16, axis=1)
+        return mn, mx
+    if strategy == "stride":
+        mn = mx = x[:, 0::16]
+        for i in range(1, 16):
+            sl = x[:, i::16]
+            mn = jnp.minimum(mn, sl)
+            mx = jnp.maximum(mx, sl)
+        _, gu = _group_tables()
+        # exact selection: min/max outputs are exact lane values, and a
+        # one-hot bf16 dot of a bf16 pair reconstructs them... NOT exact
+        # in one limb; bounds tolerate ~1e-3 (clip targets), but keep
+        # them tight with a 2-limb broadcast (hi+lo both exact products)
+        def b2(s):
+            hi = s.astype(jnp.bfloat16)
+            lo = (s - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (jax.lax.dot(hi, gu, preferred_element_type=jnp.float32)
+                    + jax.lax.dot(lo, gu,
+                                  preferred_element_type=jnp.float32))
+        return b2(mn), b2(mx)
+    assert strategy == "roll", strategy
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 16
+    mn = mx = x
+    for off in (1, 2, 4, 8):
+        keep = lane < 16 - off
+        rn = jnp.where(keep, jnp.roll(mn, -off, axis=1),
+                       jnp.roll(mn, 16 - off, axis=1))
+        rx = jnp.where(keep, jnp.roll(mx, -off, axis=1),
+                       jnp.roll(mx, 16 - off, axis=1))
+        mn = jnp.minimum(mn, rn)
+        mx = jnp.maximum(mx, rx)
+    return mn, mx
+
+
+def _limit_lanes(y, q_in, w, split, strategy: str, iters: int = 2):
+    """The monotone mass-conserving limiter (ops/limiter.py::limit_tracer
+    math) on the packed lane layout inside a 128-lane kernel block:
+    clamp ``y`` nodally into the per-(row, element) bounds of ``q_in``
+    while conserving each group's sum(w*y). All group reductions are
+    16-lane-group operations (one-hot MXU dots / lane shuffles) — no
+    reshape of the packed layout. The final residual pass makes
+    conservation exact with respect to the 2-limb group-sum functional
+    regardless of the 1-limb redistribution coefficients."""
+    f32 = jnp.float32
+    tiny = jnp.finfo(f32).tiny
+    if split:
+        gd, gu = _group_tables()
+    else:
+        gd = gu = None
+        strategy = "interp"
+    qminb, qmaxb = _group_minmax(q_in, strategy)
+    mass8 = _gsum8(w * y, gd, limbs=2)
+    wqmax8 = _gsum8(w * qmaxb, gd, limbs=1)
+    wqmin8 = _gsum8(w * qminb, gd, limbs=1)
+    wsum8 = _gsum8(jnp.broadcast_to(w, (1, y.shape[1])).astype(f32), gd,
+                   limbs=2)
+    for _ in range(iters):
+        y = jnp.clip(y, qminb, qmaxb)
+        s8 = _gsum8(w * y, gd, limbs=1)
+        d8 = mass8 - s8
+        pos = d8 > 0
+        tot8 = jnp.where(pos, wqmax8 - s8, s8 - wqmin8)
+        c8 = jnp.minimum(jnp.abs(d8), jnp.maximum(tot8, 0.0)) \
+            / jnp.maximum(tot8, tiny)
+        cs8 = jnp.where(pos, c8, -c8)          # sign carries the branch
+        csb = _bcast8(cs8, gu)
+        bsel = jnp.where(csb > 0, qmaxb, qminb)
+        y = y + jnp.abs(csb) * (bsel - y)
+    # exact-conservation fallback: spread the residual uniformly by weight
+    s8 = _gsum8(w * y, gd, limbs=2)
+    return y + _bcast8((mass8 - s8) / wsum8, gu)
 
 
 def _tracer_kernel_t(split, rrearth, nq, fold_sph, ext, cM, *refs):
@@ -85,6 +213,147 @@ def _tracer_kernel_t(split, rrearth, nq, fold_sph, ext, cM, *refs):
                 ext_ref[:] = sel_l(cq_ref[:], out.T)
             else:
                 ext_ref[:] = out.T
+
+
+def _tracer_limit_kernel_t(split, rrearth, nq, has_mix, strategy, cM,
+                           *refs):
+    """Limited tracer stage kernel: e = q - dt*div(v*q);
+    y = ca*mx + cb*e (the Shu-Osher combination, when has_mix);
+    y = L(y, bounds(q)) (the monotone limiter, element-local);
+    out = spheremp * y, plus the producer-fused DSS slab.
+
+    This keeps the field path's exact nonlinear ordering P(L(combo))
+    (dist/step_pallas.py limit branch) while eliminating its separate
+    XLA combination passes and the 3x full-state reshape transposes —
+    the VERDICT r3 item-2 fusion."""
+    cq_ref = mx_ref = None
+    refs = list(refs)
+    sf_ref = refs.pop(0)
+    if cM:
+        cq_ref = refs.pop(0)
+    (scal_ref, dxbt_ref, dybt_ref, meta_ref, vu_ref, vv_ref,
+     q_ref) = refs[:7]
+    refs = refs[7:]
+    if has_mix:
+        mx_ref = refs.pop(0)
+    o_ref, ext_ref = refs
+    f32 = jnp.float32
+    dt = scal_ref[0, 0]
+    dot, _, _ = make_dots(split)
+
+    def row(name):
+        i = _MC[name]
+        return meta_ref[i:i + 1, :]
+
+    dxbt, dybt = dxbt_ref[:], dybt_ref[:]
+    dinv00, dinv01 = row("dinv00"), row("dinv01")
+    dinv10, dinv11 = row("dinv10"), row("dinv11")
+    metdet, rmetdet = row("metdet"), row("rmetdet")
+    sph = row("spheremp")
+    rr = f32(rrearth)
+    vu, vv = vu_ref[:], vv_ref[:]
+    k = vu.shape[0]
+    lanes = vu.shape[1]
+
+    q = q_ref[:]
+    if nq > 1:
+        q3 = q.reshape(nq, k, lanes)
+        vq1 = (q3 * vu).reshape(nq * k, lanes)
+        vq2 = (q3 * vv).reshape(nq * k, lanes)
+    else:
+        vq1, vq2 = vu * q, vv * q
+    gv1 = metdet * (dinv00 * vq1 + dinv01 * vq2)
+    gv2 = metdet * (dinv10 * vq1 + dinv11 * vq2)
+    div = (dot(gv1, dxbt) + dot(gv2, dybt)) * (rmetdet * rr)
+    y = q - dt * div
+    if has_mix:
+        y = scal_ref[0, 1] * mx_ref[:] + scal_ref[0, 2] * y
+    y = _limit_lanes(y, q, sph, split, strategy)
+    out = sph * y
+    o_ref[:] = out
+
+    @pl.when(sf_ref[1, pl.program_id(0)] == 1)
+    def _write_slab():
+        if cM:
+            sel_l, _ = make_sel(split)
+            ext_ref[:] = sel_l(cq_ref[:], out.T)
+        else:
+            ext_ref[:] = out.T
+
+
+@partial(jax.jit, static_argnames=("nt", "nlev", "has_mix", "strategy",
+                                   "wind_rows", "cM", "interpret"))
+def tracer_limit_pallas_packed_t_ext(scal, dxbt, dybt, meta, vu, vv, qdp,
+                                     mx, sf, nt: int, nlev: int,
+                                     has_mix: bool = True,
+                                     strategy: str = "stride",
+                                     wind_rows: tuple = (0, 0),
+                                     cq=None, cM: int = 0,
+                                     interpret: bool = False):
+    """Fused LIMITED tracer stage with producer-fused slab extraction:
+    sph * L(ca*mx + cb*(q - dt*div(v*q)), bounds(q)), slab second output.
+    ``scal`` carries [dt, ca, cb, 0]. ``mx`` may be None (stage 1:
+    y = advected value, no combination). Lane grid fixed at 128-lane
+    blocks (e16 % 128 == 0). Returns (out, xd_t)."""
+    qk, e16 = qdp.shape
+    k = nlev
+    assert qk % k == 0, (qk, k)
+    nq = qk // k
+    assert e16 % 128 == 0, e16
+    nblocks = e16 // 128
+    assert sf.shape == (2, nblocks), (sf.shape, nblocks)
+    eb16 = 128
+    wu, wv = wind_rows
+    assert vu.shape[0] >= (wu + 1) * k and vv.shape[0] >= (wv + 1) * k
+
+    fld = lambda r: pl.BlockSpec((r, eb16), lambda i, sf: (0, i),
+                                 memory_space=pltpu.VMEM)
+    row = lambda r: pl.BlockSpec((k, eb16), lambda i, sf, r=r: (r, i),
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    srows = cM if cM else 128
+    kernel = partial(_tracer_limit_kernel_t, not interpret,
+                     CONSTANTS.rrearth, nq, has_mix,
+                     "interp" if interpret else strategy, cM)
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+                     memory_space=pltpu.SMEM),
+        rep((eb16, eb16)), rep((eb16, eb16)),
+        pl.BlockSpec((len(META_COLS), eb16), lambda i, sf: (0, i),
+                     memory_space=pltpu.VMEM),
+        row(wu), row(wv), fld(qk),
+    ]
+    operands = [sf, scal, dxbt, dybt, meta, vu, vv, qdp]
+    if has_mix:
+        in_specs.append(fld(qk))
+        operands.append(mx)
+    if cM:
+        in_specs.insert(0, pl.BlockSpec(
+            (cM, 128), lambda i, sf: (sf[0, i], 0),
+            memory_space=pltpu.VMEM))
+        operands.insert(1, cq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=in_specs,
+        out_specs=[fld(qk),
+                   pl.BlockSpec((srows, qk), lambda i, sf: (sf[0, i], 0),
+                                memory_space=pltpu.VMEM)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((qk, e16), jnp.float32),
+                   jax.ShapeDtypeStruct((nt * srows, qk), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * nq * (2 + 4) * 2 * eb16 * eb16 * k,
+            bytes_accessed=(2 + (1 if has_mix else 0)) * (qk + k) * e16 * 4
+            + nt * srows * qk * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "fold_sph", "wind_rows",
