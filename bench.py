@@ -95,6 +95,11 @@ def main() -> None:
                          "unrolling it (compiles ~chunk-x faster; the "
                          "102 s ne30 --prim cold compile drops to the "
                          "one-step cost). Same honest chaining.")
+    ap.add_argument("--scan-unroll", type=int, default=1,
+                    help="--scan: lax.scan unroll factor (amortizes loop "
+                         "overhead / enables double-buffered carry "
+                         "aliasing; the r3 scan path trailed unrolled "
+                         "steady-state by 14%%)")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="disable the persistent XLA compilation cache "
                          "(.jax_cache; second processes reuse compiled "
@@ -454,7 +459,8 @@ def main() -> None:
                         return (nc[7], nc[8], acc_of(o)), ()
 
                     (s7, s8, acc), _ = _lax.scan(
-                        body, (cst[7], cst[8], acc), None, length=chunk)
+                        body, (cst[7], cst[8], acc), None, length=chunk,
+                        unroll=max(1, args.scan_unroll))
                     ncst = cst[:7] + (s7, s8) + cst[9:]
                     return ncst, acc, (s7,)
             else:
@@ -606,7 +612,9 @@ def main() -> None:
                       + (" limit" if args.limit else ""))
                      if (cs is not None and args.prim) else "")
                   + (" layout=t" if args.layout == "t" else "")
-                  + (" scan" if args.scan else "")
+                  + ((" scan" + (f"x{args.scan_unroll}"
+                                 if args.scan_unroll > 1 else ""))
+                     if args.scan else "")
                   + (f" storage={args.storage}" if args.storage != "f32" else "")
                   + ((" dss=segment-sum" if kernel != "pallas" else
                       f" dss={'gather' if args.gather_dss else 'structured'}"

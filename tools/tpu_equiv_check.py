@@ -328,6 +328,39 @@ def main():
     print("packed q35 prim cadence rel-max vs field prim_run_step:",
           json.dumps(prim35), flush=True)
 
+    # -- q35 with the LIMITER ON (production config): the fused in-kernel
+    # limiter's on-chip group reductions (one-hot bf16 MXU dots, lane
+    # shuffles) must hold the cadence envelope vs the field path's
+    # compensated-sum limiter
+    rs35L, _, _ = prim_run_step(st35, dv2, geom2, hv, cfg35, gdof, cs.ndof,
+                                nu=nu, limit_tracers=True)
+    sp35L, qp35L, _, _, _, _ = prim_step_packed_t4(
+        scalp, ptc["dxbt"], ptc["dybt"], ptc["ainct"], ptc["astrt"],
+        ptc["bstrt"], ptc["meta"], s0p, qdp35, ptc["pecnd"],
+        ptc["vn0u"], ptc["vn0v"], ptc["omg"], plan, rsp_t, nu,
+        eb=cfg35.elem_block, nlev=cfg35.nlev, limit_tracers=True)
+    jax.block_until_ready(sp35L)
+    prim35L = {}
+    for q in (0, 17, 34):
+        prim35L[f"qdp{q}"] = relmax(
+            unpack_field_t(qp35L[q * kk:(q + 1) * kk], cfg35.nelem),
+            rs35L.qdp[1 - qn0, :, q])
+    # tracer-mass conservation of the fused limited path on chip
+    import numpy as _np
+
+    sph64 = _np.asarray(geom2.spheremp, _np.float64)[:, None, None]
+    mdrift = 0.0
+    for q in (0, 17, 34):
+        got = _np.asarray(unpack_field_t(qp35L[q * kk:(q + 1) * kk],
+                                         cfg35.nelem), _np.float64)
+        src = _np.asarray(st35.qdp[qn0, :, q], _np.float64)
+        mdrift = max(mdrift, abs(float((sph64 * got).sum()
+                                       / (sph64 * src).sum()) - 1.0))
+    prim35L["mass_drift"] = mdrift
+    report["prim_packed_q35_limit_relmax"] = prim35L
+    print("packed q35 LIMITED cadence rel-max + mass vs field:",
+          json.dumps(prim35L), flush=True)
+
     worst = max(list(kernel.values()) + list(assembled.values())
                 + list(kernel_t.values()) + list(assembled_t.values())
                 + list(assembled_t4.values()) + list(sharded.values())
@@ -338,9 +371,16 @@ def main():
     # its fp-reorder envelope is wider than the single-step gate
     report["prim_worst_relmax"] = max(prim.values())
     report["prim_q35_worst_relmax"] = max(prim35.values())
+    report["prim_q35_limit_worst_relmax"] = max(
+        v for k, v in prim35L.items() if k != "mass_drift")
     report["pass"] = bool(worst < 5e-5            # f32 fp-reorder tolerance
                           and report["prim_worst_relmax"] < 1e-3
-                          and report["prim_q35_worst_relmax"] < 1e-3)
+                          and report["prim_q35_worst_relmax"] < 1e-3
+                          # fused limiter: wider envelope (1-limb bf16
+                          # redistribution coefficients vs compensated
+                          # sums), but mass must hold at the f32 floor
+                          and report["prim_q35_limit_worst_relmax"] < 5e-3
+                          and prim35L["mass_drift"] < 5e-6)
     out = args.out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "TPU_EQUIV.json")
     with open(out, "w") as f:
