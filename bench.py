@@ -95,6 +95,12 @@ def main() -> None:
                          "unrolling it (compiles ~chunk-x faster; the "
                          "102 s ne30 --prim cold compile drops to the "
                          "one-step cost). Same honest chaining.")
+    ap.add_argument("--hv-dots", default="split",
+                    choices=("split", "fast"),
+                    help="--prim: hyperviscosity Laplacian MXU dot mode — "
+                         "'split' = 3-pass f32-accurate bf16 split, "
+                         "'fast' = 1-pass bf16-truncated operands (the "
+                         "damping operator tolerates ~4e-3; measured A/B)")
     ap.add_argument("--scan-unroll", type=int, default=1,
                     help="--scan: lax.scan unroll factor (amortizes loop "
                          "overhead / enables double-buffered carry "
@@ -308,7 +314,8 @@ def main() -> None:
             def one(cst, acc):
                 return prim_step_packed_t4(
                     *cst, *acc, plan, rsp, args.nu, eb=cfg.elem_block,
-                    nlev=cfg.nlev, limit_tracers=args.limit)
+                    nlev=cfg.nlev, limit_tracers=args.limit,
+                    hv_fast_dots=args.hv_dots == "fast")
 
             def rotate(cst, o):
                 return cst[:7] + (o[0], o[1]) + cst[9:10]
@@ -609,7 +616,8 @@ def main() -> None:
         "config": f"{args.nelem}x{args.nlev}x16 {args.dtype} nexec={args.nexec} kernel={kernel}"
                   + ((" prim(ssprk3+hypervis+tracers)"
                       + (f" qsize={args.qsize}" if args.qsize > 1 else "")
-                      + (" limit" if args.limit else ""))
+                      + (" limit" if args.limit else "")
+                      + (" hv_dots=fast" if args.hv_dots == "fast" else ""))
                      if (cs is not None and args.prim) else "")
                   + (" layout=t" if args.layout == "t" else "")
                   + ((" scan" + (f"x{args.scan_unroll}"

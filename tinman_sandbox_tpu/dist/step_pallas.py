@@ -340,11 +340,13 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "subcycle",
-                                   "fuse_extract", "compact", "interpret"))
+                                   "fuse_extract", "compact", "hv_fast_dots",
+                                   "interpret"))
 def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
                             nu, dt, eb: int, nlev: int, nu_ratio=1.0,
                             subcycle: int = 1, fuse_extract: bool = True,
                             compact: bool = True,
+                            hv_fast_dots: bool = False,
                             interpret: bool = False):
     """Biharmonic hyperviscosity on the (u, v, T) rows of ``uvt``: per
     subcycle, two (packed weak-Laplacian Pallas kernel -> structured
@@ -386,7 +388,8 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
         def lap_dss(x, mix=None):
             l, xd_t = vlap_pallas_packed_t_ext(
                 sc, dxbt, dybt, meta, x, sfj,
-                nt=nt, nlev=nlev, cq=cqj, cM=cM, interpret=interpret)
+                nt=nt, nlev=nlev, cq=cqj, cM=cM,
+                fast_dots=hv_fast_dots, interpret=interpret)
             if cM:
                 return dss_structured_t_pallas_cpre(
                     l, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
@@ -395,7 +398,9 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
     else:
         def lap_dss(x, mix=None):
             l = vlap_pallas_packed_t(sc, dxbt, dybt, meta, x,
-                                     eb=eb, nlev=nlev, interpret=interpret)
+                                     eb=eb, nlev=nlev,
+                                     fast_dots=hv_fast_dots,
+                                     interpret=interpret)
             return dss_structured_t_pallas(l, plan, rsp_lanes, mix=mix,
                                            interpret=interpret)
 
@@ -713,12 +718,13 @@ def ssprk3_tracer_ring_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
 
 @partial(jax.jit, static_argnames=("nu", "eb", "nlev", "plan", "qsplit",
                                    "moist", "subcycle", "limit_tracers",
-                                   "interpret"))
+                                   "hv_fast_dots", "interpret"))
 def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                         s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
                         nu, eb: int, nlev: int, qsplit: int = 1,
                         nu_ratio=1.0, moist: bool = True,
                         subcycle: int = 1, limit_tracers: bool = False,
+                        hv_fast_dots: bool = False,
                         interpret: bool = False):
     """FULL prim cadence on the packed transposed Pallas path (the fused
     fast-path analog of timeloop/prim.py::prim_run_step):
@@ -750,7 +756,7 @@ def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         s1 = apply_hypervis_packed_t(
             dxbt, dybt, meta, s1, plan, rsp_lanes, nu, dt,
             eb=eb, nlev=nlev, nu_ratio=nu_ratio, subcycle=subcycle,
-            interpret=interpret)
+            hv_fast_dots=hv_fast_dots, interpret=interpret)
 
     # winds read from s1's row blocks 0 (u) and 1 (v) in place
     dt_q = dt / max(qsplit, 1)

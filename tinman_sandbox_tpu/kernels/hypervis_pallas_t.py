@@ -39,7 +39,7 @@ __all__ = ["vlap_pallas_packed_t", "vlap_pallas_packed_t_ext"]
 _MC = {name: i for i, name in enumerate(META_COLS)}
 
 
-def _vlap_kernel_t(split, rrearth, ext, cM, *refs):
+def _vlap_kernel_t(split, rrearth, ext, cM, fast, *refs):
     # u/v/t arrive as separate k-row refs so callers can alias them into a
     # TALLER stacked state (e.g. the [4*nlev] prognostic buffer) via
     # row-block index maps — no XLA slice copy feeding the kernel
@@ -55,7 +55,12 @@ def _vlap_kernel_t(split, rrearth, ext, cM, *refs):
          u_ref, v_ref, t_ref, o_ref) = refs
     f32 = jnp.float32
     nu_ratio = scal_ref[0, 0]
-    dot, _, _ = make_dots(split)
+    # fast=True: 1-pass MXU dots (operands truncated to bf16, ~4e-3 rel)
+    # for the DAMPING operator only — hyperviscosity is an empirically
+    # tuned dissipation term with no mass coupling (u, v, T only), so the
+    # 3-pass f32-split precision is negotiable here in a way it is not in
+    # the dynamics; measured A/B in BENCH_LOCAL (hv_dots).
+    dot, _, _ = make_dots(split and not fast)
 
     def row(name):
         i = _MC[name]
@@ -134,9 +139,11 @@ def _vlap_kernel_t(split, rrearth, ext, cM, *refs):
                 ext_ref[:, 2 * k:3 * k] = lap_t.T
 
 
-@partial(jax.jit, static_argnames=("eb", "nlev", "interpret"))
+@partial(jax.jit, static_argnames=("eb", "nlev", "fast_dots",
+                                   "interpret"))
 def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
-                         eb: int, nlev: int, interpret: bool = False):
+                         eb: int, nlev: int, fast_dots: bool = False,
+                         interpret: bool = False):
     """Weak (vlaplace_u, vlaplace_v, laplace_T) of the (u, v, T) rows of
     the stacked field ``x`` — spheremp-weighted residuals, to be closed by
     rspheremp * DSS. ``scal[0, 0]`` carries nu_ratio (hpp:938 nu_div/nu).
@@ -159,7 +166,7 @@ def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     kernel = partial(_vlap_kernel_t, not interpret, CONSTANTS.rrearth, False,
-                     0)
+                     0, fast_dots)
     # 8 strong/adjoint derivative matmuls per block
     flops_per_block = 8 * 2 * eb16 * eb16 * k
     return pl.pallas_call(
@@ -185,9 +192,11 @@ def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
       jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x, x, x)
 
 
-@partial(jax.jit, static_argnames=("nt", "nlev", "cM", "interpret"))
+@partial(jax.jit, static_argnames=("nt", "nlev", "cM", "fast_dots",
+                                   "interpret"))
 def vlap_pallas_packed_t_ext(scal, dxbt, dybt, meta, x, sf,
                              nt: int, nlev: int, cq=None, cM: int = 0,
+                             fast_dots: bool = False,
                              interpret: bool = False):
     """`vlap_pallas_packed_t` with producer-fused tile extraction: ``sf``
     is the slot/flag table from kernels.dss_pallas.ext_slot_arrays and the
@@ -215,7 +224,7 @@ def vlap_pallas_packed_t_ext(scal, dxbt, dybt, meta, x, sf,
                                      memory_space=pltpu.VMEM)
     srows = cM if cM else 128
     kernel = partial(_vlap_kernel_t, not interpret, CONSTANTS.rrearth, True,
-                     cM)
+                     cM, fast_dots)
     flops_per_block = 8 * 2 * eb16 * eb16 * k
     in_specs = [
         pl.BlockSpec((1, 4), lambda i, sf: (0, 0),

@@ -30,6 +30,10 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)   # kill -USR1 <pid> dumps stacks
     ap = argparse.ArgumentParser()
     ap.add_argument("--ne", type=int, default=120)
     ap.add_argument("--nlev", type=int, default=72)
@@ -130,6 +134,7 @@ def main():
         try:
             run = variants[name]()
             st = (s0, sm1, acc0, s0[:k])
+            print(f"{name}: warmup...", flush=True)
             t0 = time.perf_counter()
             _, st = run(2, st)
             warm = time.perf_counter() - t0
