@@ -94,11 +94,15 @@ def main():
         return (scal, jnp.asarray(dxb).T, jnp.asarray(dyb).T,
                 p["ainct"], p["astrt"], p["bstrt"], p["meta"])
 
-    def make_run(one, chunk):
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def multi(s0, sm1, acc):
+    def make_run(one, chunk, cst):
+        # cst (derivative operators + meta + qdp/pecnd, ~1 GB at ne120)
+        # MUST ride as jit arguments: a closure bakes them into the HLO as
+        # constants and the client serializes the whole blob per compile
+        # (observed: >15 min client-CPU-bound "compile" per variant)
+        @partial(jax.jit, donate_argnums=(1, 2, 3))
+        def multi(cst, s0, sm1, acc):
             for _ in range(chunk):
-                o = one(s0, sm1, acc)
+                o = one(cst, s0, sm1, acc)
                 s0, sm1 = o[0], s0
                 acc = (o[2], o[3], o[4])
             return s0, sm1, acc, o[1]
@@ -106,27 +110,31 @@ def main():
         def run(nsteps, st):
             nchunks = -(-nsteps // chunk)
             for _ in range(nchunks):
-                st = multi(*st[:3])
+                st = multi(cst, *st[:3])
             # device->host readback (axon block_until_ready returns early)
             float(jnp.sum(st[3][:, :: max(1, e16 // 8)]))
             return nchunks * chunk, st
 
         return run
 
+    cst0 = com + fixed                   # 9-tuple jit argument
     variants = {}
     variants["eb8"] = lambda: make_run(
-        lambda a, b, c: caar_pallas_packed_t4(
-            *com, a, b, *fixed, *c, eb=8, nlev=k), args.chunk)
+        lambda t, a, b, c: caar_pallas_packed_t4(
+            *t[:7], a, b, t[7], t[8], *c, eb=8, nlev=k),
+        args.chunk, cst0)
     variants["eb16"] = lambda: make_run(
-        lambda a, b, c: caar_pallas_packed_t4(
-            *com_eb(16), a, b, *fixed, *c, eb=16, nlev=k), args.chunk)
+        lambda t, a, b, c: caar_pallas_packed_t4(
+            *t[:7], a, b, t[7], t[8], *c, eb=16, nlev=k),
+        args.chunk, com_eb(16) + fixed)
     for lg in (2, 4, 8):
         variants[f"lg{lg}"] = (lambda lg: lambda: make_run(
-            lambda a, b, c: caar_pallas_packed_t4_lg(
-                *com, a, b, *fixed, *c, nlev=k, lg=lg), args.chunk))(lg)
+            lambda t, a, b, c: caar_pallas_packed_t4_lg(
+                *t[:7], a, b, t[7], t[8], *c, nlev=k, lg=lg),
+            args.chunk, cst0))(lg)
     variants["eb8_chunk1"] = lambda: make_run(
-        lambda a, b, c: caar_pallas_packed_t4(
-            *com, a, b, *fixed, *c, eb=8, nlev=k), 1)
+        lambda t, a, b, c: caar_pallas_packed_t4(
+            *t[:7], a, b, t[7], t[8], *c, eb=8, nlev=k), 1, cst0)
 
     names = args.variants or list(variants)
     results = {}
