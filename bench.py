@@ -95,6 +95,11 @@ def main() -> None:
                          "unrolling it (compiles ~chunk-x faster; the "
                          "102 s ne30 --prim cold compile drops to the "
                          "one-step cost). Same honest chaining.")
+    ap.add_argument("--lg", type=int, default=0,
+                    help="assembled t4 step: lane-grouped kernel with lg "
+                         "128-lane groups per grid step + standalone "
+                         "compact extraction (ne120 at-scale fix; "
+                         "requires e16 %% (128*lg) == 0)")
     ap.add_argument("--hv-dots", default="split",
                     choices=("split", "fast"),
                     help="--prim: hyperviscosity Laplacian MXU dot mode — "
@@ -353,7 +358,7 @@ def main() -> None:
                 def one(cst, acc):
                     return caar_dss_structured_packed_t4(
                         *cst, *acc, plan, rsp, eb=cfg.elem_block,
-                        nlev=cfg.nlev)
+                        nlev=cfg.nlev, lg=args.lg)
 
             def rotate(cst, o):
                 # keep the nm1 slot's storage dtype stable (bf16_ro)
@@ -620,6 +625,7 @@ def main() -> None:
                       + (" hv_dots=fast" if args.hv_dots == "fast" else ""))
                      if (cs is not None and args.prim) else "")
                   + (" layout=t" if args.layout == "t" else "")
+                  + (f" lg={args.lg}" if args.lg > 1 else "")
                   + ((" scan" + (f"x{args.scan_unroll}"
                                  if args.scan_unroll > 1 else ""))
                      if args.scan else "")

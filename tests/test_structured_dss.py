@@ -889,3 +889,40 @@ def test_tracer_limit_fused_kernel_matches_field():
         m_got = float((sph * got.astype(np.float64)).sum())
         m_in = float((sph * np.asarray(qdp[:, q], np.float64)).sum())
         assert abs(m_got / m_in - 1.0) < 2e-6, (q, m_got, m_in)
+
+
+def test_lane_grouped_assembled_matches_fused():
+    """caar_dss_structured_packed_t4(lg>1) (lane-grouped kernel +
+    standalone compact extraction) == the eb=8 producer-fused path."""
+    import jax
+
+    from tinman_sandbox_tpu import Config, analytic_hvcoord, random_state, zero_derived
+    from tinman_sandbox_tpu.dist.step_pallas import (
+        caar_dss_structured_packed_t4,
+    )
+    from tinman_sandbox_tpu.dist.structured_dss import rsp_lanes_2f
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=8, elem_block=8)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st, dv = cast(random_state(cfg, seed=5)), cast(zero_derived(cfg))
+    g = cast(cs.geometry)
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    pt = pack_problem_t(st, dv, g, hv, cfg)
+    plan = make_structured_plan(cs.gdof, 2)
+    rsp = jnp.asarray(rsp_lanes_2f(g.spheremp, cs.gdof, cs.ndof))
+    scal = _scalars(np.float32(0.1), np.float32(1.0), hv)
+    s0 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    sm1 = jnp.concatenate([pt["um1"], pt["vm1"], pt["tm1"], pt["dpm1"]],
+                          axis=0)
+    args = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp)
+    ref = caar_dss_structured_packed_t4(*args, eb=8, nlev=8, interpret=True)
+    got = caar_dss_structured_packed_t4(*args, eb=8, nlev=8, lg=3,
+                                        interpret=True)
+    for name, a, b in zip(("s1", "phi", "vn0u", "vn0v", "omg"), got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)

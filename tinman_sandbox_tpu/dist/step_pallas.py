@@ -197,7 +197,8 @@ def caar_dss_structured_packed_t(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "moist", "vdt",
-                                   "fuse_extract", "compact", "interpret"))
+                                   "fuse_extract", "compact", "lg",
+                                   "interpret"))
 def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
                                   meta, s0, sm1, qdp, pecnd,
                                   vn0u, vn0v, omg, plan, rsp_lanes,
@@ -205,6 +206,7 @@ def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
                                   vdt: bool = False,
                                   fuse_extract: bool = True,
                                   compact: bool = True,
+                                  lg: int = 0,
                                   interpret: bool = False):
     """Stacked-state assembled step: the four prognostics ride in ONE
     [4*nlev, E16] buffer per time level (kernels.caar_pallas_t.
@@ -228,6 +230,32 @@ def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
     from ..fastpath import fused_admissible, note_compact
 
     e16 = s0.shape[1]
+    if lg > 1:
+        # LANE-GROUPED kernel + standalone compact extraction: at ne120
+        # the eb=8 grid's 10,800 steps cost ~0.42 us each in per-step
+        # overhead (measured: 17.7 -> 12.9 ms/step at lg=8,
+        # BENCH_LOCAL ne120_kernel_ab_r4_c10); the lg kernel has no
+        # slot-mapped slab output, so the compact slab comes from one
+        # extract_tiles_ct dispatch (reads the ~38% affected tiles).
+        from ..kernels.caar_pallas_t import caar_pallas_packed_t4_lg
+        from ..kernels.dss_pallas import (
+            _fixup_arrays_t, cext_tables, dss_structured_t_pallas_cpre,
+            extract_tiles_ct,
+        )
+
+        assert e16 % (128 * lg) == 0, (e16, lg)
+        _, nt, cM, cq_np = cext_tables(plan, e16 // 128)
+        gtiles = _fixup_arrays_t(plan)[0]
+        s1, phi, vn0u1, vn0v1, omg1 = caar_pallas_packed_t4_lg(
+            scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+            s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+            nlev=nlev, moist=moist, lg=lg, interpret=interpret)
+        xs = extract_tiles_ct(s1, gtiles, jnp.asarray(cq_np), cM,
+                              interpret=interpret)
+        assembled = dss_structured_t_pallas_cpre(
+            s1, xs, plan, rsp_lanes, interpret=interpret)
+        return assembled, phi, vn0u1, vn0v1, omg1
+
     if fuse_extract and fused_admissible(
             eb, e16, "caar_dss_structured_packed_t4"):
         note_compact("caar_dss_structured_packed_t4", compact)

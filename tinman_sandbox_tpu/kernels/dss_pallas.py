@@ -518,6 +518,50 @@ def extract_tiles_t(x, gtiles: tuple, interpret: bool = False):
     )(gt, x)
 
 
+def _tile_extract_ct_kernel(split, gt_ref, cq_ref, x_ref, o_ref):
+    from .fdot import make_sel
+
+    sel_l, _ = make_sel(split)
+    o_ref[:] = sel_l(cq_ref[:], x_ref[:].T)
+
+
+@partial(jax.jit, static_argnames=("gtiles", "cM", "interpret"))
+def extract_tiles_ct(x, gtiles: tuple, cq, cM: int,
+                     interpret: bool = False):
+    """[k, e16] -> COMPACT slab [len(gtiles)*cM, k]: extract each affected
+    128-lane tile transposed AND reduced to its cM fix lanes with the
+    exact one-hot selection contraction (`cext_tables`'s cq table,
+    fdot.make_sel — bitwise equal to the producer-fused slab). The
+    standalone form lets producers WITHOUT slot-mapped extra outputs
+    (e.g. the lane-grouped ne120 kernel) feed
+    `dss_structured_t_pallas_cpre`: reads only the affected tiles (~38%)
+    and writes the ~9-11%-occupancy compact slab, vs the dense
+    `extract_tiles_t`'s full-tile slab."""
+    k, e16 = x.shape
+    nt = len(gtiles)
+    if interpret:
+        idx = np.minimum(np.concatenate(
+            [np.arange(t * 128, t * 128 + 128) for t in gtiles]), e16 - 1)
+        tiles_t = x[:, idx].T.reshape(nt, 128, k)
+        cq3 = jnp.asarray(cq, jnp.float32).reshape(nt, cM, 128)
+        return jnp.einsum("nmr,nrk->nmk", cq3, tiles_t).reshape(nt * cM, k)
+    gt = jnp.asarray(np.asarray(gtiles, np.int32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((cM, 128), lambda i, gt_ref: (i, 0)),
+            pl.BlockSpec((k, 128), lambda i, gt_ref: (0, gt_ref[i])),
+        ],
+        out_specs=pl.BlockSpec((cM, k), lambda i, gt_ref: (i, 0)),
+    )
+    return pl.pallas_call(
+        partial(_tile_extract_ct_kernel, True),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt * cM, k), jnp.float32),
+    )(gt, cq, x)
+
+
 @lru_cache(maxsize=None)
 def _fixup_arrays(plan):
     """Static index sets for the one-gather/one-scatter edge+corner fixup."""

@@ -36,6 +36,9 @@ def main():
     faulthandler.register(signal.SIGUSR1)   # kill -USR1 <pid> dumps stacks
     ap = argparse.ArgumentParser()
     ap.add_argument("--ne", type=int, default=120)
+    ap.add_argument("--nelem", type=int, default=None,
+                    help="raw element count override (e.g. 1024, the "
+                         "headline config) instead of 6*ne^2")
     ap.add_argument("--nlev", type=int, default=72)
     ap.add_argument("--nexec", type=int, default=30)
     ap.add_argument("--reps", type=int, default=2)
@@ -61,7 +64,7 @@ def main():
         random_packed_problem_t,
     )
 
-    nelem = 6 * args.ne * args.ne
+    nelem = args.nelem or 6 * args.ne * args.ne
     k = args.nlev
     cfg = Config(nelem=nelem, nlev=k, elem_block=8, dtype="float32")
     p = random_packed_problem_t(cfg, seed=7)
@@ -79,7 +82,7 @@ def main():
     for key in ("u0", "v0", "t0", "dp0", "um1", "vm1", "tm1", "dpm1"):
         del p[key]
     e16 = s0.shape[1]
-    print(f"# ne={args.ne}: {nelem} elem x {k} lev ({e16} lanes), "
+    print(f"# nelem={nelem} elem x {k} lev ({e16} lanes), "
           f"backend={jax.default_backend()}, chunk={args.chunk}",
           flush=True)
 
