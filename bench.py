@@ -414,21 +414,49 @@ def main() -> None:
             msl = (lambda x, sl: x[:, sl]) if transposed \
                 else (lambda x, sl: x[sl])
 
-            def one(cst, acc):
-                if gchunks == 1:
-                    return packed_call(*cst, *acc,
-                                       eb=cfg.elem_block,
-                                       nlev=cfg.nlev)
-                outs = []
-                for c in range(gchunks):
-                    sl = slice(c * rows, (c + 1) * rows)
-                    outs.append(packed_call(
-                        cst[0], *cst[1:6], msl(cst[6], sl),
-                        *(esl(cst[i], sl) for i in range(7, 17)),
-                        *(esl(a, sl) for a in acc),
-                        eb=cfg.elem_block, nlev=cfg.nlev))
-                return tuple(jnp.concatenate([o[i] for o in outs], axis=eax)
-                             for i in range(8))
+            # lane-grouped default on the transposed layout: lg 128-lane
+            # groups per grid step eliminate the per-grid-step overhead
+            # (~0.42 us/block; measured eb8 -> lg8: 208 -> 177 us/step
+            # honest-chained at 1024x72, 17.7 -> 12.9 ms at ne120 —
+            # BENCH_LOCAL headline_lg_ab / ne120_kernel_ab_r4_c10)
+            lg_raw = args.lg or (8 if transposed and gchunks == 1
+                                 and e16_all % 1024 == 0 else 0)
+            args.lg = lg_raw            # surface the auto-pick in config
+            raw_acc_sl = (5, 6, 7)
+            if transposed and lg_raw > 1:
+                from tinman_sandbox_tpu.kernels.caar_pallas_t import (
+                    caar_pallas_packed_t4_lg,
+                )
+
+                const = const[:7] + (
+                    jnp.concatenate([p["u0"], p["v0"], p["t0"], p["dp0"]],
+                                    axis=0),
+                    jnp.concatenate([p["um1"], p["vm1"], p["tm1"],
+                                     p["dpm1"]], axis=0),
+                    p["qdp"], p["pecnd"])
+                raw_acc_sl = (2, 3, 4)
+
+                def one(cst, acc):
+                    return caar_pallas_packed_t4_lg(
+                        *cst[:7], cst[7], cst[8], cst[9], cst[10], *acc,
+                        nlev=cfg.nlev, lg=lg_raw)
+            else:
+                def one(cst, acc):
+                    if gchunks == 1:
+                        return packed_call(*cst, *acc,
+                                           eb=cfg.elem_block,
+                                           nlev=cfg.nlev)
+                    outs = []
+                    for c in range(gchunks):
+                        sl = slice(c * rows, (c + 1) * rows)
+                        outs.append(packed_call(
+                            cst[0], *cst[1:6], msl(cst[6], sl),
+                            *(esl(cst[i], sl) for i in range(7, 17)),
+                            *(esl(a, sl) for a in acc),
+                            eb=cfg.elem_block, nlev=cfg.nlev))
+                    return tuple(jnp.concatenate([o[i] for o in outs],
+                                                 axis=eax)
+                                 for i in range(8))
 
         if cs is not None:
             # ASSEMBLED mode must chain the assembled np1 fields into the
@@ -505,7 +533,7 @@ def main() -> None:
             def multi(cst, acc):
                 for _ in range(chunk):
                     o = one(cst, acc)
-                    acc = (o[5], o[6], o[7])
+                    acc = tuple(o[i] for i in raw_acc_sl)
                 return acc, o
 
             multi = aot(multi, const, (p["vn0u"], p["vn0v"], p["omg"]))
