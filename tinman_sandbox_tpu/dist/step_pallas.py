@@ -243,6 +243,9 @@ def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
             extract_tiles_ct,
         )
 
+        from ..fastpath import last_path
+
+        last_path["caar_dss_structured_packed_t4"] = f"fused-lg{lg}-compact"
         assert e16 % (128 * lg) == 0, (e16, lg)
         _, nt, cM, cq_np = cext_tables(plan, e16 // 128)
         gtiles = _fixup_arrays_t(plan)[0]
