@@ -320,7 +320,7 @@ def main() -> None:
                 return prim_step_packed_t4(
                     *cst, *acc, plan, rsp, args.nu, eb=cfg.elem_block,
                     nlev=cfg.nlev, limit_tracers=args.limit,
-                    hv_fast_dots=args.hv_dots == "fast")
+                    hv_fast_dots=args.hv_dots == "fast", lg=args.lg)
 
             def rotate(cst, o):
                 return cst[:7] + (o[0], o[1]) + cst[9:10]

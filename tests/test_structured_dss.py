@@ -926,3 +926,43 @@ def test_lane_grouped_assembled_matches_fused():
     for name, a, b in zip(("s1", "phi", "vn0u", "vn0v", "omg"), got, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_prim_step_lane_grouped_matches_default():
+    """prim_step_packed_t4(lg=3) (lane-grouped RK/vlap/tracer kernels +
+    standalone compact extraction) == the default fused path on the same
+    ne=2 problem (interpret)."""
+    import jax
+
+    from tinman_sandbox_tpu import Config, analytic_hvcoord, random_state, zero_derived
+    from tinman_sandbox_tpu.dist.step_pallas import prim_step_packed_t4
+    from tinman_sandbox_tpu.dist.structured_dss import rsp_lanes_2f
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+    from tinman_sandbox_tpu.kernels.layout import pack_field_t
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=8, qsize=2)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st, dv = cast(random_state(cfg, seed=11)), cast(zero_derived(cfg))
+    g = cast(cs.geometry)
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    pt = pack_problem_t(st, dv, g, hv, cfg)
+    plan = make_structured_plan(cs.gdof, 2)
+    rsp = jnp.asarray(rsp_lanes_2f(g.spheremp, cs.gdof, cs.ndof))
+    scal = _scalars(np.float32(0.02), np.float32(1.0), hv)
+    s0 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    qdp0 = jnp.concatenate(
+        [pack_field_t(jnp.asarray(st.qdp[cfg.qn0, :, q], jnp.float32))
+         for q in range(cfg.qsize)], axis=0)
+    args = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, qdp0, pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp, 2.5e-4)
+    ref = prim_step_packed_t4(*args, eb=8, nlev=4, qsplit=1,
+                              interpret=True)
+    got = prim_step_packed_t4(*args, eb=8, nlev=4, qsplit=1, lg=3,
+                              interpret=True)
+    for name, a, b in zip(("s1", "qdp", "phi", "vn0u", "vn0v", "omg"),
+                          got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)

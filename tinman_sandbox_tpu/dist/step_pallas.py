@@ -291,11 +291,11 @@ def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
 
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "moist",
-                                   "compact", "interpret"))
+                                   "compact", "lg", "interpret"))
 def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                      s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
                      eb: int, nlev: int, moist: bool = True,
-                     compact: bool = True,
+                     compact: bool = True, lg: int = 0,
                      interpret: bool = False):
     """SSPRK3 dynamics entirely on the packed transposed Pallas path:
 
@@ -317,10 +317,13 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
     ``scal`` must carry dt (NOT the leapfrog 2*dt) in its dt2 slot.
     Returns (s_np1 [4*nlev, E16], phi, vn0u', vn0v', omega_p')."""
-    from ..kernels.caar_pallas_t import caar_pallas_packed_t4_rk
+    from ..kernels.caar_pallas_t import (
+        caar_pallas_packed_t4_lg, caar_pallas_packed_t4_rk,
+    )
     from ..kernels.dss_pallas import (
-        cext_tables, dss_structured_t_pallas, dss_structured_t_pallas_cpre,
-        dss_structured_t_pallas_pre, ext_slot_arrays,
+        _fixup_arrays_t, cext_tables, dss_structured_t_pallas,
+        dss_structured_t_pallas_cpre, dss_structured_t_pallas_pre,
+        ext_slot_arrays, extract_tiles_ct,
     )
 
     from ..fastpath import fused_admissible, note_compact
@@ -328,6 +331,40 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     B = (1.0 / 6.0, 1.0 / 6.0, 2.0 / 3.0)
     f = s0.dtype
     e16 = s0.shape[1]
+    use_lg = lg > 1 and e16 % (128 * lg) == 0
+    if use_lg:
+        # lane-grouped RK stages + standalone compact extraction (the r4
+        # grid-overhead fix: ~0.2-0.3 ms/call at ne30-class 675-block
+        # grids); the sweep/mix epilogue is unchanged
+        from ..fastpath import last_path
+
+        last_path["ssprk3_packed_t4"] = f"fused-lg{lg}-compact"
+        _, nt_ext, cM, cq_np = cext_tables(plan, e16 // 128)
+        gtiles = _fixup_arrays_t(plan)[0]
+        cqj = jnp.asarray(cq_np)
+
+        def kstage(u, b, acc, emit_phi=False):
+            sc = scal.at[0, 1].set(scal[0, 1] * f.type(b))
+            out = caar_pallas_packed_t4_lg(
+                sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, u, qdp,
+                pecnd, *acc, nlev=nlev, moist=moist, lg=lg, single=True,
+                emit_phi=emit_phi, interpret=interpret)
+            xd_t = extract_tiles_ct(out[0], gtiles, cqj, cM,
+                                    interpret=interpret)
+            return out[0], out[1], out[2:5], xd_t
+
+        def proj(s1, xd_t, mix=None):
+            return dss_structured_t_pallas_cpre(
+                s1, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
+
+        s1k, _, acc, xd = kstage(s0, B[0], (vn0u, vn0v, omg))
+        u1 = proj(s1k, xd)
+        s2k, _, acc, xd = kstage(u1, B[1], acc)
+        u2 = proj(s2k, xd, mix=(s0, f.type(0.75), f.type(0.25)))
+        s3k, phi, acc, xd = kstage(u2, B[2], acc, emit_phi=True)
+        u3 = proj(s3k, xd, mix=(s0, f.type(1.0 / 3.0), f.type(2.0 / 3.0)))
+        return (u3, phi, *acc)
+
     fuse = fused_admissible(eb, e16, "ssprk3_packed_t4")
     if fuse:
         note_compact("ssprk3_packed_t4", compact)
@@ -372,12 +409,12 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "subcycle",
                                    "fuse_extract", "compact", "hv_fast_dots",
-                                   "interpret"))
+                                   "lg", "interpret"))
 def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
                             nu, dt, eb: int, nlev: int, nu_ratio=1.0,
                             subcycle: int = 1, fuse_extract: bool = True,
                             compact: bool = True,
-                            hv_fast_dots: bool = False,
+                            hv_fast_dots: bool = False, lg: int = 0,
                             interpret: bool = False):
     """Biharmonic hyperviscosity on the (u, v, T) rows of ``uvt``: per
     subcycle, two (packed weak-Laplacian Pallas kernel -> structured
@@ -405,7 +442,27 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
 
     from ..fastpath import fused_admissible, note_compact
 
-    if fuse_extract and fused_admissible(
+    if lg > 1 and e16 % (128 * lg) == 0:
+        # lane-grouped vlap + standalone compact extraction (r4 grid-
+        # overhead fix); sweep/mix epilogue unchanged
+        from ..fastpath import last_path
+        from ..kernels.dss_pallas import _fixup_arrays_t, extract_tiles_ct
+        from ..kernels.hypervis_pallas_t import vlap_pallas_packed_t_lg
+
+        last_path["apply_hypervis_packed_t"] = f"fused-lg{lg}-compact"
+        sf, nt, cM, cq_np = cext_tables(plan, e16 // 128)
+        gtiles = _fixup_arrays_t(plan)[0]
+        cqj = jnp.asarray(cq_np)
+
+        def lap_dss(x, mix=None):
+            l = vlap_pallas_packed_t_lg(
+                sc, dxbt, dybt, meta, x, nlev=nlev, lg=lg,
+                fast_dots=hv_fast_dots, interpret=interpret)
+            xd_t = extract_tiles_ct(l, gtiles, cqj, cM,
+                                    interpret=interpret)
+            return dss_structured_t_pallas_cpre(
+                l, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
+    elif fuse_extract and fused_admissible(
             eb, e16, "apply_hypervis_packed_t"):
         note_compact("apply_hypervis_packed_t", compact)
         if compact:
@@ -447,12 +504,12 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "limit",
                                    "fuse_extract", "compact", "wind_rows",
-                                   "interpret"))
+                                   "lg", "interpret"))
 def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
                            dt, eb: int, nlev: int, limit: bool = False,
                            fuse_extract: bool = True,
                            compact: bool = True,
-                           wind_rows: tuple = (0, 0),
+                           wind_rows: tuple = (0, 0), lg: int = 0,
                            interpret: bool = False):
     """SSPRK3 tracer transport on the packed path: each stage is the fused
     Euler kernel (kernels/tracer_pallas_t.py, spheremp folded in) closed by
@@ -481,7 +538,29 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
         # the Shu-Osher combinations folded into the sweep (mix)
         from ..fastpath import fused_admissible, note_compact
 
-        if fuse_extract and fused_admissible(
+        if lg > 1 and e16 % (128 * lg) == 0:
+            from ..fastpath import last_path
+            from ..kernels.dss_pallas import (
+                _fixup_arrays_t, extract_tiles_ct,
+            )
+            from ..kernels.tracer_pallas_t import (
+                tracer_euler_pallas_packed_t_lg,
+            )
+
+            last_path["ssprk3_tracer_packed_t"] = f"fused-lg{lg}-compact"
+            sf, nt, cM, cq_np = cext_tables(plan, e16 // 128)
+            gtiles = _fixup_arrays_t(plan)[0]
+            cqj = jnp.asarray(cq_np)
+
+            def stage(q, mix=None):
+                e = tracer_euler_pallas_packed_t_lg(
+                    scal, dxbt, dybt, meta, vu, vv, q, nlev=nlev, lg=lg,
+                    wind_rows=wind_rows, interpret=interpret)
+                xd_t = extract_tiles_ct(e, gtiles, cqj, cM,
+                                        interpret=interpret)
+                return dss_structured_t_pallas_cpre(
+                    e, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
+        elif fuse_extract and fused_admissible(
                 eb, e16, "ssprk3_tracer_packed_t"):
             note_compact("ssprk3_tracer_packed_t", compact)
             if compact:
@@ -749,13 +828,13 @@ def ssprk3_tracer_ring_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
 
 @partial(jax.jit, static_argnames=("nu", "eb", "nlev", "plan", "qsplit",
                                    "moist", "subcycle", "limit_tracers",
-                                   "hv_fast_dots", "interpret"))
+                                   "hv_fast_dots", "lg", "interpret"))
 def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                         s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
                         nu, eb: int, nlev: int, qsplit: int = 1,
                         nu_ratio=1.0, moist: bool = True,
                         subcycle: int = 1, limit_tracers: bool = False,
-                        hv_fast_dots: bool = False,
+                        hv_fast_dots: bool = False, lg: int = 0,
                         interpret: bool = False):
     """FULL prim cadence on the packed transposed Pallas path (the fused
     fast-path analog of timeloop/prim.py::prim_run_step):
@@ -778,7 +857,8 @@ def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     s1, phi, vn0u1, vn0v1, omg1 = ssprk3_packed_t4(
         scal, dxbt, dybt, ainct, astrt, bstrt, meta, s0,
         qdp, pecnd, vn0u, vn0v, omg,
-        plan, rsp_lanes, eb=eb, nlev=nlev, moist=moist, interpret=interpret)
+        plan, rsp_lanes, eb=eb, nlev=nlev, moist=moist, lg=lg,
+        interpret=interpret)
 
     if nu:
         # full 4*nlev buffer: the final sweep applies the update in place
@@ -787,7 +867,7 @@ def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         s1 = apply_hypervis_packed_t(
             dxbt, dybt, meta, s1, plan, rsp_lanes, nu, dt,
             eb=eb, nlev=nlev, nu_ratio=nu_ratio, subcycle=subcycle,
-            hv_fast_dots=hv_fast_dots, interpret=interpret)
+            hv_fast_dots=hv_fast_dots, lg=lg, interpret=interpret)
 
     # winds read from s1's row blocks 0 (u) and 1 (v) in place
     dt_q = dt / max(qsplit, 1)
@@ -795,7 +875,7 @@ def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         qdp = ssprk3_tracer_packed_t(dxbt, dybt, meta, s1, s1, qdp,
                                      plan, rsp_lanes, dt_q,
                                      eb=eb, nlev=nlev, limit=limit_tracers,
-                                     wind_rows=(0, 1),
+                                     wind_rows=(0, 1), lg=lg,
                                      interpret=interpret)
     return s1, qdp, phi, vn0u1, vn0v1, omg1
 

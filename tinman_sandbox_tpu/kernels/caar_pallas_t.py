@@ -519,14 +519,17 @@ def _caar_kernel_t4_lg(split, moist, rgas, kappa, rv_factor, rrearth,
 
 
 @partial(jax.jit, static_argnames=("nlev", "moist", "lg", "single",
-                                   "interpret"))
+                                   "emit_phi", "interpret"))
 def caar_pallas_packed_t4_lg(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                              s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
                              nlev: int, moist: bool = True, lg: int = 4,
-                             single: bool = False, interpret: bool = False):
+                             single: bool = False, emit_phi: bool = True,
+                             interpret: bool = False):
     """Lane-grouped `caar_pallas_packed_t4`: BlockSpec lane width
     128*lg, grid length e16/(128*lg). ``single=True`` is the RK-stage
-    mode (sm1 ignored; pass s0 twice). Requires e16 % (128*lg) == 0."""
+    mode (sm1 ignored; pass s0 twice); ``emit_phi=False`` coalesces the
+    phi output into one revisited block (RK stages 1-2 never read phi).
+    Requires e16 % (128*lg) == 0."""
     k4, e16 = s0.shape
     k = nlev
     assert k4 == 4 * k, (k4, k)
@@ -545,8 +548,14 @@ def caar_pallas_packed_t4_lg(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         single, lg,
     )
     flops_per_block = lg * (13 * 2 * 128 * 128 * k + 3 * 2 * 128 * k * k)
-    out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f),
-                 jax.ShapeDtypeStruct((k, e16), f)] + [
+    if emit_phi:
+        phi_spec = fld(k)
+        phi_shape = jax.ShapeDtypeStruct((k, e16), f)
+    else:
+        # all grid steps revisit block (0, 0): one flush of w lanes
+        phi_spec = rep((k, w))
+        phi_shape = jax.ShapeDtypeStruct((k, w), f)
+    out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f), phi_shape] + [
         jax.ShapeDtypeStruct((k, e16), f) for _ in range(3)]
     in_specs = [
         pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -571,7 +580,7 @@ def caar_pallas_packed_t4_lg(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         kernel,
         grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=[fld(4 * k), fld(k), fld(k), fld(k), fld(k)],
+        out_specs=[fld(4 * k), phi_spec, fld(k), fld(k), fld(k)],
         out_shape=out_shape,
         input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(

@@ -192,6 +192,89 @@ def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
       jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x, x, x)
 
 
+def _vlap_kernel_t_lg(split, rrearth, fast, lg, *refs):
+    """Lane-grouped vlap body: lg independent 128-lane groups per grid
+    step (same MXU shapes/fp-op order as `_vlap_kernel_t`; grid / lg —
+    the ne120/headline lane-grouping ledger applied to the
+    hyperviscosity kernel)."""
+    (scal_ref, dxbt_ref, dybt_ref, dxb_ref, dyb_ref, meta_ref,
+     u_ref, v_ref, t_ref, o_ref) = refs
+    k = u_ref.shape[0]
+    for g in range(lg):
+        sl = slice(g * 128, (g + 1) * 128)
+
+        class _V:                     # ref-like lane-slice views
+            def __init__(self, ref):
+                self.ref = ref
+
+            def __getitem__(self, idx):
+                if isinstance(idx, tuple):
+                    rows = idx[0]
+                else:
+                    rows = idx
+                return self.ref[rows, sl]
+
+            @property
+            def shape(self):
+                return (self.ref.shape[0], 128)
+
+        class _O:
+            def __setitem__(self, idx, val):
+                rows = idx[0] if isinstance(idx, tuple) else idx
+                o_ref[rows, sl] = val
+
+        _vlap_kernel_t(split, rrearth, False, 0, fast,
+                       scal_ref, dxbt_ref, dybt_ref, dxb_ref, dyb_ref,
+                       _V(meta_ref), _V(u_ref), _V(v_ref), _V(t_ref),
+                       _O())
+
+
+@partial(jax.jit, static_argnames=("nlev", "lg", "fast_dots", "interpret"))
+def vlap_pallas_packed_t_lg(scal, dxbt, dybt, meta, x,
+                            nlev: int, lg: int = 4,
+                            fast_dots: bool = False,
+                            interpret: bool = False):
+    """Lane-grouped `vlap_pallas_packed_t`: lane width 128*lg, grid
+    length e16/(128*lg). Requires e16 % (128*lg) == 0."""
+    kx, e16 = x.shape
+    k = nlev
+    assert kx >= 3 * k and kx % k == 0, (kx, k)
+    w = 128 * lg
+    assert e16 % w == 0, (e16, w)
+    nblocks = e16 // w
+    f = jnp.float32
+
+    fld = lambda r: pl.BlockSpec((r, w), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    row = lambda r: pl.BlockSpec((k, w), lambda i, r=r: (r, i),
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = partial(_vlap_kernel_t_lg, not interpret, CONSTANTS.rrearth,
+                     fast_dots, lg)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            rep((128, 128)), rep((128, 128)),
+            rep((128, 128)), rep((128, 128)),
+            pl.BlockSpec((len(META_COLS), w), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            row(0), row(1), row(2),
+        ],
+        out_specs=fld(3 * k),
+        out_shape=jax.ShapeDtypeStruct((3 * k, e16), f),
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * lg * 8 * 2 * 128 * 128 * k,
+            bytes_accessed=6 * e16 * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scal, dxbt, dybt,
+      jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x, x, x)
+
+
 @partial(jax.jit, static_argnames=("nt", "nlev", "cM", "fast_dots",
                                    "interpret"))
 def vlap_pallas_packed_t_ext(scal, dxbt, dybt, meta, x, sf,

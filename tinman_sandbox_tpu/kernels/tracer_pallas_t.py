@@ -73,7 +73,8 @@ def _group_minmax(x, strategy: str):
     lane of the group. ``strategy``:
 
     * "stride": 16 lane-strided slices + 15 min/max on [r, 8] + one-hot
-      broadcast dots — cheapest IF Mosaic lowers strided lane slices;
+      broadcast dots — cheapest, but Mosaic does NOT lower strided lane
+      slices ("Shape mismatch" probe failure, r4) — interpret-only;
     * "roll": within-group cyclic butterfly (2 rolls + select + op per
       step, 4 steps) — guaranteed lowerable (the DSS sweeps are built on
       lane rolls), ~4x the VPU traffic;
@@ -286,7 +287,7 @@ def _tracer_limit_kernel_t(split, rrearth, nq, has_mix, strategy, cM,
 def tracer_limit_pallas_packed_t_ext(scal, dxbt, dybt, meta, vu, vv, qdp,
                                      mx, sf, nt: int, nlev: int,
                                      has_mix: bool = True,
-                                     strategy: str = "stride",
+                                     strategy: str = "roll",
                                      wind_rows: tuple = (0, 0),
                                      cq=None, cM: int = 0,
                                      interpret: bool = False):
@@ -352,6 +353,13 @@ def tracer_limit_pallas_packed_t_ext(scal, dxbt, dybt, meta, vu, vv, qdp,
             + nt * srows * qk * 4,
             transcendentals=0,
         ),
+        # the limiter keeps several [qk, 128] intermediates live; at
+        # QSIZE_D=35 (qk=2520) that overflows the default scoped VMEM
+        # (measured 24.9M vs 21.3M limit) — raise the cap (v5e VMEM is
+        # 128 MB; 40 MB scoped leaves pipelining headroom)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*operands)
 
@@ -401,6 +409,84 @@ def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
         out_shape=jax.ShapeDtypeStruct((qk, e16), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=nblocks * nq * 2 * 2 * eb16 * eb16 * k,
+            bytes_accessed=2 * (qk + k) * e16 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scal, dxbt, dybt, meta, vu, vv, qdp)
+
+
+def _tracer_kernel_t_lg(split, rrearth, nq, fold_sph, lg, *refs):
+    """Lane-grouped tracer Euler body: lg independent 128-lane groups
+    per grid step (grid / lg; see the r4 lane-grouping ledger)."""
+    (scal_ref, dxbt_ref, dybt_ref, meta_ref, vu_ref, vv_ref,
+     q_ref, o_ref) = refs
+    for g in range(lg):
+        sl = slice(g * 128, (g + 1) * 128)
+
+        class _V:
+            def __init__(self, ref):
+                self.ref = ref
+
+            def __getitem__(self, idx):
+                rows = idx[0] if isinstance(idx, tuple) else idx
+                return self.ref[rows, sl]
+
+            @property
+            def shape(self):
+                return (self.ref.shape[0], 128)
+
+        class _O:
+            def __setitem__(self, idx, val):
+                rows = idx[0] if isinstance(idx, tuple) else idx
+                o_ref[rows, sl] = val
+
+        _tracer_kernel_t(split, rrearth, nq, fold_sph, False, 0,
+                         scal_ref, dxbt_ref, dybt_ref, _V(meta_ref),
+                         _V(vu_ref), _V(vv_ref), _V(q_ref), _O())
+
+
+@partial(jax.jit, static_argnames=("nlev", "lg", "fold_sph", "wind_rows",
+                                   "interpret"))
+def tracer_euler_pallas_packed_t_lg(scal, dxbt, dybt, meta, vu, vv, qdp,
+                                    nlev: int, lg: int = 4,
+                                    fold_sph: bool = True,
+                                    wind_rows: tuple = (0, 0),
+                                    interpret: bool = False):
+    """Lane-grouped `tracer_euler_pallas_packed_t` (lane width 128*lg,
+    grid length e16/(128*lg); e16 % (128*lg) == 0)."""
+    qk, e16 = qdp.shape
+    k = nlev
+    assert qk % k == 0, (qk, k)
+    nq = qk // k
+    w = 128 * lg
+    assert e16 % w == 0, (e16, w)
+    nblocks = e16 // w
+    wu, wv = wind_rows
+    assert vu.shape[0] >= (wu + 1) * k and vv.shape[0] >= (wv + 1) * k
+
+    fld = lambda r: pl.BlockSpec((r, w), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    row = lambda r: pl.BlockSpec((k, w), lambda i, r=r: (r, i),
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    kernel = partial(_tracer_kernel_t_lg, not interpret, CONSTANTS.rrearth,
+                     nq, fold_sph, lg)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            rep((128, 128)), rep((128, 128)),
+            pl.BlockSpec((len(META_COLS), w), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            row(wu), row(wv), fld(qk),
+        ],
+        out_specs=fld(qk),
+        out_shape=jax.ShapeDtypeStruct((qk, e16), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=nblocks * lg * nq * 2 * 2 * 128 * 128 * k,
             bytes_accessed=2 * (qk + k) * e16 * 4,
             transcendentals=0,
         ),
