@@ -104,6 +104,18 @@ def _group_minmax(x, strategy: str):
                     + jax.lax.dot(lo, gu,
                                   preferred_element_type=jnp.float32))
         return b2(mn), b2(mx)
+    if strategy == "transpose":
+        # in-VMEM transpose -> leading-axis reshape -> sublane-group
+        # reduce -> broadcast -> transpose back. Measured 5.8 vs the roll
+        # butterfly's 10.1 us/block at [2520, 128] (q35) — the butterfly
+        # costs 32 VPU passes, this ~2 transposes + ~2 passes. Exact.
+        r = x.shape[0]
+        xt = x.T                                   # [128, r]
+        x3 = xt.reshape(8, 16, r)
+        mn3, mx3 = x3.min(axis=1), x3.max(axis=1)  # [8, r]
+        b = lambda s: jax.lax.broadcast_in_dim(
+            s, (8, 16, r), (0, 2)).reshape(128, r).T
+        return b(mn3), b(mx3)
     assert strategy == "roll", strategy
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 16
     mn = mx = x
@@ -287,7 +299,7 @@ def _tracer_limit_kernel_t(split, rrearth, nq, has_mix, strategy, cM,
 def tracer_limit_pallas_packed_t_ext(scal, dxbt, dybt, meta, vu, vv, qdp,
                                      mx, sf, nt: int, nlev: int,
                                      has_mix: bool = True,
-                                     strategy: str = "roll",
+                                     strategy: str = "transpose",
                                      wind_rows: tuple = (0, 0),
                                      cq=None, cM: int = 0,
                                      interpret: bool = False):
