@@ -100,6 +100,11 @@ def main() -> None:
                          "128-lane groups per grid step + standalone "
                          "compact extraction (ne120 at-scale fix; "
                          "requires e16 %% (128*lg) == 0)")
+    ap.add_argument("--limit-iters", type=int, default=2,
+                    help="--limit: clip+redistribute passes before the "
+                         "exact-conservation fallback (2 = field-path "
+                         "default; 1 trades monotone tightness for ~1.3 "
+                         "us/block)")
     ap.add_argument("--hv-dots", default="split",
                     choices=("split", "fast"),
                     help="--prim: hyperviscosity Laplacian MXU dot mode — "
@@ -320,7 +325,8 @@ def main() -> None:
                 return prim_step_packed_t4(
                     *cst, *acc, plan, rsp, args.nu, eb=cfg.elem_block,
                     nlev=cfg.nlev, limit_tracers=args.limit,
-                    hv_fast_dots=args.hv_dots == "fast", lg=args.lg)
+                    hv_fast_dots=args.hv_dots == "fast", lg=args.lg,
+                    limit_iters=args.limit_iters)
 
             def rotate(cst, o):
                 return cst[:7] + (o[0], o[1]) + cst[9:10]
@@ -649,7 +655,9 @@ def main() -> None:
         "config": f"{args.nelem}x{args.nlev}x16 {args.dtype} nexec={args.nexec} kernel={kernel}"
                   + ((" prim(ssprk3+hypervis+tracers)"
                       + (f" qsize={args.qsize}" if args.qsize > 1 else "")
-                      + (" limit" if args.limit else "")
+                      + ((" limit" + (f" iters={args.limit_iters}"
+                                      if args.limit_iters != 2 else ""))
+                         if args.limit else "")
                       + (" hv_dots=fast" if args.hv_dots == "fast" else ""))
                      if (cs is not None and args.prim) else "")
                   + (" layout=t" if args.layout == "t" else "")

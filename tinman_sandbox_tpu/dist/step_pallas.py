@@ -504,12 +504,13 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "limit",
                                    "fuse_extract", "compact", "wind_rows",
-                                   "lg", "interpret"))
+                                   "lg", "limit_iters", "interpret"))
 def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
                            dt, eb: int, nlev: int, limit: bool = False,
                            fuse_extract: bool = True,
                            compact: bool = True,
                            wind_rows: tuple = (0, 0), lg: int = 0,
+                           limit_iters: int = 2,
                            interpret: bool = False):
     """SSPRK3 tracer transport on the packed path: each stage is the fused
     Euler kernel (kernels/tracer_pallas_t.py, spheremp folded in) closed by
@@ -627,7 +628,8 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
             e, xd_t = tracer_limit_pallas_packed_t_ext(
                 sc, dxbt, dybt, meta, vu, vv, q, mx, sfj,
                 nt=nt, nlev=nlev, has_mix=mx is not None,
-                wind_rows=wind_rows, cq=cqj, cM=cM, interpret=interpret)
+                wind_rows=wind_rows, cq=cqj, cM=cM, iters=limit_iters,
+                interpret=interpret)
             if cM:
                 return dss_structured_t_pallas_cpre(
                     e, xd_t, plan, rsp_lanes, interpret=interpret)
@@ -828,13 +830,15 @@ def ssprk3_tracer_ring_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
 
 @partial(jax.jit, static_argnames=("nu", "eb", "nlev", "plan", "qsplit",
                                    "moist", "subcycle", "limit_tracers",
-                                   "hv_fast_dots", "lg", "interpret"))
+                                   "hv_fast_dots", "lg", "limit_iters",
+                                   "interpret"))
 def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                         s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
                         nu, eb: int, nlev: int, qsplit: int = 1,
                         nu_ratio=1.0, moist: bool = True,
                         subcycle: int = 1, limit_tracers: bool = False,
                         hv_fast_dots: bool = False, lg: int = 0,
+                        limit_iters: int = 2,
                         interpret: bool = False):
     """FULL prim cadence on the packed transposed Pallas path (the fused
     fast-path analog of timeloop/prim.py::prim_run_step):
@@ -876,6 +880,7 @@ def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                                      plan, rsp_lanes, dt_q,
                                      eb=eb, nlev=nlev, limit=limit_tracers,
                                      wind_rows=(0, 1), lg=lg,
+                                     limit_iters=limit_iters,
                                      interpret=interpret)
     return s1, qdp, phi, vn0u1, vn0v1, omg1
 

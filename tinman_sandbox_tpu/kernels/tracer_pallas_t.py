@@ -229,7 +229,7 @@ def _tracer_kernel_t(split, rrearth, nq, fold_sph, ext, cM, *refs):
 
 
 def _tracer_limit_kernel_t(split, rrearth, nq, has_mix, strategy, cM,
-                           *refs):
+                           iters, *refs):
     """Limited tracer stage kernel: e = q - dt*div(v*q);
     y = ca*mx + cb*e (the Shu-Osher combination, when has_mix);
     y = L(y, bounds(q)) (the monotone limiter, element-local);
@@ -281,7 +281,7 @@ def _tracer_limit_kernel_t(split, rrearth, nq, has_mix, strategy, cM,
     y = q - dt * div
     if has_mix:
         y = scal_ref[0, 1] * mx_ref[:] + scal_ref[0, 2] * y
-    y = _limit_lanes(y, q, sph, split, strategy)
+    y = _limit_lanes(y, q, sph, split, strategy, iters=iters)
     out = sph * y
     o_ref[:] = out
 
@@ -295,13 +295,13 @@ def _tracer_limit_kernel_t(split, rrearth, nq, has_mix, strategy, cM,
 
 
 @partial(jax.jit, static_argnames=("nt", "nlev", "has_mix", "strategy",
-                                   "wind_rows", "cM", "interpret"))
+                                   "wind_rows", "cM", "iters", "interpret"))
 def tracer_limit_pallas_packed_t_ext(scal, dxbt, dybt, meta, vu, vv, qdp,
                                      mx, sf, nt: int, nlev: int,
                                      has_mix: bool = True,
                                      strategy: str = "transpose",
                                      wind_rows: tuple = (0, 0),
-                                     cq=None, cM: int = 0,
+                                     cq=None, cM: int = 0, iters: int = 2,
                                      interpret: bool = False):
     """Fused LIMITED tracer stage with producer-fused slab extraction:
     sph * L(ca*mx + cb*(q - dt*div(v*q)), bounds(q)), slab second output.
@@ -328,7 +328,7 @@ def tracer_limit_pallas_packed_t_ext(scal, dxbt, dybt, meta, vu, vv, qdp,
     srows = cM if cM else 128
     kernel = partial(_tracer_limit_kernel_t, not interpret,
                      CONSTANTS.rrearth, nq, has_mix,
-                     "interp" if interpret else strategy, cM)
+                     "interp" if interpret else strategy, cM, iters)
     in_specs = [
         pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
                      memory_space=pltpu.SMEM),
