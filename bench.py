@@ -300,6 +300,14 @@ def main() -> None:
 
         chunk = max(1, args.chunk)
 
+        if cs is not None and transposed and args.lg == 0:
+            # auto-pick the lane-grouped path (measured: q1 8.69 -> 7.22
+            # ms/step at ne30 lg=5; ne120 assembled 24.7 -> 20.4 at lg=8;
+            # bitwise-equal to the eb=8 fused path)
+            e16_a = p["u0"].shape[1]
+            args.lg = next((g for g in (8, 5, 4, 3, 2)
+                            if e16_a % (128 * g) == 0), 0)
+
         if cs is not None and transposed and args.prim:
             # FULL prim cadence on the packed path: SSPRK3 dynamics +
             # biharmonic hyperviscosity + SSPRK3 tracer transport
