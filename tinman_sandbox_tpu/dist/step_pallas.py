@@ -539,7 +539,16 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
         # the Shu-Osher combinations folded into the sweep (mix)
         from ..fastpath import fused_admissible, note_compact
 
-        if lg > 1 and e16 % (128 * lg) == 0:
+        # the lane-grouped tracer kernel's block is [qk, 128*lg]: at
+        # QSIZE_D=35 (qk=2520) its ~4 live buffers overflow scoped VMEM
+        # (measured 30.7M vs 21.3M at lg=5) — shrink lg until the
+        # estimate fits, falling through to the 128-lane fused path
+        qk = qdp.shape[0]
+        lg_t = lg
+        while lg_t > 1 and 4.5 * qk * 128 * lg_t * 4 > 16 * 2 ** 20:
+            lg_t -= 1
+        if lg_t > 1 and e16 % (128 * lg_t) == 0:
+            lg = lg_t
             from ..fastpath import last_path
             from ..kernels.dss_pallas import (
                 _fixup_arrays_t, extract_tiles_ct,
