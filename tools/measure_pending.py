@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Run every pending TPU measurement (round 3: post-tall-dot sweep).
+"""Run every pending TPU measurement (round 4: lane-grouped defaults).
 
 Probes the backend first (subprocess + timeout, the tunnel can hang
 forever), then runs, in order:
@@ -78,14 +78,22 @@ def main():
              "--reps", "2"], 1500, log)
         run("headline", [py, "bench.py"], 1200, log)
         run("ne120_assembled", [py, "bench.py", "--ne", "120",
-                                "--nexec", "30", "--reps", "2"], 1800, log)
-        run("ne120_ring", [py, "bench.py", "--ne", "120", "--ring",
-                           "--nexec", "30", "--reps", "2"], 1800, log)
+                                "--nexec", "40", "--reps", "2"], 2700, log)
+        run("ne120_kernel_ab",
+            [py, "tools/bench_ne120_kernel.py", "--nexec", "40",
+             "--reps", "2", "--chunk", "10",
+             "--variants", "eb8", "lg8"], 3600, log)
         run("prim_ne30", [py, "bench.py", "--ne", "30", "--prim",
-                          "--nexec", "60", "--reps", "2"], 2400, log)
+                          "--nexec", "100", "--reps", "2"], 2400, log)
         run("prim_ne30_q35", [py, "bench.py", "--ne", "30", "--prim",
                               "--qsize", "35", "--nexec", "30",
                               "--reps", "2"], 2400, log)
+        run("prim_ne30_q35_limit",
+            [py, "bench.py", "--ne", "30", "--prim", "--qsize", "35",
+             "--limit", "--nexec", "30", "--reps", "2"], 2700, log)
+        run("prim_ne30_hvfast",
+            [py, "bench.py", "--ne", "30", "--prim", "--hv-dots", "fast",
+             "--nexec", "100", "--reps", "2"], 2400, log)
         # compile-time gate (VERDICT r2 item 7): cold --scan compile into a
         # FRESH cache dir, then a second process reusing that cache. The
         # bench line's "warmup_s" field carries the number (compile_s
