@@ -459,14 +459,23 @@ def caar_pallas_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
 
 def _caar_kernel_t4_lg(split, moist, rgas, kappa, rv_factor, rrearth,
-                       single, lg, *refs):
+                       single, lg, ext, cM, *refs):
     """Lane-grouped stacked kernel body: ``lg`` independent 128-lane
     groups per grid step. Each group runs the exact `_caar_physics`
     128-lane math (same MXU shapes, same fp-op order as the eb=8 kernel);
     only the grid length shrinks by lg. Built for the ne120 kernel-at-
     scale A/B (VERDICT r3 item 1): at 86,400 elements the eb=8 grid is
     10,800 steps, and per-grid-step fixed costs that are invisible at
-    1,024 elements (128 steps) become measurable."""
+    1,024 elements (128 steps) become measurable. With ``ext`` the
+    kernel also emits the compact DSS slab per affected GROUP at static
+    g*cM row offsets of its super-block slot (dss_pallas.cext_tables_lg)."""
+    sf_ref = cq_ref = ext_ref = None
+    refs = list(refs)
+    if ext:
+        sf_ref = refs.pop(0)
+        cq_ref = refs.pop(0)
+        ext_ref = refs.pop()
+    refs = tuple(refs)
     if single:
         (scal_ref, dxbt_ref, dybt_ref, ainct_ref, astrt_ref, bstrt_ref,
          meta_ref, s0_ref, qdp_ref, pecnd_ref,
@@ -516,6 +525,16 @@ def _caar_kernel_t4_lg(split, moist, rgas, kappa, rv_factor, rrearth,
         vn0u_out[:, sl] = vn0u_ref[:, sl] + eta * vdp1
         vn0v_out[:, sl] = vn0v_ref[:, sl] + eta * vdp2
         omg_out[:, sl] = omg_ref[:, sl] + eta * omega_p
+        if ext:
+            @pl.when(sf_ref[1 + g, pl.program_id(0)] == 1)
+            def _write_slab(g=g, u1v=u1v, v1v=v1v, t1v=t1v, dp1v=dp1v):
+                sel_l, _ = make_sel(split)
+                q = cq_ref[g * cM:(g + 1) * cM]
+                rsl = slice(g * cM, (g + 1) * cM)
+                ext_ref[rsl, 0:k_] = sel_l(q, u1v.T)
+                ext_ref[rsl, k_:2 * k_] = sel_l(q, v1v.T)
+                ext_ref[rsl, 2 * k_:3 * k_] = sel_l(q, t1v.T)
+                ext_ref[rsl, 3 * k_:4 * k_] = sel_l(q, dp1v.T)
 
 
 @partial(jax.jit, static_argnames=("nlev", "moist", "lg", "single",

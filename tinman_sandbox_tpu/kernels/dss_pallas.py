@@ -858,6 +858,76 @@ def cext_tables(plan, nblocks: int):
     return sf, nt, M, q
 
 
+@lru_cache(maxsize=None)
+def cext_tables_lg(plan, nblocks: int, lg: int):
+    """Producer-side tables for COMPACT fused extraction from a
+    LANE-GROUPED producer (lg 128-lane groups per grid step): slots are
+    assigned per affected SUPER-BLOCK (a run of lg tiles containing at
+    least one affected tile), each granted lg*cM contiguous slab rows;
+    group g of super-block I writes rows [g*cM, (g+1)*cM) of its slot
+    block when its tile is flagged (static offsets — no dynamic stores),
+    unaffected groups skip the write, and the monotone slot row keeps
+    Pallas' revisit coalescing semantics.
+
+    Returns (sf [1+lg, nsb], n_asb, cM, cq_lg [n_asb*lg*cM, 128]).
+    The slab layout differs from `cext_tables`'s dense one only by the
+    per-super-block strides + holes; the consumer difference is confined
+    to the fixup's slab-row maps (`_compact_row_maps_lg`) — the vals
+    buffer / sweep / placement tables are untouched."""
+    assert nblocks % lg == 0, (nblocks, lg)
+    gtiles, _, _ = _fixup_arrays_t(plan)
+    (cM, q_dense) = _compact_arrays(plan)[:2]
+    nsb = nblocks // lg
+    asb = sorted({t // lg for t in gtiles})
+    S = {sb: i for i, sb in enumerate(asb)}
+    dense_slot = {t: s for s, t in enumerate(gtiles)}
+
+    sf = np.zeros((1 + lg, nsb), np.int32)
+    s = 0
+    for I in range(nsb):
+        if I in S:
+            s = S[I]
+            for g in range(lg):
+                if I * lg + g in dense_slot:
+                    sf[1 + g, I] = 1
+        sf[0, I] = s
+    q_np = np.asarray(q_dense, np.float32)
+    cq = np.zeros((len(asb) * lg * cM, 128), np.float32)
+    for t in gtiles:
+        dst = (S[t // lg] * lg + t % lg) * cM
+        src = dense_slot[t] * cM
+        cq[dst:dst + cM] = q_np[src:src + cM]
+    return sf, len(asb), cM, cq.astype(jnp.bfloat16)
+
+
+@lru_cache(maxsize=None)
+def _compact_row_maps_lg(plan, lg: int):
+    """The fixup's slab-row maps (`_compact_arrays`'s row_lines_c /
+    row_corner_c) re-addressed for the lane-grouped super-block slab:
+    pos'(lane) = (S(tile//lg)*lg + tile%lg)*cM + rank(lane in tile)."""
+    idx_lines, corner = _fixup_arrays(plan)[:2]
+    gtiles, _, _ = _fixup_arrays_t(plan)
+    cM = _compact_arrays(plan)[0]
+    asb = sorted({t // lg for t in gtiles})
+    S = {sb: i for i, sb in enumerate(asb)}
+
+    read = np.unique(np.concatenate([idx_lines.reshape(-1),
+                                     corner.reshape(-1)]))
+    by_tile = {}
+    for l in read:
+        by_tile.setdefault(int(l) // 128, []).append(int(l))
+    pos = {}
+    for t, ll in by_tile.items():
+        base = (S[t // lg] * lg + t % lg) * cM
+        for r, l in enumerate(sorted(ll)):
+            pos[l] = base + r
+    row_lines = np.asarray([[pos[int(l)] for l in row]
+                            for row in idx_lines], np.int32)
+    row_corner = np.asarray([[pos[int(l)] for l in row]
+                             for row in corner], np.int32)
+    return row_lines, row_corner
+
+
 def _sweep_kernel_ct(db: int, tiles: tuple, lb: int, M: int, mix: bool,
                      split: bool, interpret: bool, *refs):
     """Sweep + COMPACT edge/corner merge: like `_sweep_kernel_t`, but the
@@ -972,8 +1042,9 @@ def dss_sweeps_pallas_ct(x, rsp, vd_c, dense_mask, p_tbl, ne: int,
     )(*operands)
 
 
-@partial(jax.jit, static_argnames=("plan", "interpret"))
+@partial(jax.jit, static_argnames=("plan", "lg", "interpret"))
 def dss_structured_t_pallas_cpre(x, xs, plan, rsp_lanes, mix=None,
+                                 lg: int = 0,
                                  interpret: bool = False):
     """`dss_structured_t_pallas_pre` on the COMPACT fix-lane slab ``xs``
     [nt*M, k] emitted by a `cext_tables`-driven producer: the fixup's row
@@ -984,6 +1055,10 @@ def dss_structured_t_pallas_cpre(x, xs, plan, rsp_lanes, mix=None,
     _, _, _, tiles, nf, _, _ = _fixup_arrays(plan)
     (m_rows, _, row_lines_c, row_corner_c, di_c, wd_c, _,
      p_tbl, _) = _compact_arrays(plan)
+    if lg > 1:
+        # slab emitted by a lane-grouped producer: super-block slot
+        # layout — only the fixup's slab-row maps change
+        row_lines_c, row_corner_c = _compact_row_maps_lg(plan, lg)
     vals_t = _fixup_from_rows(xs, rsp_lanes, plan, row_lines_c,
                               row_corner_c)
     k = x.shape[0]
