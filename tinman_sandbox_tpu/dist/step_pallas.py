@@ -244,19 +244,22 @@ def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
         )
 
         from ..fastpath import last_path
+        from ..kernels.dss_pallas import cext_tables_lg
 
         last_path["caar_dss_structured_packed_t4"] = f"fused-lg{lg}-compact"
         assert e16 % (128 * lg) == 0, (e16, lg)
-        _, nt, cM, cq_np = cext_tables(plan, e16 // 128)
-        gtiles = _fixup_arrays_t(plan)[0]
-        s1, phi, vn0u1, vn0v1, omg1 = caar_pallas_packed_t4_lg(
+        # producer-fused super-block slab (cext_tables_lg): the kernel
+        # emits the compact fixup slab itself — no separate extraction
+        # dispatch and no re-read of the affected tiles
+        sf_np, nslots, cM, cq_np = cext_tables_lg(plan, e16 // 128, lg)
+        s1, phi, vn0u1, vn0v1, omg1, xs = caar_pallas_packed_t4_lg(
             scal, dxbt, dybt, ainct, astrt, bstrt, meta,
             s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
-            nlev=nlev, moist=moist, lg=lg, interpret=interpret)
-        xs = extract_tiles_ct(s1, gtiles, jnp.asarray(cq_np), cM,
-                              interpret=interpret)
+            nlev=nlev, moist=moist, lg=lg, sf=jnp.asarray(sf_np),
+            cq=jnp.asarray(cq_np), nslots=nslots, cM=cM,
+            interpret=interpret)
         assembled = dss_structured_t_pallas_cpre(
-            s1, xs, plan, rsp_lanes, interpret=interpret)
+            s1, xs, plan, rsp_lanes, lg=lg, interpret=interpret)
         return assembled, phi, vn0u1, vn0v1, omg1
 
     if fuse_extract and fused_admissible(
@@ -339,23 +342,24 @@ def ssprk3_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         from ..fastpath import last_path
 
         last_path["ssprk3_packed_t4"] = f"fused-lg{lg}-compact"
-        _, nt_ext, cM, cq_np = cext_tables(plan, e16 // 128)
-        gtiles = _fixup_arrays_t(plan)[0]
-        cqj = jnp.asarray(cq_np)
+        from ..kernels.dss_pallas import cext_tables_lg
+
+        sf_np, nslots, cM, cq_np = cext_tables_lg(plan, e16 // 128, lg)
+        sfj, cqj = jnp.asarray(sf_np), jnp.asarray(cq_np)
 
         def kstage(u, b, acc, emit_phi=False):
             sc = scal.at[0, 1].set(scal[0, 1] * f.type(b))
             out = caar_pallas_packed_t4_lg(
                 sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, u, qdp,
                 pecnd, *acc, nlev=nlev, moist=moist, lg=lg, single=True,
-                emit_phi=emit_phi, interpret=interpret)
-            xd_t = extract_tiles_ct(out[0], gtiles, cqj, cM,
-                                    interpret=interpret)
-            return out[0], out[1], out[2:5], xd_t
+                emit_phi=emit_phi, sf=sfj, cq=cqj, nslots=nslots, cM=cM,
+                interpret=interpret)
+            return out[0], out[1], out[2:5], out[5]
 
         def proj(s1, xd_t, mix=None):
             return dss_structured_t_pallas_cpre(
-                s1, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
+                s1, xd_t, plan, rsp_lanes, mix=mix, lg=lg,
+                interpret=interpret)
 
         s1k, _, acc, xd = kstage(s0, B[0], (vn0u, vn0v, omg))
         u1 = proj(s1k, xd)
@@ -446,22 +450,21 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
         # lane-grouped vlap + standalone compact extraction (r4 grid-
         # overhead fix); sweep/mix epilogue unchanged
         from ..fastpath import last_path
-        from ..kernels.dss_pallas import _fixup_arrays_t, extract_tiles_ct
+        from ..kernels.dss_pallas import cext_tables_lg
         from ..kernels.hypervis_pallas_t import vlap_pallas_packed_t_lg
 
         last_path["apply_hypervis_packed_t"] = f"fused-lg{lg}-compact"
-        sf, nt, cM, cq_np = cext_tables(plan, e16 // 128)
-        gtiles = _fixup_arrays_t(plan)[0]
-        cqj = jnp.asarray(cq_np)
+        sf_np, nslots, cM, cq_np = cext_tables_lg(plan, e16 // 128, lg)
+        sfj, cqj = jnp.asarray(sf_np), jnp.asarray(cq_np)
 
         def lap_dss(x, mix=None):
-            l = vlap_pallas_packed_t_lg(
+            l, xd_t = vlap_pallas_packed_t_lg(
                 sc, dxbt, dybt, meta, x, nlev=nlev, lg=lg,
-                fast_dots=hv_fast_dots, interpret=interpret)
-            xd_t = extract_tiles_ct(l, gtiles, cqj, cM,
-                                    interpret=interpret)
+                fast_dots=hv_fast_dots, sf=sfj, cq=cqj, nslots=nslots,
+                cM=cM, interpret=interpret)
             return dss_structured_t_pallas_cpre(
-                l, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
+                l, xd_t, plan, rsp_lanes, mix=mix, lg=lg,
+                interpret=interpret)
     elif fuse_extract and fused_admissible(
             eb, e16, "apply_hypervis_packed_t"):
         note_compact("apply_hypervis_packed_t", compact)
@@ -550,26 +553,23 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
         if lg_t > 1 and e16 % (128 * lg_t) == 0:
             lg = lg_t
             from ..fastpath import last_path
-            from ..kernels.dss_pallas import (
-                _fixup_arrays_t, extract_tiles_ct,
-            )
+            from ..kernels.dss_pallas import cext_tables_lg
             from ..kernels.tracer_pallas_t import (
                 tracer_euler_pallas_packed_t_lg,
             )
 
             last_path["ssprk3_tracer_packed_t"] = f"fused-lg{lg}-compact"
-            sf, nt, cM, cq_np = cext_tables(plan, e16 // 128)
-            gtiles = _fixup_arrays_t(plan)[0]
-            cqj = jnp.asarray(cq_np)
+            sf_np, nslots, cM, cq_np = cext_tables_lg(plan, e16 // 128, lg)
+            sfj, cqj = jnp.asarray(sf_np), jnp.asarray(cq_np)
 
             def stage(q, mix=None):
-                e = tracer_euler_pallas_packed_t_lg(
+                e, xd_t = tracer_euler_pallas_packed_t_lg(
                     scal, dxbt, dybt, meta, vu, vv, q, nlev=nlev, lg=lg,
-                    wind_rows=wind_rows, interpret=interpret)
-                xd_t = extract_tiles_ct(e, gtiles, cqj, cM,
-                                        interpret=interpret)
+                    wind_rows=wind_rows, sf=sfj, cq=cqj, nslots=nslots,
+                    cM=cM, interpret=interpret)
                 return dss_structured_t_pallas_cpre(
-                    e, xd_t, plan, rsp_lanes, mix=mix, interpret=interpret)
+                    e, xd_t, plan, rsp_lanes, mix=mix, lg=lg,
+                    interpret=interpret)
         elif fuse_extract and fused_admissible(
                 eb, e16, "ssprk3_tracer_packed_t"):
             note_compact("ssprk3_tracer_packed_t", compact)

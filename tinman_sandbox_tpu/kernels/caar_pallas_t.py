@@ -538,17 +538,22 @@ def _caar_kernel_t4_lg(split, moist, rgas, kappa, rv_factor, rrearth,
 
 
 @partial(jax.jit, static_argnames=("nlev", "moist", "lg", "single",
-                                   "emit_phi", "interpret"))
+                                   "emit_phi", "nslots", "cM", "interpret"))
 def caar_pallas_packed_t4_lg(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                              s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
                              nlev: int, moist: bool = True, lg: int = 4,
                              single: bool = False, emit_phi: bool = True,
-                             interpret: bool = False):
+                             sf=None, cq=None, nslots: int = 0,
+                             cM: int = 0, interpret: bool = False):
     """Lane-grouped `caar_pallas_packed_t4`: BlockSpec lane width
     128*lg, grid length e16/(128*lg). ``single=True`` is the RK-stage
     mode (sm1 ignored; pass s0 twice); ``emit_phi=False`` coalesces the
     phi output into one revisited block (RK stages 1-2 never read phi).
-    Requires e16 % (128*lg) == 0."""
+    With ``sf``/``cq``/``nslots``/``cM`` (dss_pallas.cext_tables_lg) the
+    kernel also emits the COMPACT DSS slab [nslots*lg*cM, 4*nlev] as a
+    super-block-slot-mapped extra output (per-group pl.when writes at
+    static g*cM offsets) — consumed by dss_structured_t_pallas_cpre with
+    lg=lg. Requires e16 % (128*lg) == 0."""
     k4, e16 = s0.shape
     k = nlev
     assert k4 == 4 * k, (k4, k)
@@ -556,15 +561,30 @@ def caar_pallas_packed_t4_lg(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     assert e16 % w == 0, (e16, w)
     nblocks = e16 // w
     f = jnp.float32
-
-    fld = lambda r: pl.BlockSpec((r, w), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM)
-    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+    ext = sf is not None
+    if ext:
+        assert sf.shape == (1 + lg, nblocks), (sf.shape, lg, nblocks)
+        fld = lambda r: pl.BlockSpec((r, w), lambda i, sf: (0, i),
                                      memory_space=pltpu.VMEM)
+        rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
+                                         memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+                            memory_space=pltpu.SMEM)
+        meta_spec = pl.BlockSpec((len(META_COLS), w), lambda i, sf: (0, i),
+                                 memory_space=pltpu.VMEM)
+    else:
+        fld = lambda r: pl.BlockSpec((r, w), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+        rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 4), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+        meta_spec = pl.BlockSpec((len(META_COLS), w), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
     kernel = partial(
         _caar_kernel_t4_lg, not interpret, moist, CONSTANTS.Rgas,
         CONSTANTS.kappa, CONSTANTS.rgas_over_rvap_m1, CONSTANTS.rrearth,
-        single, lg,
+        single, lg, ext, cM if ext else 0,
     )
     flops_per_block = lg * (13 * 2 * 128 * 128 * k + 3 * 2 * 128 * k * k)
     if emit_phi:
@@ -576,12 +596,12 @@ def caar_pallas_packed_t4_lg(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         phi_shape = jax.ShapeDtypeStruct((k, w), f)
     out_shape = [jax.ShapeDtypeStruct((4 * k, e16), f), phi_shape] + [
         jax.ShapeDtypeStruct((k, e16), f) for _ in range(3)]
+    out_specs = [fld(4 * k), phi_spec, fld(k), fld(k), fld(k)]
     in_specs = [
-        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        smem,
         rep((128, 128)), rep((128, 128)),
         rep((k, k)), rep((k, k)), rep((k, k)),
-        pl.BlockSpec((len(META_COLS), w), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
+        meta_spec,
         fld(4 * k),                          # s0
         fld(k), fld(k),                      # qdp, pecnd
         fld(k), fld(k), fld(k),              # accumulators
@@ -595,11 +615,27 @@ def caar_pallas_packed_t4_lg(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         operands.insert(8, sm1)
         aliases = {11: 2, 12: 3, 13: 4}
         nbytes = (14 + 8) * e16 * k * 4
+    if ext:
+        in_specs.insert(0, pl.BlockSpec(
+            (lg * cM, 128), lambda i, sf: (sf[0, i], 0),
+            memory_space=pltpu.VMEM))
+        operands = [sf, cq] + operands
+        out_specs.append(pl.BlockSpec(
+            (lg * cM, 4 * k), lambda i, sf: (sf[0, i], 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((nslots * lg * cM, 4 * k), f))
+        # sf + cq prepend two flat operands before the aliased ones
+        aliases = {ix + 2: o for ix, o in aliases.items()}
+        nbytes += nslots * lg * cM * 4 * k * 4
+        grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(nblocks,),
+            in_specs=in_specs, out_specs=out_specs))
+    else:
+        grid_kw = dict(grid=(nblocks,), in_specs=in_specs,
+                       out_specs=out_specs)
     return pl.pallas_call(
         kernel,
-        grid=(nblocks,),
-        in_specs=in_specs,
-        out_specs=[fld(4 * k), phi_spec, fld(k), fld(k), fld(k)],
         out_shape=out_shape,
         input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
@@ -608,6 +644,7 @@ def caar_pallas_packed_t4_lg(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
             transcendentals=0,
         ),
         interpret=interpret,
+        **grid_kw,
     )(*operands)
 
 

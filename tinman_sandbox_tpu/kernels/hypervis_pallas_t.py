@@ -192,11 +192,19 @@ def vlap_pallas_packed_t(scal, dxbt, dybt, meta, x,
       jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x, x, x)
 
 
-def _vlap_kernel_t_lg(split, rrearth, fast, lg, *refs):
+def _vlap_kernel_t_lg(split, rrearth, fast, lg, ext, cM, *refs):
     """Lane-grouped vlap body: lg independent 128-lane groups per grid
     step (same MXU shapes/fp-op order as `_vlap_kernel_t`; grid / lg —
     the ne120/headline lane-grouping ledger applied to the
-    hyperviscosity kernel)."""
+    hyperviscosity kernel). With ``ext``, each affected group also emits
+    its compact DSS slab rows (cext_tables_lg super-block layout) by
+    reading back its just-written output slice."""
+    sf_ref = cq_ref = ext_ref = None
+    refs = list(refs)
+    if ext:
+        sf_ref = refs.pop(0)
+        cq_ref = refs.pop(0)
+        ext_ref = refs.pop()
     (scal_ref, dxbt_ref, dybt_ref, dxb_ref, dyb_ref, meta_ref,
      u_ref, v_ref, t_ref, o_ref) = refs
     k = u_ref.shape[0]
@@ -227,15 +235,30 @@ def _vlap_kernel_t_lg(split, rrearth, fast, lg, *refs):
                        scal_ref, dxbt_ref, dybt_ref, dxb_ref, dyb_ref,
                        _V(meta_ref), _V(u_ref), _V(v_ref), _V(t_ref),
                        _O())
+        if ext:
+            @pl.when(sf_ref[1 + g, pl.program_id(0)] == 1)
+            def _write_slab(g=g, sl=sl):
+                sel_l, _ = make_sel(split)
+                q = cq_ref[g * cM:(g + 1) * cM]
+                rsl = slice(g * cM, (g + 1) * cM)
+                ext_ref[rsl, 0:k] = sel_l(q, o_ref[0:k, sl].T)
+                ext_ref[rsl, k:2 * k] = sel_l(q, o_ref[k:2 * k, sl].T)
+                ext_ref[rsl, 2 * k:3 * k] = sel_l(
+                    q, o_ref[2 * k:3 * k, sl].T)
 
 
-@partial(jax.jit, static_argnames=("nlev", "lg", "fast_dots", "interpret"))
+@partial(jax.jit, static_argnames=("nlev", "lg", "fast_dots", "nslots",
+                                   "cM", "interpret"))
 def vlap_pallas_packed_t_lg(scal, dxbt, dybt, meta, x,
                             nlev: int, lg: int = 4,
                             fast_dots: bool = False,
+                            sf=None, cq=None, nslots: int = 0,
+                            cM: int = 0,
                             interpret: bool = False):
     """Lane-grouped `vlap_pallas_packed_t`: lane width 128*lg, grid
-    length e16/(128*lg). Requires e16 % (128*lg) == 0."""
+    length e16/(128*lg); with ``sf``/``cq`` (cext_tables_lg) also emits
+    the compact DSS slab [nslots*lg*cM, 3*nlev]. Requires
+    e16 % (128*lg) == 0."""
     kx, e16 = x.shape
     k = nlev
     assert kx >= 3 * k and kx % k == 0, (kx, k)
@@ -243,36 +266,76 @@ def vlap_pallas_packed_t_lg(scal, dxbt, dybt, meta, x,
     assert e16 % w == 0, (e16, w)
     nblocks = e16 // w
     f = jnp.float32
+    ext = sf is not None
 
-    fld = lambda r: pl.BlockSpec((r, w), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM)
-    row = lambda r: pl.BlockSpec((k, w), lambda i, r=r: (r, i),
-                                 memory_space=pltpu.VMEM)
-    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+    if ext:
+        fld = lambda r: pl.BlockSpec((r, w), lambda i, sf: (0, i),
                                      memory_space=pltpu.VMEM)
+        row = lambda r: pl.BlockSpec((k, w), lambda i, sf, r=r: (r, i),
+                                     memory_space=pltpu.VMEM)
+        rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
+                                         memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+                            memory_space=pltpu.SMEM)
+        meta_spec = pl.BlockSpec((len(META_COLS), w),
+                                 lambda i, sf: (0, i),
+                                 memory_space=pltpu.VMEM)
+    else:
+        fld = lambda r: pl.BlockSpec((r, w), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+        row = lambda r: pl.BlockSpec((k, w), lambda i, r=r: (r, i),
+                                     memory_space=pltpu.VMEM)
+        rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 4), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+        meta_spec = pl.BlockSpec((len(META_COLS), w), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
     kernel = partial(_vlap_kernel_t_lg, not interpret, CONSTANTS.rrearth,
-                     fast_dots, lg)
-    return pl.pallas_call(
+                     fast_dots, lg, ext, cM if ext else 0)
+    in_specs = [
+        smem,
+        rep((128, 128)), rep((128, 128)),
+        rep((128, 128)), rep((128, 128)),
+        meta_spec,
+        row(0), row(1), row(2),
+    ]
+    operands = [scal, dxbt, dybt,
+                jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1),
+                meta, x, x, x]
+    out_specs = [fld(3 * k)]
+    out_shape = [jax.ShapeDtypeStruct((3 * k, e16), f)]
+    nbytes = 6 * e16 * k * 4
+    if ext:
+        assert sf.shape == (1 + lg, nblocks), (sf.shape, lg, nblocks)
+        in_specs.insert(0, pl.BlockSpec(
+            (lg * cM, 128), lambda i, sf: (sf[0, i], 0),
+            memory_space=pltpu.VMEM))
+        operands = [sf, cq] + operands
+        out_specs.append(pl.BlockSpec(
+            (lg * cM, 3 * k), lambda i, sf: (sf[0, i], 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((nslots * lg * cM, 3 * k), f))
+        nbytes += nslots * lg * cM * 3 * k * 4
+        grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(nblocks,),
+            in_specs=in_specs, out_specs=out_specs))
+    else:
+        grid_kw = dict(grid=(nblocks,), in_specs=in_specs,
+                       out_specs=out_specs)
+    out = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            rep((128, 128)), rep((128, 128)),
-            rep((128, 128)), rep((128, 128)),
-            pl.BlockSpec((len(META_COLS), w), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            row(0), row(1), row(2),
-        ],
-        out_specs=fld(3 * k),
-        out_shape=jax.ShapeDtypeStruct((3 * k, e16), f),
+        out_shape=out_shape if ext else out_shape[0],
         cost_estimate=pl.CostEstimate(
             flops=nblocks * lg * 8 * 2 * 128 * 128 * k,
-            bytes_accessed=6 * e16 * k * 4,
+            bytes_accessed=nbytes,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(scal, dxbt, dybt,
-      jnp.swapaxes(dxbt, 0, 1), jnp.swapaxes(dybt, 0, 1), meta, x, x, x)
+        **grid_kw,
+    )(*operands)
+    return out
 
 
 @partial(jax.jit, static_argnames=("nt", "nlev", "cM", "fast_dots",

@@ -439,11 +439,21 @@ def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
     )(scal, dxbt, dybt, meta, vu, vv, qdp)
 
 
-def _tracer_kernel_t_lg(split, rrearth, nq, fold_sph, lg, *refs):
+def _tracer_kernel_t_lg(split, rrearth, nq, fold_sph, lg, ext, cM,
+                        *refs):
     """Lane-grouped tracer Euler body: lg independent 128-lane groups
-    per grid step (grid / lg; see the r4 lane-grouping ledger)."""
+    per grid step (grid / lg; see the r4 lane-grouping ledger). With
+    ``ext``, affected groups also emit their compact DSS slab rows
+    (cext_tables_lg) by reading back the just-written output slice."""
+    sf_ref = cq_ref = ext_ref = None
+    refs = list(refs)
+    if ext:
+        sf_ref = refs.pop(0)
+        cq_ref = refs.pop(0)
+        ext_ref = refs.pop()
     (scal_ref, dxbt_ref, dybt_ref, meta_ref, vu_ref, vv_ref,
      q_ref, o_ref) = refs
+    qk = q_ref.shape[0]
     for g in range(lg):
         sl = slice(g * 128, (g + 1) * 128)
 
@@ -467,17 +477,28 @@ def _tracer_kernel_t_lg(split, rrearth, nq, fold_sph, lg, *refs):
         _tracer_kernel_t(split, rrearth, nq, fold_sph, False, 0,
                          scal_ref, dxbt_ref, dybt_ref, _V(meta_ref),
                          _V(vu_ref), _V(vv_ref), _V(q_ref), _O())
+        if ext:
+            @pl.when(sf_ref[1 + g, pl.program_id(0)] == 1)
+            def _write_slab(g=g, sl=sl):
+                sel_l, _ = make_sel(split)
+                q1h = cq_ref[g * cM:(g + 1) * cM]
+                ext_ref[g * cM:(g + 1) * cM, :] = sel_l(
+                    q1h, o_ref[0:qk, sl].T)
 
 
 @partial(jax.jit, static_argnames=("nlev", "lg", "fold_sph", "wind_rows",
-                                   "interpret"))
+                                   "nslots", "cM", "interpret"))
 def tracer_euler_pallas_packed_t_lg(scal, dxbt, dybt, meta, vu, vv, qdp,
                                     nlev: int, lg: int = 4,
                                     fold_sph: bool = True,
                                     wind_rows: tuple = (0, 0),
+                                    sf=None, cq=None, nslots: int = 0,
+                                    cM: int = 0,
                                     interpret: bool = False):
     """Lane-grouped `tracer_euler_pallas_packed_t` (lane width 128*lg,
-    grid length e16/(128*lg); e16 % (128*lg) == 0)."""
+    grid length e16/(128*lg); e16 % (128*lg) == 0); with ``sf``/``cq``
+    (cext_tables_lg) also emits the compact DSS slab
+    [nslots*lg*cM, qk]."""
     qk, e16 = qdp.shape
     k = nlev
     assert qk % k == 0, (qk, k)
@@ -487,34 +508,73 @@ def tracer_euler_pallas_packed_t_lg(scal, dxbt, dybt, meta, vu, vv, qdp,
     nblocks = e16 // w
     wu, wv = wind_rows
     assert vu.shape[0] >= (wu + 1) * k and vv.shape[0] >= (wv + 1) * k
+    ext = sf is not None
 
-    fld = lambda r: pl.BlockSpec((r, w), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM)
-    row = lambda r: pl.BlockSpec((k, w), lambda i, r=r: (r, i),
-                                 memory_space=pltpu.VMEM)
-    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+    if ext:
+        fld = lambda r: pl.BlockSpec((r, w), lambda i, sf: (0, i),
                                      memory_space=pltpu.VMEM)
+        row = lambda r: pl.BlockSpec((k, w), lambda i, sf, r=r: (r, i),
+                                     memory_space=pltpu.VMEM)
+        rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
+                                         memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+                            memory_space=pltpu.SMEM)
+        meta_spec = pl.BlockSpec((len(META_COLS), w),
+                                 lambda i, sf: (0, i),
+                                 memory_space=pltpu.VMEM)
+    else:
+        fld = lambda r: pl.BlockSpec((r, w), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+        row = lambda r: pl.BlockSpec((k, w), lambda i, r=r: (r, i),
+                                     memory_space=pltpu.VMEM)
+        rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 4), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+        meta_spec = pl.BlockSpec((len(META_COLS), w), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
     kernel = partial(_tracer_kernel_t_lg, not interpret, CONSTANTS.rrearth,
-                     nq, fold_sph, lg)
-    return pl.pallas_call(
+                     nq, fold_sph, lg, ext, cM if ext else 0)
+    in_specs = [
+        smem,
+        rep((128, 128)), rep((128, 128)),
+        meta_spec,
+        row(wu), row(wv), fld(qk),
+    ]
+    operands = [scal, dxbt, dybt, meta, vu, vv, qdp]
+    out_specs = [fld(qk)]
+    out_shape = [jax.ShapeDtypeStruct((qk, e16), jnp.float32)]
+    nbytes = 2 * (qk + k) * e16 * 4
+    if ext:
+        assert sf.shape == (1 + lg, nblocks), (sf.shape, lg, nblocks)
+        in_specs.insert(0, pl.BlockSpec(
+            (lg * cM, 128), lambda i, sf: (sf[0, i], 0),
+            memory_space=pltpu.VMEM))
+        operands = [sf, cq] + operands
+        out_specs.append(pl.BlockSpec(
+            (lg * cM, qk), lambda i, sf: (sf[0, i], 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((nslots * lg * cM, qk), jnp.float32))
+        nbytes += nslots * lg * cM * qk * 4
+        grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(nblocks,),
+            in_specs=in_specs, out_specs=out_specs))
+    else:
+        grid_kw = dict(grid=(nblocks,), in_specs=in_specs,
+                       out_specs=out_specs)
+    out = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            rep((128, 128)), rep((128, 128)),
-            pl.BlockSpec((len(META_COLS), w), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            row(wu), row(wv), fld(qk),
-        ],
-        out_specs=fld(qk),
-        out_shape=jax.ShapeDtypeStruct((qk, e16), jnp.float32),
+        out_shape=out_shape if ext else out_shape[0],
         cost_estimate=pl.CostEstimate(
             flops=nblocks * lg * nq * 2 * 2 * 128 * 128 * k,
-            bytes_accessed=2 * (qk + k) * e16 * 4,
+            bytes_accessed=nbytes,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(scal, dxbt, dybt, meta, vu, vv, qdp)
+        **grid_kw,
+    )(*operands)
+    return out
 
 
 @partial(jax.jit, static_argnames=("nt", "nlev", "fold_sph", "wind_rows",
