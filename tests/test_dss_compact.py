@@ -188,3 +188,31 @@ def test_cpre_matches_pre_random_field():
                                      mix=(mx, np.float32(0.75),
                                           np.float32(0.25)), interpret=True)
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_extract_tiles_ct_matches_producer_slab():
+    """Standalone compact extraction (extract_tiles_ct) == the dense
+    extract_tiles_t reduced by the one-hot tables — the bridge producers
+    without slot-mapped outputs use."""
+    import jax
+
+    from tinman_sandbox_tpu.dist import build_cubed_sphere
+    from tinman_sandbox_tpu.dist.structured_dss import make_structured_plan
+    from tinman_sandbox_tpu.kernels.dss_pallas import (
+        _fixup_arrays_t, cext_tables, extract_tiles_ct, extract_tiles_t,
+    )
+
+    cs = build_cubed_sphere(2)
+    plan = make_structured_plan(cs.gdof, 2)
+    e16 = cs.nelem * 16
+    k = 6
+    x = jax.random.normal(jax.random.PRNGKey(3), (k, e16), jnp.float32)
+    gtiles = _fixup_arrays_t(plan)[0]
+    _, nt, cM, cq = cext_tables(plan, e16 // 128)
+    got = np.asarray(extract_tiles_ct(x, gtiles, jnp.asarray(cq), cM,
+                                      interpret=True))
+    dense = np.asarray(extract_tiles_t(x, gtiles, interpret=True))
+    q3 = np.asarray(cq, np.float32).reshape(nt, cM, 128)
+    want = np.einsum("nmr,nrk->nmk", q3,
+                     dense.reshape(nt, 128, k)).reshape(nt * cM, k)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
