@@ -231,20 +231,14 @@ def caar_dss_structured_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt,
 
     e16 = s0.shape[1]
     if lg > 1:
-        # LANE-GROUPED kernel + standalone compact extraction: at ne120
-        # the eb=8 grid's 10,800 steps cost ~0.42 us each in per-step
-        # overhead (measured: 17.7 -> 12.9 ms/step at lg=8,
-        # BENCH_LOCAL ne120_kernel_ab_r4_c10); the lg kernel has no
-        # slot-mapped slab output, so the compact slab comes from one
-        # extract_tiles_ct dispatch (reads the ~38% affected tiles).
+        # LANE-GROUPED kernel: at ne120 the eb=8 grid's 10,800 steps cost
+        # ~0.42 us each in per-step overhead (measured: 17.7 -> 12.9
+        # ms/step at lg=8, BENCH_LOCAL ne120_kernel_ab_r4_c10)
+        from ..fastpath import last_path
         from ..kernels.caar_pallas_t import caar_pallas_packed_t4_lg
         from ..kernels.dss_pallas import (
-            _fixup_arrays_t, cext_tables, dss_structured_t_pallas_cpre,
-            extract_tiles_ct,
+            cext_tables_lg, dss_structured_t_pallas_cpre,
         )
-
-        from ..fastpath import last_path
-        from ..kernels.dss_pallas import cext_tables_lg
 
         last_path["caar_dss_structured_packed_t4"] = f"fused-lg{lg}-compact"
         assert e16 % (128 * lg) == 0, (e16, lg)
