@@ -216,3 +216,88 @@ def test_extract_tiles_ct_matches_producer_slab():
     want = np.einsum("nmr,nrk->nmk", q3,
                      dense.reshape(nt, 128, k)).reshape(nt * cM, k)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_cext_tables_lg_invariants():
+    """Super-block slot tables: slots monotone (revisit coalescing),
+    flags exactly mark affected tiles, cq rows equal the dense tables'."""
+    from tinman_sandbox_tpu.dist import build_cubed_sphere
+    from tinman_sandbox_tpu.dist.structured_dss import make_structured_plan
+    from tinman_sandbox_tpu.kernels.dss_pallas import (
+        _fixup_arrays_t, cext_tables, cext_tables_lg,
+    )
+
+    cs = build_cubed_sphere(4)
+    plan = make_structured_plan(cs.gdof, 4)
+    nblocks = cs.nelem * 16 // 128
+    gtiles = _fixup_arrays_t(plan)[0]
+    _, nt, cM, cq_dense = cext_tables(plan, nblocks)
+    for lg in (2, 3, 6):
+        if nblocks % lg:
+            continue
+        sf, nslots, cM2, cq_lg = cext_tables_lg(plan, nblocks, lg)
+        assert cM2 == cM
+        assert sf.shape == (1 + lg, nblocks // lg)
+        # monotone non-decreasing slots
+        assert (np.diff(sf[0]) >= 0).all()
+        # flags mark exactly the affected tiles
+        flagged = {I * lg + g for I in range(nblocks // lg)
+                   for g in range(lg) if sf[1 + g, I]}
+        assert flagged == set(gtiles)
+        # per-tile cq rows preserved under the super-slot layout
+        dense_slot = {t: s for s, t in enumerate(gtiles)}
+        asb = sorted({t // lg for t in gtiles})
+        S = {sb: i for i, sb in enumerate(asb)}
+        cqd = np.asarray(cq_dense, np.float32)
+        cql = np.asarray(cq_lg, np.float32)
+        for t in gtiles:
+            a = cql[(S[t // lg] * lg + t % lg) * cM:][:cM]
+            b = cqd[dense_slot[t] * cM:][:cM]
+            np.testing.assert_array_equal(a, b)
+
+
+def test_prim_lane_grouped_multistep_soak():
+    """30 chained lane-grouped prim steps stay bitwise-equal to the eb=8
+    producer-fused path (interpret): the lg machinery introduces no
+    divergence under iteration."""
+    import jax
+
+    from tinman_sandbox_tpu import Config, analytic_hvcoord, random_state, zero_derived
+    from tinman_sandbox_tpu.dist import build_cubed_sphere
+    from tinman_sandbox_tpu.dist.step_pallas import prim_step_packed_t4
+    from tinman_sandbox_tpu.dist.structured_dss import (
+        make_structured_plan, rsp_lanes_2f,
+    )
+    from tinman_sandbox_tpu.kernels.caar_pallas import _scalars
+    from tinman_sandbox_tpu.kernels.caar_pallas_t import pack_problem_t
+    from tinman_sandbox_tpu.kernels.layout import pack_field_t
+
+    cs = build_cubed_sphere(2)
+    cfg = Config(nelem=cs.nelem, nlev=4, elem_block=8, qsize=1)
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x, np.float32), t)
+    st, dv = cast(random_state(cfg, seed=13)), cast(zero_derived(cfg))
+    g = cast(cs.geometry)
+    hv = analytic_hvcoord(cfg).astype(np.float32)
+    pt = pack_problem_t(st, dv, g, hv, cfg)
+    plan = make_structured_plan(cs.gdof, 2)
+    rsp = jnp.asarray(rsp_lanes_2f(g.spheremp, cs.gdof, cs.ndof))
+    scal = _scalars(np.float32(0.02), np.float32(1.0), hv)
+    s0 = jnp.concatenate([pt["u0"], pt["v0"], pt["t0"], pt["dp0"]], axis=0)
+    qdp0 = pack_field_t(jnp.asarray(st.qdp[cfg.qn0, :, 0], jnp.float32))
+    com = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+           pt["bstrt"], pt["meta"])
+
+    def chain(lg):
+        s, q = s0, qdp0
+        acc = (pt["vn0u"], pt["vn0v"], pt["omg"])
+        for _ in range(30):
+            s, q, phi, *acc = prim_step_packed_t4(
+                *com, s, q, pt["pecnd"], *acc, plan, rsp, 2.5e-4,
+                eb=8, nlev=4, qsplit=1, lg=lg, interpret=True)
+        return s, q, phi, acc
+
+    ref = chain(0)
+    got = chain(3)
+    for name, a, b in zip(("s", "qdp", "phi"), got[:3], ref[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
