@@ -639,8 +639,10 @@ def main() -> None:
         with open(lp) as f:
             local = json.load(f)
         triad = local.get("saxpby_triad", {}).get("gb_per_s")
-        ne120 = local.get("ne120_caar_86400elem")
-        ne120_dss = local.get("ne120_caar_dss_86400elem")
+        ne120 = (local.get("ne120_kernel_ab_r4_c10")
+                 or local.get("ne120_caar_86400elem"))
+        ne120_dss = (local.get("ne120_caar_dss_86400elem_r4")
+                     or local.get("ne120_caar_dss_86400elem"))
         sweep = local.get("ne30_assembled_honest_r2", {})
         if sweep:
             best_name = min(
