@@ -167,6 +167,103 @@ def test_prim_banded_matches_packed(eb):
                                    rtol=1e-5, atol=1e-5, err_msg=name)
 
 
+@pytest.mark.parametrize("ne,m,nshards,lg", [
+    (4, 2, 2, 6), (4, 2, 4, 3), (8, 4, 8, 6),
+])
+def test_banded_t4_lg_bitwise_vs_eb8(ne, m, nshards, lg):
+    """The lane-grouped banded shard body (round-5: per-shard lg kernels +
+    super-block slot slab) must be BITWISE equal to the eb=8 fused path it
+    replaces, at N=2/4/8 on the CPU mesh."""
+    from tinman_sandbox_tpu import fastpath
+
+    if len(jax.devices()) < nshards:
+        pytest.skip("needs %d devices" % nshards)
+    cs, cfg, plan, pt, scal, rsp, s0, sm1 = _setup(ne, nlev=4, eb=8)
+    mesh = Mesh(np.asarray(jax.devices()[:nshards]), ("e",))
+    args = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp, mesh, m)
+    with mesh:
+        ref = caar_dss_banded_t4(*args, eb=8, nlev=4, lg=1, interpret=True)
+        got = caar_dss_banded_t4(*args, eb=8, nlev=4, lg=lg, interpret=True)
+    assert fastpath.last_path["caar_dss_banded_t4"] == \
+        f"fused-lg{lg}-compact"
+    for name, a, b in zip(("assembled", "phi", "vn0u", "vn0v", "omg"),
+                          got, ref):
+        err = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        assert err == 0.0, f"banded lg {name} vs eb8: {err}"
+    # lg=0 auto-picks the largest admissible width per shard
+    from tinman_sandbox_tpu.dist.banded_t4 import pick_lg
+
+    nblocks = s0.shape[1] // nshards // 128
+    auto = caar_dss_banded_t4(*args, eb=8, nlev=4, lg=0, interpret=True)
+    assert fastpath.last_path["caar_dss_banded_t4"] == \
+        f"fused-lg{pick_lg(nblocks)}-compact"
+    err = float(np.max(np.abs(np.asarray(auto[0]) - np.asarray(ref[0]))))
+    assert err == 0.0
+
+
+def test_prim_banded_lg_bitwise_vs_eb8():
+    """The FULL band-sharded prim cadence with per-shard lane-grouping
+    (dynamics + hypervis + tracer all lg) is bitwise equal to the dense
+    eb=8 fused cadence."""
+    from tinman_sandbox_tpu import fastpath
+
+    nshards, ne, m = 4, 4, 2
+    if len(jax.devices()) < nshards:
+        pytest.skip("needs %d devices" % nshards)
+    from tinman_sandbox_tpu.dist.prim_banded import prim_step_banded_t4
+    from tinman_sandbox_tpu.kernels.layout import pack_field_t
+
+    cs, cfg, plan, pt, scal, rsp, s0, sm1 = _setup(ne, nlev=4, eb=8)
+    qn0 = 0
+    from tinman_sandbox_tpu import Config, random_state
+
+    cfg2 = Config(nelem=cs.nelem, nlev=4, elem_block=8, qsize=2)
+    st = jax.tree.map(lambda x: np.asarray(x, np.float32),
+                      random_state(cfg2, seed=5))
+    qdp0 = jnp.concatenate(
+        [pack_field_t(jnp.asarray(st.qdp[qn0, :, q], jnp.float32))
+         for q in range(2)], axis=0)
+    mesh = Mesh(np.asarray(jax.devices()[:nshards]), ("e",))
+    args = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, qdp0, pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp, mesh, m, 2.5e-4)
+    with mesh:
+        ref = prim_step_banded_t4(*args, eb=8, nlev=4, qsplit=1, lg=1,
+                                  interpret=True)
+        got = prim_step_banded_t4(*args, eb=8, nlev=4, qsplit=1, lg=3,
+                                  interpret=True)
+    assert fastpath.last_path["prim_banded_t4"] == "fused-lg3-compact"
+    for name, a, b in zip(("s1", "qdp", "phi", "vn0u", "vn0v", "omg"),
+                          got, ref):
+        err = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        assert err == 0.0, f"banded prim lg {name} vs eb8: {err}"
+
+
+def test_sharded_t4_lg_bitwise_vs_eb8():
+    """The face-sharded shard body with per-shard lane-grouping is
+    bitwise equal to its dense eb=8 fused path (fps=3 shards)."""
+    from tinman_sandbox_tpu import fastpath
+
+    nshards = 2
+    if len(jax.devices()) < nshards:
+        pytest.skip("needs %d devices" % nshards)
+    cs, cfg, plan, pt, scal, rsp, s0, sm1 = _setup(4, nlev=4, eb=8)
+    mesh = make_face_mesh(n=nshards)
+    args = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp, mesh)
+    with mesh:
+        ref = caar_dss_sharded_t4(*args, eb=8, nlev=4, lg=1, interpret=True)
+        got = caar_dss_sharded_t4(*args, eb=8, nlev=4, lg=6, interpret=True)
+    assert fastpath.last_path["caar_dss_sharded_t4"] == "fused-lg6-compact"
+    for name, a, b in zip(("assembled", "phi", "vn0u", "vn0v", "omg"),
+                          got, ref):
+        err = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        assert err == 0.0, f"sharded lg {name} vs eb8: {err}"
+
+
 def test_banded_vmem_ne120_scale():
     """ne120-class band decompositions fit the sweep kernel's VMEM model
     (ROADMAP round-3: pod-slice numbers are unavailable, so the fit is

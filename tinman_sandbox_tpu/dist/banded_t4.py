@@ -37,7 +37,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import NP, NPSQ
 from .structured_dss import _SIDES, _side_line_idx
 
-__all__ = ["caar_dss_banded_t4", "dss_banded_t", "banded_vmem_report"]
+__all__ = ["caar_dss_banded_t4", "dss_banded_t", "banded_vmem_report",
+           "pick_lg"]
 
 
 def banded_vmem_report(ne: int, m: int, N: int, nlev: int,
@@ -67,16 +68,29 @@ def banded_vmem_report(ne: int, m: int, N: int, nlev: int,
         f"multi-chunk shards need 128 | band lanes (bl={bl})"
     rows = {"dynamics": 4 * nlev, "hypervis": 3 * nlev,
             "tracers": max(qsize, 1) * nlev}
+    # lane-grouped producer shapes (round-5 port of the r4 single-chip
+    # win): the per-shard lg kernel block is [k, 128*lg]; ~4.5 live f32
+    # buffers must fit the 16 MB scoped cap (the measured single-chip
+    # guard, commit a0100d1 — tall stacked-tracer k shrinks lg)
+    nblocks = cps * bl // 128
+    scoped = 16 * 2 ** 20
     per = {}
     worst = 0
     for name, k in rows.items():
         bk = fit_block_k(k, ext, block_k)
         b = sweep_vmem_bytes(bk, ext)
-        per[name] = {"k": k, "bk": bk, "vmem_bytes": b}
+        cap = 8
+        while cap > 1 and 4.5 * k * 128 * cap * 4 > scoped:
+            cap -= 1
+        lg = pick_lg(nblocks, cap) or 1
+        per[name] = {"k": k, "bk": bk, "vmem_bytes": b, "lg": lg,
+                     "lg_vmem_bytes": int(4.5 * k * 128 * max(lg, 1) * 4)}
+        assert per[name]["lg_vmem_bytes"] <= scoped
         worst = max(worst, b)
     return dict(ne=ne, m=m, N=N, cps=cps, br=br, bl=bl, ext=ext,
                 lanes_per_shard=cps * bl,
                 elems_per_shard=cps * bl // NPSQ,
+                nblocks_per_shard=nblocks,
                 per_stage=per, worst_vmem_bytes=worst,
                 cap_bytes=SWEEP_VMEM_CAP,
                 fits=bool(worst <= SWEEP_VMEM_CAP))
@@ -253,21 +267,35 @@ def _banded_tables(plan, m: int):
                 cpat=cpat, wr=wr)
 
 
+def pick_lg(nblocks: int, cap: int = 8) -> int:
+    """Largest lane-group width <= cap dividing the 128-lane block count
+    (0 when none does): the per-shard analog of bench.py's auto-lg."""
+    return next((g for g in range(cap, 1, -1) if nblocks % g == 0), 0)
+
+
 @lru_cache(maxsize=None)
 def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
-                        compact: bool = False):
+                        compact: bool = False, lg: int = 0):
     """Build the per-shard banded-DSS closure + its chunk-order static
     operands (dm, masks). The closure runs INSIDE shard_map and performs:
     halo-row ppermute -> [band|next|prev] extension -> compact line
     all_gather -> affine fixup -> banded sweep kernel.
 
     With ``compact`` the closure consumes the COMPACT fix-lane slab
-    ([nt_shard*Mc, k], producer-fused via cq/cM — REQUIRED, there is no
-    unfused compact extract) and the sweep re-expands each affected tile
-    with an exact placement dot (`dss_sweeps_banded_ct`); the 5th return
-    is (Mc, qc_shard) for the producer kernels' cext operands."""
+    ([nt_shard*Mc, k], producer-fused via the returned ext tables —
+    REQUIRED, there is no unfused compact extract) and the sweep
+    re-expands each affected tile with an exact placement dot
+    (`dss_sweeps_banded_ct`); the 5th return is then the producer-side
+    table dict {sf, nt (dense) | nslots (lg), cM, cq} for the fused
+    kernels' cext operands. ``lg`` > 1 lays the slab out for a
+    LANE-GROUPED producer (lg 128-lane groups per grid step, the round-4
+    single-chip win ported per shard): the super-block slot tables come
+    from `cext_tables_lg_for_gtiles` and only the fixup's slab-row maps
+    change — the vals buffer / sweep / placement tables are untouched.
+    Requires lg | (shard 128-lane block count)."""
     from ..kernels.dss_pallas import (
-        dss_sweeps_banded_ct, dss_sweeps_banded_t, extract_tiles_t,
+        cext_tables_lg_for_gtiles, dss_sweeps_banded_ct,
+        dss_sweeps_banded_t, extract_tiles_t, slot_arrays_for_gtiles,
     )
 
     T = _banded_tables(plan, m)
@@ -278,6 +306,7 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
     cps = 6 * m // N
     assert bl % 128 == 0 or cps == 1, \
         f"multi-chunk shards need 128 | band lanes (bl={bl})"
+    assert lg <= 1 or compact, "lane-grouped slabs require the compact path"
 
     # chunk-order global operands for the per-chunk static data
     chunk_first = [(c % m) == 0 for c in range(6 * m)]
@@ -298,7 +327,18 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
     Mc, wr = T["Mc"], T["wr"]
     ntb = len(tiles)
     srows_chunk = ntb * Mc                   # compact slab rows per chunk
-    cext = (Mc, np.tile(np.asarray(T["qc"]), (cps, 1))) if compact else None
+    nblocks_shard = cps * bl // 128
+    perm = None
+    cext = None
+    if compact:
+        q_dense = np.tile(np.asarray(T["qc"]), (cps, 1))
+        if lg > 1:
+            sf_np, nslots, cq_np, perm = cext_tables_lg_for_gtiles(
+                gtiles_shard, nblocks_shard, lg, Mc, q_dense)
+            cext = dict(sf=sf_np, nslots=nslots, cM=Mc, cq=cq_np, lg=lg)
+        else:
+            sf_np, nt = slot_arrays_for_gtiles(gtiles_shard, nblocks_shard)
+            cext = dict(sf=sf_np, nt=nt, cM=Mc, cq=q_dense, lg=0)
 
     var = T["variants"]
     A_f, B_f = var[(True, False)]
@@ -307,9 +347,13 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
     dense_pat = T["cpat"] if compact else T["dense_pat"]
     pattern_j = T["pattern"]
     row_src = T["rowc_of"] if compact else T["row_of"]
-    rowW, rowE = row_src["W"], row_src["E"]
-    rowS, rowN = row_src["S"], row_src["N"]
     slab_w = srows_chunk if compact else wd
+    # per-chunk slab-row maps: chunk-major strides on the dense slab; the
+    # lane-grouped slab only permutes the rows (super-block slot layout)
+    remap = (lambda r: perm[r]) if perm is not None else (lambda r: r)
+    rowW_l, rowE_l, rowS_l, rowN_l = (
+        np.stack([remap(row_src[s] + l * slab_w) for l in range(cps)])
+        for s in ("W", "E", "S", "N"))
     vd_rows = wr if compact else wd
     cslot_j = T["corner_slot"].reshape(-1)
     cid4_j = T["cid4"]
@@ -357,8 +401,8 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
             assert not compact, \
                 "the compact banded path requires a producer-fused slab"
             xd_t = extract_tiles_t(s1, gtiles_shard, interpret=interpret)
-        ws = jnp.stack([xd_t[rowW + l * slab_w] for l in range(cps)])
-        es = jnp.stack([xd_t[rowE + l * slab_w] for l in range(cps)])
+        ws = jnp.stack([xd_t[rowW_l[l]] for l in range(cps)])
+        es = jnp.stack([xd_t[rowE_l[l]] for l in range(cps)])
         ws_g = jax.lax.all_gather(ws, "e").reshape(6, m * br * NP, k4)
         es_g = jax.lax.all_gather(es, "e").reshape(6, m * br * NP, k4)
         # S/N face lines: only band 0's S rows and band m-1's N rows are
@@ -372,8 +416,8 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
         for l in range(cps):
             c = shard * cps + l
             f, b = c // m, c % m
-            s_rows = jnp.where(b == 0, xd_t[rowS + l * slab_w], 0.0)
-            n_rows = jnp.where(b == m - 1, xd_t[rowN + l * slab_w], 0.0)
+            s_rows = jnp.where(b == 0, xd_t[rowS_l[l]], 0.0)
+            n_rows = jnp.where(b == m - 1, xd_t[rowN_l[l]], 0.0)
             sn_buf = sn_buf.at[f].add(jnp.stack([s_rows, n_rows]))
         sn_g = jax.lax.psum(sn_buf, "e")                    # [6, 2, nl, k4]
         all_lines = jnp.stack(
@@ -411,8 +455,10 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
         vd = jnp.concatenate(vd_parts, axis=1) if cps > 1 else vd_parts[0]
 
         if compact:
+            # placement table: the DENSE per-chunk selection rows (the
+            # sweep's tile re-expansion is slab-layout independent)
             return dss_sweeps_banded_ct(
-                x_ext, rsp, vd, jnp.asarray(cext[1][:srows_chunk]), dm_l,
+                x_ext, rsp, vd, jnp.asarray(np.asarray(T["qc"])), dm_l,
                 masks_l, tiles, nchunks=cps, bl=bl, rl=rl, m_rows=Mc,
                 mix=mix, interpret=interpret)
         return dss_sweeps_banded_t(
@@ -426,20 +472,44 @@ _SPEC_L = P(None, "e")
 _REP = P(None, None)
 
 
+def _resolve_lg(lg: int, fuse: bool, local_lanes: int,
+                site: str | None = None) -> int:
+    """Per-shard lane-group width: 0/1 disables; ``lg=0`` auto-picks the
+    largest admissible width <= 8 on the fused path (the round-4
+    single-chip default, ported per shard). Explicit lg > 1 requires
+    admissibility (asserted). Records the decision in fastpath.last_path
+    under ``site`` (bench/dryrun visibility)."""
+    nblocks = local_lanes // 128
+    if not fuse:
+        return 0
+    if lg == 0:
+        lg = pick_lg(nblocks)
+    elif lg > 1:
+        assert nblocks % lg == 0, (nblocks, lg)
+    if lg > 1 and site is not None:
+        from ..fastpath import last_path
+
+        last_path[site] = f"fused-lg{lg}-compact"
+    return lg
+
+
 @partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
-                                   "moist", "interpret"))
+                                   "moist", "lg", "interpret"))
 def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                        s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
                        plan, rsp_lanes, mesh: Mesh, m: int,
                        eb: int, nlev: int, moist: bool = True,
-                       interpret: bool = False):
+                       lg: int = 0, interpret: bool = False):
     """Band-sharded assembled leapfrog step over ``mesh`` axis "e" with
     N | 6m shards (cps = 6m/N band chunks each; chunk = ne/m element
-    rows). Same contract as caar_dss_structured_packed_t4."""
+    rows). Same contract as caar_dss_structured_packed_t4. ``lg=0``
+    auto-picks the per-shard lane-group width on the fused path (the
+    round-4 grid-overhead fix: lg independent 128-lane groups per grid
+    step, bitwise-equal to the eb=8 kernel); ``lg=1`` disables."""
     from ..kernels.caar_pallas_t import (
         caar_pallas_packed_t4, caar_pallas_packed_t4_ext,
+        caar_pallas_packed_t4_lg,
     )
-    from ..kernels.dss_pallas import slot_arrays_for_gtiles
 
     N = mesh.shape["e"]
 
@@ -450,21 +520,27 @@ def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
     local_lanes = s0.shape[1] // N
     fuse_ext = fused_admissible(eb, local_lanes, "caar_dss_banded_t4")
+    lg = _resolve_lg(lg, fuse_ext, local_lanes, "caar_dss_banded_t4")
     dss_local, dm_g, masks_g, gtiles_shard, cext = _banded_dss_builder(
-        plan, m, N, interpret, compact=fuse_ext)
-    if fuse_ext:
-        sf_np, nt_ext = slot_arrays_for_gtiles(gtiles_shard,
-                                               local_lanes // 128)
-        cM, cq_np = cext
+        plan, m, N, interpret, compact=fuse_ext, lg=lg)
 
     def body(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
              s0, sm1, qdp, pecnd, vn0u, vn0v, omg, rsp, dm_l, masks_l):
-        if fuse_ext:
+        if fuse_ext and lg > 1:
+            s1, phi, a1, b1, c1, xd_t = caar_pallas_packed_t4_lg(
+                scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+                nlev=nlev, moist=moist, lg=lg,
+                sf=jnp.asarray(cext["sf"]), cq=jnp.asarray(cext["cq"]),
+                nslots=cext["nslots"], cM=cext["cM"], interpret=interpret)
+        elif fuse_ext:
             s1, phi, a1, b1, c1, xd_t = caar_pallas_packed_t4_ext(
                 scal, dxbt, dybt, ainct, astrt, bstrt, meta,
-                s0, sm1, qdp, pecnd, vn0u, vn0v, omg, jnp.asarray(sf_np),
-                nt=nt_ext, nlev=nlev, moist=moist,
-                cq=jnp.asarray(cq_np), cM=cM, interpret=interpret)
+                s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+                jnp.asarray(cext["sf"]),
+                nt=cext["nt"], nlev=nlev, moist=moist,
+                cq=jnp.asarray(cext["cq"]), cM=cext["cM"],
+                interpret=interpret)
         else:
             s1, phi, a1, b1, c1 = caar_pallas_packed_t4(
                 scal, dxbt, dybt, ainct, astrt, bstrt, meta,

@@ -26,58 +26,70 @@ __all__ = ["ssprk3_banded_t4", "hypervis_banded_t", "tracer_banded_t",
            "prim_step_banded_t4"]
 
 
-def _fused_ext_tables(plan, m, mesh, eb, lanes_global, interpret):
-    """(dss_local, dm_g, masks_g, sf_np, nt, cM, cq_np) for a producer+DSS
-    fused shard_map body; sf_np/nt/cM/cq are None when the slot-mapped
-    extraction is inadmissible (elem_block != 8 or a non-128-aligned shard
-    lane axis). Fused implies the COMPACT fix-lane slab (round-3 port):
-    the producers select only each tile's Mc fix lanes (cq/cM) and the
-    banded sweep re-expands them with exact placement dots."""
-    from ..kernels.dss_pallas import slot_arrays_for_gtiles
+def _fused_ext_tables(plan, m, mesh, eb, lanes_global, interpret,
+                      lg: int = 0):
+    """(dss_local, dm_g, masks_g, cext, lg) for a producer+DSS fused
+    shard_map body; ``cext`` is None when the slot-mapped extraction is
+    inadmissible (elem_block != 8 or a non-128-aligned shard lane axis),
+    else the producer-side table dict from `_banded_dss_builder` (dense
+    or lane-grouped slab). Fused implies the COMPACT fix-lane slab
+    (round-3 port): the producers select only each tile's Mc fix lanes
+    (cq/cM) and the banded sweep re-expands them with exact placement
+    dots. The resolved per-shard ``lg`` (0 = dense) is returned — the
+    round-4 lane-grouping win ported to the multi-chip shard bodies."""
+    from ..fastpath import fused_admissible
+    from .banded_t4 import _resolve_lg
 
     N = mesh.shape["e"]
-    from ..fastpath import fused_admissible
-
     local_lanes = lanes_global // N
     fuse = fused_admissible(eb, local_lanes, "prim_banded_t4")
-    dss_local, dm_g, masks_g, gtiles, cext = _banded_dss_builder(
-        plan, m, N, interpret, compact=fuse)
-    if fuse:
-        sf_np, nt = slot_arrays_for_gtiles(gtiles, local_lanes // 128)
-        return dss_local, dm_g, masks_g, sf_np, nt, cext[0], cext[1]
-    return dss_local, dm_g, masks_g, None, None, None, None
+    lg = _resolve_lg(lg, fuse, local_lanes, "prim_banded_t4")
+    dss_local, dm_g, masks_g, _, cext = _banded_dss_builder(
+        plan, m, N, interpret, compact=fuse, lg=lg)
+    return dss_local, dm_g, masks_g, cext, lg
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
-                                   "moist", "interpret"))
+                                   "moist", "lg", "interpret"))
 def ssprk3_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                      s0, qdp, pecnd, vn0u, vn0v, omg,
                      plan, rsp_lanes, mesh: Mesh, m: int,
                      eb: int, nlev: int, moist: bool = True,
-                     interpret: bool = False):
+                     lg: int = 0, interpret: bool = False):
     """Band-sharded SSPRK3 dynamics (step_pallas.ssprk3_packed_t4 over a
     mesh). Requires a CONTINUOUS s0. Mirrors the single-chip fused RK
     path: single-state RK kernel per stage (no duplicate state fetch),
     Shu-Osher combinations folded into the banded sweep's affine output,
-    producer-fused tile extraction when admissible."""
-    from ..kernels.caar_pallas_t import caar_pallas_packed_t4_rk
+    producer-fused tile extraction when admissible — LANE-GROUPED per
+    shard when ``lg`` admits (0 = auto, the round-4 grid-overhead fix)."""
+    from ..kernels.caar_pallas_t import (
+        caar_pallas_packed_t4_lg, caar_pallas_packed_t4_rk,
+    )
 
     B = (1.0 / 6.0, 1.0 / 6.0, 2.0 / 3.0)
     f = s0.dtype
-    dss_local, dm_g, masks_g, sf_np, nt, cM, cq_np = _fused_ext_tables(
-        plan, m, mesh, eb, s0.shape[1], interpret)
+    dss_local, dm_g, masks_g, cext, lg = _fused_ext_tables(
+        plan, m, mesh, eb, s0.shape[1], interpret, lg)
 
     def kern(sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp, pecnd,
              a1, a2, a3, emit_phi):
+        if lg > 1:
+            out = caar_pallas_packed_t4_lg(
+                sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, u, qdp,
+                pecnd, a1, a2, a3, nlev=nlev, moist=moist, lg=lg,
+                single=True, emit_phi=emit_phi,
+                sf=jnp.asarray(cext["sf"]), cq=jnp.asarray(cext["cq"]),
+                nslots=cext["nslots"], cM=cext["cM"], interpret=interpret)
+            return out[0], out[1], out[2:5], out[5]
         out = caar_pallas_packed_t4_rk(
             sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp, pecnd,
             a1, a2, a3,
-            sf=None if sf_np is None else jnp.asarray(sf_np),
-            nt=0 if nt is None else nt, eb=eb, nlev=nlev, moist=moist,
-            emit_phi=emit_phi,
-            cq=None if cq_np is None else jnp.asarray(cq_np),
-            cM=0 if cM is None else cM, interpret=interpret)
-        xd_t = out[5] if sf_np is not None else None
+            sf=None if cext is None else jnp.asarray(cext["sf"]),
+            nt=0 if cext is None else cext["nt"], eb=eb, nlev=nlev,
+            moist=moist, emit_phi=emit_phi,
+            cq=None if cext is None else jnp.asarray(cext["cq"]),
+            cM=0 if cext is None else cext["cM"], interpret=interpret)
+        xd_t = out[5] if cext is not None else None
         return out[0], out[1], out[2:5], xd_t
 
     def make_plain():
@@ -122,32 +134,40 @@ def ssprk3_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
-                                   "subcycle", "interpret"))
+                                   "subcycle", "lg", "interpret"))
 def hypervis_banded_t(dxbt, dybt, meta, uvt, plan, rsp_lanes, mesh: Mesh,
                       m: int, nu, dt, eb: int, nlev: int, nu_ratio=1.0,
-                      subcycle: int = 1, interpret: bool = False):
+                      subcycle: int = 1, lg: int = 0,
+                      interpret: bool = False):
     """Band-sharded biharmonic hyperviscosity (apply_hypervis_packed_t
     over a mesh): per subcycle, two (local weak-Laplacian kernel ->
     sharded banded DSS) passes, FUSED into one shard_map body per pass —
     with the producer-fused tile extraction when admissible (elem_block=8,
-    128-aligned shard lanes)."""
+    128-aligned shard lanes), lane-grouped per shard when ``lg`` admits
+    (0 = auto)."""
     from ..kernels.hypervis_pallas_t import (
         vlap_pallas_packed_t, vlap_pallas_packed_t_ext,
+        vlap_pallas_packed_t_lg,
     )
 
     f = uvt.dtype
     sc = jnp.asarray(nu_ratio, jnp.float32).reshape(1, 1) * jnp.ones(
         (1, 4), jnp.float32)
     step = jnp.asarray(dt, f) / subcycle * jnp.asarray(nu, f)
-    dss_local, dm_g, masks_g, sf_np, nt, cM, cq_np = _fused_ext_tables(
-        plan, m, mesh, eb, uvt.shape[1], interpret)
+    dss_local, dm_g, masks_g, cext, lg = _fused_ext_tables(
+        plan, m, mesh, eb, uvt.shape[1], interpret, lg)
 
     def lap(sc, dxbt, dybt, meta, x):
-        if sf_np is not None:
+        if lg > 1:
+            return vlap_pallas_packed_t_lg(
+                sc, dxbt, dybt, meta, x, nlev=nlev, lg=lg,
+                sf=jnp.asarray(cext["sf"]), cq=jnp.asarray(cext["cq"]),
+                nslots=cext["nslots"], cM=cext["cM"], interpret=interpret)
+        if cext is not None:
             return vlap_pallas_packed_t_ext(
-                sc, dxbt, dybt, meta, x, jnp.asarray(sf_np),
-                nt=nt, nlev=nlev, cq=jnp.asarray(cq_np), cM=cM,
-                interpret=interpret)
+                sc, dxbt, dybt, meta, x, jnp.asarray(cext["sf"]),
+                nt=cext["nt"], nlev=nlev, cq=jnp.asarray(cext["cq"]),
+                cM=cext["cM"], interpret=interpret)
         return vlap_pallas_packed_t(
             sc, dxbt, dybt, meta, x,
             eb=eb, nlev=nlev, interpret=interpret), None
@@ -182,30 +202,55 @@ def hypervis_banded_t(dxbt, dybt, meta, uvt, plan, rsp_lanes, mesh: Mesh,
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
-                                   "wind_rows", "interpret"))
+                                   "wind_rows", "lg", "interpret"))
 def tracer_banded_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
                     mesh: Mesh, m: int, dt, eb: int, nlev: int,
-                    wind_rows: tuple = (0, 0),
+                    wind_rows: tuple = (0, 0), lg: int = 0,
                     interpret: bool = False):
     """Band-sharded SSPRK3 tracer transport (ssprk3_tracer_packed_t over
     a mesh, no limiter). Requires a CONTINUOUS qdp. Each stage is one
     shard_map body (local Euler kernel + banded DSS, with producer-fused
-    tile extraction when admissible)."""
+    tile extraction when admissible, lane-grouped per shard when ``lg``
+    admits). The tracer block is [qk, 128*lg]: tall stacked-tracer qk
+    shrinks lg to the scoped-VMEM fit (the same guard as the single-chip
+    path, step_pallas.ssprk3_tracer_packed_t)."""
     from ..kernels.tracer_pallas_t import (
         tracer_euler_pallas_packed_t, tracer_euler_pallas_packed_t_ext,
+        tracer_euler_pallas_packed_t_lg,
     )
 
     scal = jnp.zeros((1, 4), jnp.float32).at[0, 0].set(
         jnp.asarray(dt, jnp.float32))
-    dss_local, dm_g, masks_g, sf_np, nt, cM, cq_np = _fused_ext_tables(
-        plan, m, mesh, eb, qdp.shape[1], interpret)
+    # VMEM guard: ~4.5 live [qk, 128*lg] f32 buffers under the 16 MB
+    # scoped cap (measured on the single-chip lg tracer, commit a0100d1)
+    from .banded_t4 import pick_lg
+
+    qk = qdp.shape[0]
+    cap = 8
+    while cap > 1 and 4.5 * qk * 128 * cap * 4 > 16 * 2 ** 20:
+        cap -= 1
+    nblocks = qdp.shape[1] // mesh.shape["e"] // 128
+    if lg == 0:
+        lg = pick_lg(nblocks, cap) or 1
+    else:
+        lg = next((g for g in range(min(lg, cap), 1, -1)
+                   if nblocks % g == 0), 1)
+    dss_local, dm_g, masks_g, cext, lg = _fused_ext_tables(
+        plan, m, mesh, eb, qdp.shape[1], interpret, lg)
 
     def adv(scal, dxbt, dybt, meta, vu, vv, q):
-        if sf_np is not None:
+        if lg > 1:
+            return tracer_euler_pallas_packed_t_lg(
+                scal, dxbt, dybt, meta, vu, vv, q, nlev=nlev, lg=lg,
+                wind_rows=wind_rows, sf=jnp.asarray(cext["sf"]),
+                cq=jnp.asarray(cext["cq"]), nslots=cext["nslots"],
+                cM=cext["cM"], interpret=interpret)
+        if cext is not None:
             return tracer_euler_pallas_packed_t_ext(
-                scal, dxbt, dybt, meta, vu, vv, q, jnp.asarray(sf_np),
-                nt=nt, nlev=nlev, wind_rows=wind_rows,
-                cq=jnp.asarray(cq_np), cM=cM, interpret=interpret)
+                scal, dxbt, dybt, meta, vu, vv, q, jnp.asarray(cext["sf"]),
+                nt=cext["nt"], nlev=nlev, wind_rows=wind_rows,
+                cq=jnp.asarray(cext["cq"]), cM=cext["cM"],
+                interpret=interpret)
         return tracer_euler_pallas_packed_t(
             scal, dxbt, dybt, meta, vu, vv, q, eb=eb, nlev=nlev,
             wind_rows=wind_rows, interpret=interpret), None
@@ -240,15 +285,18 @@ def tracer_banded_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
 
 
 @partial(jax.jit, static_argnames=("nu", "plan", "mesh", "m", "eb", "nlev",
-                                   "qsplit", "moist", "subcycle",
+                                   "qsplit", "moist", "subcycle", "lg",
                                    "interpret"))
 def prim_step_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                         s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
                         mesh: Mesh, m: int, nu, eb: int, nlev: int,
                         qsplit: int = 1, nu_ratio=1.0, moist: bool = True,
-                        subcycle: int = 1, interpret: bool = False):
+                        subcycle: int = 1, lg: int = 0,
+                        interpret: bool = False):
     """FULL prim cadence, band-sharded (the multi-chip analog of
-    step_pallas.prim_step_packed_t4). Returns
+    step_pallas.prim_step_packed_t4). ``lg=0`` auto-picks the per-shard
+    lane-group width on the fused path (bitwise-equal to the eb=8
+    kernels; ``lg=1`` disables). Returns
     (s_np1, qdp', phi, vn0u', vn0v', omega_p')."""
     dt = scal[0, 0]
 
@@ -257,7 +305,7 @@ def prim_step_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     s1, phi, vn0u1, vn0v1, omg1 = ssprk3_banded_t4(
         scal, dxbt, dybt, ainct, astrt, bstrt, meta, s0,
         qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes, mesh, m,
-        eb=eb, nlev=nlev, moist=moist, interpret=interpret)
+        eb=eb, nlev=nlev, moist=moist, lg=lg, interpret=interpret)
 
     if nu:
         # full 4*nlev buffer: the final banded sweep applies the update in
@@ -265,12 +313,12 @@ def prim_step_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         s1 = hypervis_banded_t(
             dxbt, dybt, meta, s1, plan, rsp_lanes, mesh, m, nu, dt,
             eb=eb, nlev=nlev, nu_ratio=nu_ratio, subcycle=subcycle,
-            interpret=interpret)
+            lg=lg, interpret=interpret)
 
     # winds read from s1's row blocks 0 (u) and 1 (v) in place
     dt_q = dt / max(qsplit, 1)
     for _ in range(max(qsplit, 1)):
         qdp = tracer_banded_t(dxbt, dybt, meta, s1, s1, qdp, plan,
                               rsp_lanes, mesh, m, dt_q, eb=eb, nlev=nlev,
-                              wind_rows=(0, 1), interpret=interpret)
+                              wind_rows=(0, 1), lg=lg, interpret=interpret)
     return s1, qdp, phi, vn0u1, vn0v1, omg1

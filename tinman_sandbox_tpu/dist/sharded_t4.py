@@ -137,24 +137,28 @@ def _sharded_fixup_arrays(plan, fps: int):
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "eb", "nlev", "moist",
-                                   "interpret"))
+                                   "lg", "interpret"))
 def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                         s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
                         plan, rsp_lanes, mesh: Mesh,
                         eb: int, nlev: int, moist: bool = True,
-                        interpret: bool = False):
+                        lg: int = 0, interpret: bool = False):
     """Face-sharded assembled leapfrog step over ``mesh`` (axis "e" with
     6/N whole faces per shard). Same contract as
     step_pallas.caar_dss_structured_packed_t4; the lane axis of every
     [*, E16] operand is sharded P(None, "e"). Cross-chip traffic: one
-    all_gather of the compact side lines."""
+    all_gather of the compact side lines. ``lg=0`` auto-picks the
+    per-shard lane-group width on the fused path (round-4 grid-overhead
+    fix, bitwise-equal to the eb=8 kernel); ``lg=1`` disables."""
     from ..kernels.caar_pallas_t import (
         caar_pallas_packed_t4, caar_pallas_packed_t4_ext,
+        caar_pallas_packed_t4_lg,
     )
     from ..kernels.dss_pallas import (
-        dss_sweeps_pallas_ct, dss_sweeps_pallas_t, extract_tiles_t,
-        slot_arrays_for_gtiles,
+        cext_tables_lg_for_gtiles, dss_sweeps_pallas_ct,
+        dss_sweeps_pallas_t, extract_tiles_t, slot_arrays_for_gtiles,
     )
+    from .banded_t4 import _resolve_lg
 
     nshards = mesh.shape["e"]
     assert 6 % nshards == 0, nshards
@@ -179,13 +183,22 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
     local_lanes = fps * fl
     fuse_ext = fused_admissible(eb, local_lanes, "caar_dss_sharded_t4")
+    lg = _resolve_lg(lg, fuse_ext, local_lanes, "caar_dss_sharded_t4")
+    perm = None
     if fuse_ext:
         # fused implies the COMPACT fix-lane slab (round-3 port): the
         # producer selects each tile's Mc fix lanes (cq/cM) and the sweep
-        # re-expands them with exact placement dots
-        sf_np, nt_ext = slot_arrays_for_gtiles(gtiles_shard,
-                                               local_lanes // 128)
-        cq_np = np.tile(np.asarray(qc), (fps, 1))
+        # re-expands them with exact placement dots; lg > 1 lays the slab
+        # out in the lane-grouped super-block slot order (only the fixup
+        # row maps change — the vals/placement tables are untouched)
+        q_dense = np.tile(np.asarray(qc), (fps, 1))
+        if lg > 1:
+            sf_np, nslots_lg, cq_np, perm = cext_tables_lg_for_gtiles(
+                gtiles_shard, local_lanes // 128, lg, Mc, q_dense)
+        else:
+            sf_np, nt_ext = slot_arrays_for_gtiles(gtiles_shard,
+                                                   local_lanes // 128)
+            cq_np = q_dense
 
     ntb = len(tiles)
     slab_w = ntb * Mc if fuse_ext else wd       # slab rows per face
@@ -195,8 +208,11 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     flip_j = jnp.asarray(flip_tab)
     cslot_j = jnp.asarray(corner_slot.reshape(-1))
     fcid_j = jnp.asarray(face_cid)
-    rows_j = jnp.asarray((rowc_lines if fuse_ext else row_lines)
-                         .reshape(-1))
+    rows_flat = (rowc_lines if fuse_ext else row_lines).reshape(-1)
+    # per-face slab-row maps (the lg slab only permutes the rows)
+    remap = (lambda r: perm[r]) if perm is not None else (lambda r: r)
+    rows_pf = np.stack([remap(rows_flat + b * slab_w)
+                        for b in range(fps)])
     di_j = jnp.asarray(ci_c if fuse_ext else dense_idx)
     dm_j = jnp.asarray(dense_mask)
     lineloc_j = jnp.asarray(line_loc.reshape(-1))
@@ -216,7 +232,14 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         # 1+2. local fused CAAR kernel (element blocks never cross shards),
         # emitting this shard's transposed affected tiles directly when the
         # slot-mapped extra output is admissible
-        if fuse_ext:
+        if fuse_ext and lg > 1:
+            s1, phi, a1, b1, c1, xd_t = caar_pallas_packed_t4_lg(
+                scal, dxbt, dybt, ainct, astrt, bstrt, meta,
+                s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
+                nlev=k, moist=moist, lg=lg, sf=jnp.asarray(sf_np),
+                cq=jnp.asarray(cq_np), nslots=nslots_lg, cM=Mc,
+                interpret=interpret)
+        elif fuse_ext:
             s1, phi, a1, b1, c1, xd_t = caar_pallas_packed_t4_ext(
                 scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                 s0, sm1, qdp, pecnd, vn0u, vn0v, omg, jnp.asarray(sf_np),
@@ -230,9 +253,8 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
             xd_t = extract_tiles_t(s1, gtiles_shard, interpret=interpret)
 
         # 3. compact side lines of the shard's faces -> all_gather
-        lines = xd_t[rows_j].reshape(1, 4, nl, k4) if fps == 1 else \
-            jnp.stack([xd_t[rows_j + b * slab_w].reshape(4, nl, k4)
-                       for b in range(fps)], axis=0)
+        lines = jnp.stack([xd_t[rows_pf[b]].reshape(4, nl, k4)
+                           for b in range(fps)], axis=0)
         all_lines = jax.lax.all_gather(lines, "e").reshape(6, 4, nl, k4)
 
         # 4. the fixup values, from the gathered lines only

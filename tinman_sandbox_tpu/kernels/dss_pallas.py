@@ -49,7 +49,8 @@ __all__ = ["dss_sweeps_pallas_t", "dss_structured_t_pallas",
            "dss_structured_t_pallas_pre", "dss_structured_t_pallas_cpre",
            "dss_sweeps_banded_t", "dss_sweeps_banded_ct",
            "dss_sweeps_pallas_ct",
-           "ext_slot_arrays", "cext_tables", "fit_block_k",
+           "ext_slot_arrays", "cext_tables", "cext_tables_lg",
+           "cext_tables_lg_for_gtiles", "fit_block_k",
            "SWEEP_VMEM_CAP"]
 
 
@@ -858,25 +859,24 @@ def cext_tables(plan, nblocks: int):
     return sf, nt, M, q
 
 
-@lru_cache(maxsize=None)
-def cext_tables_lg(plan, nblocks: int, lg: int):
-    """Producer-side tables for COMPACT fused extraction from a
-    LANE-GROUPED producer (lg 128-lane groups per grid step): slots are
-    assigned per affected SUPER-BLOCK (a run of lg tiles containing at
-    least one affected tile), each granted lg*cM contiguous slab rows;
-    group g of super-block I writes rows [g*cM, (g+1)*cM) of its slot
-    block when its tile is flagged (static offsets — no dynamic stores),
-    unaffected groups skip the write, and the monotone slot row keeps
-    Pallas' revisit coalescing semantics.
+def cext_tables_lg_for_gtiles(gtiles: tuple, nblocks: int, lg: int,
+                              cM: int, q_dense):
+    """Lane-grouped slot/selection tables for an EXPLICIT affected-tile
+    list (the shard-local form of `cext_tables_lg` — used by the banded/
+    face-sharded multi-chip paths whose slabs follow their own gtiles
+    order): slots are assigned per affected SUPER-BLOCK (a run of lg
+    tiles containing at least one affected tile), each granted lg*cM
+    contiguous slab rows; group g of super-block I writes rows
+    [g*cM, (g+1)*cM) of its slot block when its tile is flagged (static
+    offsets — no dynamic stores), unaffected groups skip the write, and
+    the monotone slot row keeps Pallas' revisit coalescing semantics.
+    ``q_dense`` is the [len(gtiles)*cM, 128] one-hot selection table in
+    the DENSE compact slab order (one cM-row block per affected tile).
 
-    Returns (sf [1+lg, nsb], n_asb, cM, cq_lg [n_asb*lg*cM, 128]).
-    The slab layout differs from `cext_tables`'s dense one only by the
-    per-super-block strides + holes; the consumer difference is confined
-    to the fixup's slab-row maps (`_compact_row_maps_lg`) — the vals
-    buffer / sweep / placement tables are untouched."""
+    Returns (sf [1+lg, nblocks//lg], n_asb, cq_lg [n_asb*lg*cM, 128],
+    perm [len(gtiles)*cM] — dense compact slab row -> lg slab row, for
+    re-addressing the consumer's fixup row maps)."""
     assert nblocks % lg == 0, (nblocks, lg)
-    gtiles, _, _ = _fixup_arrays_t(plan)
-    (cM, q_dense) = _compact_arrays(plan)[:2]
     nsb = nblocks // lg
     asb = sorted({t // lg for t in gtiles})
     S = {sb: i for i, sb in enumerate(asb)}
@@ -893,11 +893,31 @@ def cext_tables_lg(plan, nblocks: int, lg: int):
         sf[0, I] = s
     q_np = np.asarray(q_dense, np.float32)
     cq = np.zeros((len(asb) * lg * cM, 128), np.float32)
+    perm = np.empty(len(gtiles) * cM, np.int64)
     for t in gtiles:
         dst = (S[t // lg] * lg + t % lg) * cM
         src = dense_slot[t] * cM
         cq[dst:dst + cM] = q_np[src:src + cM]
-    return sf, len(asb), cM, cq.astype(jnp.bfloat16)
+        perm[src:src + cM] = np.arange(dst, dst + cM)
+    return sf, len(asb), cq.astype(jnp.bfloat16), perm
+
+
+@lru_cache(maxsize=None)
+def cext_tables_lg(plan, nblocks: int, lg: int):
+    """Producer-side tables for COMPACT fused extraction from a
+    LANE-GROUPED producer (lg 128-lane groups per grid step) on the
+    single-chip whole-sphere slab: `cext_tables_lg_for_gtiles` driven by
+    the plan's global affected tiles and `_compact_arrays` selection
+    table. Returns (sf [1+lg, nsb], n_asb, cM, cq_lg [n_asb*lg*cM, 128]).
+    The slab layout differs from `cext_tables`'s dense one only by the
+    per-super-block strides + holes; the consumer difference is confined
+    to the fixup's slab-row maps (`_compact_row_maps_lg`) — the vals
+    buffer / sweep / placement tables are untouched."""
+    gtiles, _, _ = _fixup_arrays_t(plan)
+    (cM, q_dense) = _compact_arrays(plan)[:2]
+    sf, nslots, cq, _ = cext_tables_lg_for_gtiles(gtiles, nblocks, lg,
+                                                  cM, q_dense)
+    return sf, nslots, cM, cq
 
 
 @lru_cache(maxsize=None)
