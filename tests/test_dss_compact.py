@@ -301,3 +301,74 @@ def test_prim_lane_grouped_multistep_soak():
     for name, a, b in zip(("s", "qdp", "phi"), got[:3], ref[:3]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_rowchunked_lg_tracer_kernel_bitwise():
+    """The row-chunked lane-grouped tracer kernel (qc tracers per grid
+    step, chunk axis outer — the q35 VMEM fix, VERDICT r4 item 2) is
+    BITWISE equal to the unchunked lg kernel and to the dense eb=8 fused
+    kernel, slab included (after chunk-major reassembly)."""
+    from tinman_sandbox_tpu.kernels.dss_pallas import (
+        cext_tables, cext_tables_lg, dss_structured_t_pallas_cpre,
+    )
+    from tinman_sandbox_tpu.kernels.tracer_pallas_t import (
+        reassemble_chunked_slab, tracer_euler_pallas_packed_t_ext,
+        tracer_euler_pallas_packed_t_lg,
+    )
+
+    ne, k, nq, lg, qc = 4, 8, 4, 3, 2
+    cs, cfg, plan, p, scal, rsp, s0, sm1 = _problem(ne, nlev=k)
+    e16 = s0.shape[1]
+    qdp = jnp.concatenate([p["qdp"] * (1.0 + 0.1 * i) for i in range(nq)],
+                          axis=0)
+    scal_t = jnp.zeros((1, 4), jnp.float32).at[0, 0].set(0.05)
+    sf, nslots, cM, cq = cext_tables_lg(plan, e16 // 128, lg)
+    com = (scal_t, p["dxbt"], p["dybt"], p["meta"], s0, s0, qdp)
+    e0, xs0 = tracer_euler_pallas_packed_t_lg(
+        *com, nlev=k, lg=lg, qc=0, wind_rows=(0, 1),
+        sf=jnp.asarray(sf), cq=jnp.asarray(cq), nslots=nslots, cM=cM,
+        interpret=True)
+    e1, xs1c = tracer_euler_pallas_packed_t_lg(
+        *com, nlev=k, lg=lg, qc=qc, wind_rows=(0, 1),
+        sf=jnp.asarray(sf), cq=jnp.asarray(cq), nslots=nslots, cM=cM,
+        interpret=True)
+    assert np.array_equal(np.asarray(e0), np.asarray(e1))
+    xs1 = reassemble_chunked_slab(xs1c, nq // qc, qc * k)
+    assert xs1.shape == xs0.shape
+    assert np.array_equal(np.asarray(xs0), np.asarray(xs1))
+
+    # dense eb=8 fused kernel agrees on the field output
+    sfd, nt, cMd, cqd = cext_tables(plan, e16 // 128)
+    ed, _ = tracer_euler_pallas_packed_t_ext(
+        *com, jnp.asarray(sfd), nt=nt, nlev=k, wind_rows=(0, 1),
+        cq=jnp.asarray(cqd), cM=cMd, interpret=True)
+    assert np.array_equal(np.asarray(e0), np.asarray(ed))
+
+    # and the DSS consumer sees identical assemblies
+    a = dss_structured_t_pallas_cpre(e0, xs0, plan, rsp, lg=lg,
+                                     interpret=True)
+    b = dss_structured_t_pallas_cpre(e1, xs1, plan, rsp, lg=lg,
+                                     interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rowchunked_lg_tracer_stage_auto_q35():
+    """The SSPRK3 tracer stage auto-selects the row-chunked lg path at
+    the reference's QSIZE_D=35 x nlev=72 shape (qk = 2520 overflows the
+    plain lg budget) and stays bitwise equal to the dense fused path."""
+    from tinman_sandbox_tpu import fastpath
+    from tinman_sandbox_tpu.dist.step_pallas import ssprk3_tracer_packed_t
+
+    ne, k, nq, lg = 4, 72, 35, 3
+    cs, cfg, plan, p, scal, rsp, s0, sm1 = _problem(ne, nlev=k)
+    qdp = jnp.concatenate([p["qdp"] * (1.0 + 0.01 * i) for i in range(nq)],
+                          axis=0)
+    tr_args = (p["dxbt"], p["dybt"], p["meta"], s0, s0, qdp, plan, rsp,
+               jnp.float32(0.05))
+    a = ssprk3_tracer_packed_t(*tr_args, eb=8, nlev=k, wind_rows=(0, 1),
+                               lg=lg, interpret=True)
+    assert fastpath.last_path["ssprk3_tracer_packed_t"] == \
+        f"fused-lg{lg}-qc7-compact"
+    b = ssprk3_tracer_packed_t(*tr_args, eb=8, nlev=k, wind_rows=(0, 1),
+                               interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))

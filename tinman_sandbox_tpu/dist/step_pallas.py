@@ -537,30 +537,47 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
         from ..fastpath import fused_admissible, note_compact
 
         # the lane-grouped tracer kernel's block is [qk, 128*lg]: at
-        # QSIZE_D=35 (qk=2520) its ~4 live buffers overflow scoped VMEM
-        # (measured 30.7M vs 21.3M at lg=5) — shrink lg until the
-        # estimate fits, falling through to the 128-lane fused path
+        # QSIZE_D=35 (qk=2520) its ~4.8 live buffers overflow scoped VMEM
+        # (measured 30.7M vs 21.3M at lg=5) — ROW-CHUNK the tracer axis
+        # (qc tracers per grid step, chunk axis outer) so the tall stack
+        # lane-groups within budget instead of falling back to the dense
+        # 128-lane path (the r4 q35 gap, VERDICT r4 item 2)
         qk = qdp.shape[0]
-        lg_t = lg
-        while lg_t > 1 and 4.5 * qk * 128 * lg_t * 4 > 16 * 2 ** 20:
-            lg_t -= 1
-        if lg_t > 1 and e16 % (128 * lg_t) == 0:
+        nq_ = qk // nlev
+        cap_b = 16 * 2 ** 20
+        lg_t = next((g for g in range(lg, 1, -1)
+                     if e16 % (128 * g) == 0), 0)
+        qc = 0
+        if lg_t > 1 and 4.5 * qk * 128 * lg_t * 4 > cap_b:
+            # ~5 live [qc*nlev, 128*lg] buffers per step (the measured
+            # 4.8 + headroom); largest tracer-divisor chunk that fits
+            qc = max((d for d in range(1, nq_) if nq_ % d == 0
+                      and 5.0 * d * nlev * 128 * lg_t * 4 <= cap_b),
+                     default=0)
+            if qc == 0:
+                lg_t = 0                    # even qc=1 over-budgets
+        if lg_t > 1:
             lg = lg_t
             from ..fastpath import last_path
             from ..kernels.dss_pallas import cext_tables_lg
             from ..kernels.tracer_pallas_t import (
-                tracer_euler_pallas_packed_t_lg,
+                reassemble_chunked_slab, tracer_euler_pallas_packed_t_lg,
             )
 
-            last_path["ssprk3_tracer_packed_t"] = f"fused-lg{lg}-compact"
+            last_path["ssprk3_tracer_packed_t"] = (
+                f"fused-lg{lg}-qc{qc}-compact" if qc
+                else f"fused-lg{lg}-compact")
             sf_np, nslots, cM, cq_np = cext_tables_lg(plan, e16 // 128, lg)
             sfj, cqj = jnp.asarray(sf_np), jnp.asarray(cq_np)
 
             def stage(q, mix=None):
                 e, xd_t = tracer_euler_pallas_packed_t_lg(
                     scal, dxbt, dybt, meta, vu, vv, q, nlev=nlev, lg=lg,
-                    wind_rows=wind_rows, sf=sfj, cq=cqj, nslots=nslots,
-                    cM=cM, interpret=interpret)
+                    qc=qc, wind_rows=wind_rows, sf=sfj, cq=cqj,
+                    nslots=nslots, cM=cM, interpret=interpret)
+                if qc:
+                    xd_t = reassemble_chunked_slab(xd_t, nq_ // qc,
+                                                   qc * nlev)
                 return dss_structured_t_pallas_cpre(
                     e, xd_t, plan, rsp_lanes, mix=mix, lg=lg,
                     interpret=interpret)

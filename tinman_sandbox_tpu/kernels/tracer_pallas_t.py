@@ -440,11 +440,14 @@ def tracer_euler_pallas_packed_t(scal, dxbt, dybt, meta, vu, vv, qdp,
 
 
 def _tracer_kernel_t_lg(split, rrearth, nq, fold_sph, lg, ext, cM,
-                        *refs):
+                        lane_axis, *refs):
     """Lane-grouped tracer Euler body: lg independent 128-lane groups
     per grid step (grid / lg; see the r4 lane-grouping ledger). With
     ``ext``, affected groups also emit their compact DSS slab rows
-    (cext_tables_lg) by reading back the just-written output slice."""
+    (cext_tables_lg) by reading back the just-written output slice.
+    ``lane_axis`` is the grid axis carrying the 128*lg lane super-blocks
+    (1 in the row-chunked 2D grid, 0 otherwise); ``nq`` is the number of
+    tracers IN THIS BLOCK (the per-chunk count when row-chunked)."""
     sf_ref = cq_ref = ext_ref = None
     refs = list(refs)
     if ext:
@@ -478,7 +481,7 @@ def _tracer_kernel_t_lg(split, rrearth, nq, fold_sph, lg, ext, cM,
                          scal_ref, dxbt_ref, dybt_ref, _V(meta_ref),
                          _V(vu_ref), _V(vv_ref), _V(q_ref), _O())
         if ext:
-            @pl.when(sf_ref[1 + g, pl.program_id(0)] == 1)
+            @pl.when(sf_ref[1 + g, pl.program_id(lane_axis)] == 1)
             def _write_slab(g=g, sl=sl):
                 sel_l, _ = make_sel(split)
                 q1h = cq_ref[g * cM:(g + 1) * cM]
@@ -486,10 +489,11 @@ def _tracer_kernel_t_lg(split, rrearth, nq, fold_sph, lg, ext, cM,
                     q1h, o_ref[0:qk, sl].T)
 
 
-@partial(jax.jit, static_argnames=("nlev", "lg", "fold_sph", "wind_rows",
-                                   "nslots", "cM", "interpret"))
+@partial(jax.jit, static_argnames=("nlev", "lg", "qc", "fold_sph",
+                                   "wind_rows", "nslots", "cM",
+                                   "interpret"))
 def tracer_euler_pallas_packed_t_lg(scal, dxbt, dybt, meta, vu, vv, qdp,
-                                    nlev: int, lg: int = 4,
+                                    nlev: int, lg: int = 4, qc: int = 0,
                                     fold_sph: bool = True,
                                     wind_rows: tuple = (0, 0),
                                     sf=None, cq=None, nslots: int = 0,
@@ -497,8 +501,21 @@ def tracer_euler_pallas_packed_t_lg(scal, dxbt, dybt, meta, vu, vv, qdp,
                                     interpret: bool = False):
     """Lane-grouped `tracer_euler_pallas_packed_t` (lane width 128*lg,
     grid length e16/(128*lg); e16 % (128*lg) == 0); with ``sf``/``cq``
-    (cext_tables_lg) also emits the compact DSS slab
-    [nslots*lg*cM, qk]."""
+    (cext_tables_lg) also emits the compact DSS slab [nslots*lg*cM, qk].
+
+    ``qc`` (0 < qc < nq, qc | nq) ROW-CHUNKS the tall stacked-tracer
+    block: the grid becomes (nq/qc tracer chunks, lane super-blocks)
+    with per-step blocks [qc*nlev, 128*lg], so QSIZE_D=35-class stacks
+    (qk = 2520) can lane-group without overflowing scoped VMEM (the
+    r4 guard measured ~4.8 live [qk, w] buffers; at lg=5 that is 30.7 MB
+    vs the ~21 MB cap — commit a0100d1). The chunk axis is OUTER (lane
+    blocks iterate fastest) so the slab's slot revisit-coalescing is
+    preserved within each chunk; the slab is laid out chunk-major
+    [(nq/qc)*nslots*lg*cM, qc*nlev] — the consumer reassembles the
+    standard [nslots*lg*cM, qk] slab with one small transpose
+    (dist/step_pallas.py). Winds/meta are re-fetched per grid step
+    exactly as in the unchunked kernels (~(nchunks-1)*k/qk extra read
+    traffic, ~11% at q35/qc=7)."""
     qk, e16 = qdp.shape
     k = nlev
     assert qk % k == 0, (qk, k)
@@ -509,59 +526,104 @@ def tracer_euler_pallas_packed_t_lg(scal, dxbt, dybt, meta, vu, vv, qdp,
     wu, wv = wind_rows
     assert vu.shape[0] >= (wu + 1) * k and vv.shape[0] >= (wv + 1) * k
     ext = sf is not None
+    chunked = 0 < qc < nq
+    if not chunked:
+        qc = nq
+    assert nq % qc == 0, (nq, qc)
+    nchunks = nq // qc
+    qck = qc * k
 
-    if ext:
-        fld = lambda r: pl.BlockSpec((r, w), lambda i, sf: (0, i),
+    if chunked:
+        # 2D grid (chunk j OUTER, lane super-block i fastest): the slab
+        # slot map stays monotone within each chunk sweep, so Pallas'
+        # revisit coalescing carries exactly the affected groups' rows
+        if ext:
+            mk = lambda f: (lambda j, i, sf: f(j, i))
+        else:
+            mk = lambda f: (lambda j, i: f(j, i))
+        fld = lambda r: pl.BlockSpec((r, w), mk(lambda j, i: (j, i)),
                                      memory_space=pltpu.VMEM)
-        row = lambda r: pl.BlockSpec((k, w), lambda i, sf, r=r: (r, i),
+        row = lambda r: pl.BlockSpec((k, w),
+                                     mk(lambda j, i, r=r: (r, i)),
                                      memory_space=pltpu.VMEM)
-        rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
+        rep = lambda shape: pl.BlockSpec(shape, mk(lambda j, i: (0, 0)),
                                          memory_space=pltpu.VMEM)
-        smem = pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+        smem = pl.BlockSpec((1, 4), mk(lambda j, i: (0, 0)),
                             memory_space=pltpu.SMEM)
         meta_spec = pl.BlockSpec((len(META_COLS), w),
-                                 lambda i, sf: (0, i),
+                                 mk(lambda j, i: (0, i)),
                                  memory_space=pltpu.VMEM)
+        grid = (nchunks, nblocks)
+        lane_axis = 1
     else:
-        fld = lambda r: pl.BlockSpec((r, w), lambda i: (0, i),
-                                     memory_space=pltpu.VMEM)
-        row = lambda r: pl.BlockSpec((k, w), lambda i, r=r: (r, i),
-                                     memory_space=pltpu.VMEM)
-        rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+        if ext:
+            fld = lambda r: pl.BlockSpec((r, w), lambda i, sf: (0, i),
                                          memory_space=pltpu.VMEM)
-        smem = pl.BlockSpec((1, 4), lambda i: (0, 0),
-                            memory_space=pltpu.SMEM)
-        meta_spec = pl.BlockSpec((len(META_COLS), w), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM)
+            row = lambda r: pl.BlockSpec((k, w), lambda i, sf, r=r: (r, i),
+                                         memory_space=pltpu.VMEM)
+            rep = lambda shape: pl.BlockSpec(shape, lambda i, sf: (0, 0),
+                                             memory_space=pltpu.VMEM)
+            smem = pl.BlockSpec((1, 4), lambda i, sf: (0, 0),
+                                memory_space=pltpu.SMEM)
+            meta_spec = pl.BlockSpec((len(META_COLS), w),
+                                     lambda i, sf: (0, i),
+                                     memory_space=pltpu.VMEM)
+        else:
+            fld = lambda r: pl.BlockSpec((r, w), lambda i: (0, i),
+                                         memory_space=pltpu.VMEM)
+            row = lambda r: pl.BlockSpec((k, w), lambda i, r=r: (r, i),
+                                         memory_space=pltpu.VMEM)
+            rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM)
+            smem = pl.BlockSpec((1, 4), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+            meta_spec = pl.BlockSpec((len(META_COLS), w), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+        grid = (nblocks,)
+        lane_axis = 0
     kernel = partial(_tracer_kernel_t_lg, not interpret, CONSTANTS.rrearth,
-                     nq, fold_sph, lg, ext, cM if ext else 0)
+                     qc, fold_sph, lg, ext, cM if ext else 0, lane_axis)
     in_specs = [
         smem,
         rep((128, 128)), rep((128, 128)),
         meta_spec,
-        row(wu), row(wv), fld(qk),
+        row(wu), row(wv), fld(qck),
     ]
     operands = [scal, dxbt, dybt, meta, vu, vv, qdp]
-    out_specs = [fld(qk)]
+    out_specs = [fld(qck)]
     out_shape = [jax.ShapeDtypeStruct((qk, e16), jnp.float32)]
-    nbytes = 2 * (qk + k) * e16 * 4
+    nbytes = 2 * (qk + nchunks * k) * e16 * 4
     if ext:
         assert sf.shape == (1 + lg, nblocks), (sf.shape, lg, nblocks)
-        in_specs.insert(0, pl.BlockSpec(
-            (lg * cM, 128), lambda i, sf: (sf[0, i], 0),
-            memory_space=pltpu.VMEM))
+        if chunked:
+            cq_spec = pl.BlockSpec((lg * cM, 128),
+                                   lambda j, i, sf: (sf[0, i], 0),
+                                   memory_space=pltpu.VMEM)
+            slab_spec = pl.BlockSpec(
+                (lg * cM, qck),
+                lambda j, i, sf, ns=nslots: (j * ns + sf[0, i], 0),
+                memory_space=pltpu.VMEM)
+            slab_shape = jax.ShapeDtypeStruct(
+                (nchunks * nslots * lg * cM, qck), jnp.float32)
+        else:
+            cq_spec = pl.BlockSpec((lg * cM, 128),
+                                   lambda i, sf: (sf[0, i], 0),
+                                   memory_space=pltpu.VMEM)
+            slab_spec = pl.BlockSpec((lg * cM, qk),
+                                     lambda i, sf: (sf[0, i], 0),
+                                     memory_space=pltpu.VMEM)
+            slab_shape = jax.ShapeDtypeStruct(
+                (nslots * lg * cM, qk), jnp.float32)
+        in_specs.insert(0, cq_spec)
         operands = [sf, cq] + operands
-        out_specs.append(pl.BlockSpec(
-            (lg * cM, qk), lambda i, sf: (sf[0, i], 0),
-            memory_space=pltpu.VMEM))
-        out_shape.append(
-            jax.ShapeDtypeStruct((nslots * lg * cM, qk), jnp.float32))
+        out_specs.append(slab_spec)
+        out_shape.append(slab_shape)
         nbytes += nslots * lg * cM * qk * 4
         grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(nblocks,),
+            num_scalar_prefetch=1, grid=grid,
             in_specs=in_specs, out_specs=out_specs))
     else:
-        grid_kw = dict(grid=(nblocks,), in_specs=in_specs,
+        grid_kw = dict(grid=grid, in_specs=in_specs,
                        out_specs=out_specs)
     out = pl.pallas_call(
         kernel,
@@ -575,6 +637,18 @@ def tracer_euler_pallas_packed_t_lg(scal, dxbt, dybt, meta, vu, vv, qdp,
         **grid_kw,
     )(*operands)
     return out
+
+
+def reassemble_chunked_slab(xs, nchunks: int, qck: int):
+    """[(nchunks)*R, qck] chunk-major slab (the row-chunked lg tracer
+    kernel's second output) -> the standard [R, nchunks*qck] slab the
+    compact fixup consumes: one small transpose (the slab is ~1e-2 of
+    the field)."""
+    cr, qck_ = xs.shape
+    assert qck_ == qck and cr % nchunks == 0, (xs.shape, nchunks, qck)
+    R = cr // nchunks
+    return xs.reshape(nchunks, R, qck).transpose(1, 0, 2).reshape(
+        R, nchunks * qck)
 
 
 @partial(jax.jit, static_argnames=("nt", "nlev", "fold_sph", "wind_rows",
