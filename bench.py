@@ -100,6 +100,11 @@ def main() -> None:
                          "128-lane groups per grid step + standalone "
                          "compact extraction (ne120 at-scale fix; "
                          "requires e16 %% (128*lg) == 0)")
+    ap.add_argument("--limit-minmax", default="transpose",
+                    choices=("transpose", "transpose2", "roll"),
+                    help="--limit: group min/max strategy in the fused "
+                         "limiter kernel (transpose2 = packed single "
+                         "back-transpose candidate, VERDICT r4 item 3)")
     ap.add_argument("--limit-iters", type=int, default=2,
                     help="--limit: clip+redistribute passes before the "
                          "exact-conservation fallback (2 = field-path "
@@ -333,6 +338,7 @@ def main() -> None:
                 return prim_step_packed_t4(
                     *cst, *acc, plan, rsp, args.nu, eb=cfg.elem_block,
                     nlev=cfg.nlev, limit_tracers=args.limit,
+                    limit_strategy=args.limit_minmax,
                     hv_fast_dots=args.hv_dots == "fast", lg=args.lg,
                     limit_iters=args.limit_iters)
 
@@ -666,7 +672,9 @@ def main() -> None:
                   + ((" prim(ssprk3+hypervis+tracers)"
                       + (f" qsize={args.qsize}" if args.qsize > 1 else "")
                       + ((" limit" + (f" iters={args.limit_iters}"
-                                      if args.limit_iters != 2 else ""))
+                                      if args.limit_iters != 2 else "")
+                          + (f" minmax={args.limit_minmax}"
+                             if args.limit_minmax != "transpose" else ""))
                          if args.limit else "")
                       + (" hv_dots=fast" if args.hv_dots == "fast" else ""))
                      if (cs is not None and args.prim) else "")

@@ -352,10 +352,12 @@ def test_rowchunked_lg_tracer_kernel_bitwise():
     assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_rowchunked_lg_tracer_stage_auto_q35():
-    """The SSPRK3 tracer stage auto-selects the row-chunked lg path at
-    the reference's QSIZE_D=35 x nlev=72 shape (qk = 2520 overflows the
-    plain lg budget) and stays bitwise equal to the dense fused path."""
+def test_lg_tracer_stage_dense_fallback_q35():
+    """At the reference's QSIZE_D=35 x nlev=72 shape the SSPRK3 tracer
+    stage runs the DENSE fused path even when lg is requested: every lg
+    form of the tall stack measured SLOWER on chip (row-chunked +24%,
+    raised-cap unchunked +15-20% — BYTES_MODEL.md q35 lane-grouping
+    ledger), so the auto falls back instead of chunking."""
     from tinman_sandbox_tpu import fastpath
     from tinman_sandbox_tpu.dist.step_pallas import ssprk3_tracer_packed_t
 
@@ -367,8 +369,7 @@ def test_rowchunked_lg_tracer_stage_auto_q35():
                jnp.float32(0.05))
     a = ssprk3_tracer_packed_t(*tr_args, eb=8, nlev=k, wind_rows=(0, 1),
                                lg=lg, interpret=True)
-    assert fastpath.last_path["ssprk3_tracer_packed_t"] == \
-        f"fused-lg{lg}-qc7-compact"
+    assert fastpath.last_path["ssprk3_tracer_packed_t"] == "fused_compact"
     b = ssprk3_tracer_packed_t(*tr_args, eb=8, nlev=k, wind_rows=(0, 1),
                                interpret=True)
     assert np.array_equal(np.asarray(a), np.asarray(b))

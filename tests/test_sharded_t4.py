@@ -344,3 +344,59 @@ def test_packed_cadence_soak():
         capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "finite=True" in r.stdout
+
+
+@pytest.mark.parametrize("ne,m,nshards", [(4, 2, 4), (8, 4, 8)])
+def test_banded_t4_overlap_bitwise(ne, m, nshards):
+    """The OVERLAPPED banded step (merge-free sweep + in-place fix-tile
+    patch; the line collectives feed only the patch, so XLA hides them
+    behind the sweep — SCALING_MODEL.md claim 2) is BITWISE equal to the
+    fused merged path."""
+    if len(jax.devices()) < nshards:
+        pytest.skip("needs %d devices" % nshards)
+    cs, cfg, plan, pt, scal, rsp, s0, sm1 = _setup(ne, nlev=4, eb=8)
+    mesh = Mesh(np.asarray(jax.devices()[:nshards]), ("e",))
+    args = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp, mesh, m)
+    with mesh:
+        ref = caar_dss_banded_t4(*args, eb=8, nlev=4, interpret=True)
+        got = caar_dss_banded_t4(*args, eb=8, nlev=4, overlap=True,
+                                 interpret=True)
+    for name, a, b in zip(("assembled", "phi", "vn0u", "vn0v", "omg"),
+                          got, ref):
+        err = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        assert err == 0.0, f"banded overlap {name}: {err}"
+
+
+def test_prim_banded_overlap_bitwise():
+    """The FULL band-sharded prim cadence with the overlapped DSS
+    decomposition in every stage (dynamics mix, in-place hypervis
+    update, tracer mix) is bitwise equal to the merged cadence."""
+    nshards, ne, m = 4, 4, 2
+    if len(jax.devices()) < nshards:
+        pytest.skip("needs %d devices" % nshards)
+    from tinman_sandbox_tpu import Config, random_state
+    from tinman_sandbox_tpu.dist.prim_banded import prim_step_banded_t4
+    from tinman_sandbox_tpu.kernels.layout import pack_field_t
+
+    cs, cfg, plan, pt, scal, rsp, s0, sm1 = _setup(ne, nlev=4, eb=8)
+    cfg2 = Config(nelem=cs.nelem, nlev=4, elem_block=8, qsize=2)
+    st = jax.tree.map(lambda x: np.asarray(x, np.float32),
+                      random_state(cfg2, seed=5))
+    qdp0 = jnp.concatenate(
+        [pack_field_t(jnp.asarray(st.qdp[0, :, q], jnp.float32))
+         for q in range(2)], axis=0)
+    mesh = Mesh(np.asarray(jax.devices()[:nshards]), ("e",))
+    args = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, qdp0, pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp, mesh, m, 2.5e-4)
+    with mesh:
+        ref = prim_step_banded_t4(*args, eb=8, nlev=4, qsplit=1,
+                                  interpret=True)
+        got = prim_step_banded_t4(*args, eb=8, nlev=4, qsplit=1,
+                                  overlap=True, interpret=True)
+    for name, a, b in zip(("s1", "qdp", "phi", "vn0u", "vn0v", "omg"),
+                          got, ref):
+        err = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        assert err == 0.0, f"banded prim overlap {name}: {err}"

@@ -275,7 +275,8 @@ def pick_lg(nblocks: int, cap: int = 8) -> int:
 
 @lru_cache(maxsize=None)
 def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
-                        compact: bool = False, lg: int = 0):
+                        compact: bool = False, lg: int = 0,
+                        overlap: bool = False):
     """Build the per-shard banded-DSS closure + its chunk-order static
     operands (dm, masks). The closure runs INSIDE shard_map and performs:
     halo-row ppermute -> [band|next|prev] extension -> compact line
@@ -292,10 +293,19 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
     single-chip win ported per shard): the super-block slot tables come
     from `cext_tables_lg_for_gtiles` and only the fixup's slab-row maps
     change — the vals buffer / sweep / placement tables are untouched.
-    Requires lg | (shard 128-lane block count)."""
+    Requires lg | (shard 128-lane block count).
+
+    ``overlap`` (requires compact) splits the closing pass into a
+    merge-free sweep (NO dependence on the cross-chip line collectives)
+    plus an in-place fix-tile patch that consumes them — the
+    compute/communication-overlap decomposition SCALING_MODEL.md claim 2
+    names as the N=64 weak-scaling requirement: XLA's async collectives
+    start the W/E all_gathers and S/N psum as soon as the producer slab
+    exists and hide them behind the sweep pass."""
     from ..kernels.dss_pallas import (
         cext_tables_lg_for_gtiles, dss_sweeps_banded_ct,
-        dss_sweeps_banded_t, extract_tiles_t, slot_arrays_for_gtiles,
+        dss_sweeps_banded_nomerge, dss_sweeps_banded_t, extract_tiles_t,
+        merge_patch_tiles, slot_arrays_for_gtiles,
     )
 
     T = _banded_tables(plan, m)
@@ -307,6 +317,7 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
     assert bl % 128 == 0 or cps == 1, \
         f"multi-chunk shards need 128 | band lanes (bl={bl})"
     assert lg <= 1 or compact, "lane-grouped slabs require the compact path"
+    assert not overlap or compact, "overlap requires the compact path"
 
     # chunk-order global operands for the per-chunk static data
     chunk_first = [(c % m) == 0 for c in range(6 * m)]
@@ -428,7 +439,7 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
         ends = all_lines[:, :, (0, nl - 1)].reshape(6 * 4 * 2, k4)
         cv_all = ends[cslot_j].reshape(8, 3, k4).sum(axis=1)
 
-        vd_parts = []
+        scaled_parts = []
         for l in range(cps):
             c = shard * cps + l
             f, b = c // m, c % m
@@ -448,9 +459,33 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
             vals_pat = vt[A + b * B]                        # [npat, k4]
             # two-float-aware rsp scaling (kernels.dss_pallas._rsp_mul)
             rpat = rsp[:, pattern_j + l * bl][:, :, None]
-            scaled = sum(vals_pat * rpat[r] for r in range(rsp.shape[0]))
+            scaled_parts.append(
+                sum(vals_pat * rpat[r] for r in range(rsp.shape[0])))
+
+        if overlap:
+            # compute/communication overlap: the merge-free sweep depends
+            # only on shard-local data (x_ext via the single-row halo
+            # ppermute), so the W/E gathers + S/N psum feeding vals3 run
+            # in its shadow; the fix tiles are then patched in place
+            rows_all = np.concatenate(
+                [dense_pat + l * srows_chunk for l in range(cps)])
+            vals_c = jnp.zeros((cps * srows_chunk, k4), s1.dtype).at[
+                rows_all].set(jnp.concatenate(scaled_parts, axis=0),
+                              unique_indices=True)
+            w = dss_sweeps_banded_nomerge(
+                x_ext, rsp, masks_l, nchunks=cps, bl=bl, rl=rl,
+                mix=mix, interpret=interpret)
+            ntb_ = len(tiles)
+            pmix = None if mix is None else (mix[0], mix[1], mix[2])
+            return merge_patch_tiles(
+                w, vals_c.reshape(cps * ntb_, Mc, k4),
+                jnp.asarray(np.asarray(T["qc"])), dm_l,
+                gtiles_shard, ntb_, Mc, mix=pmix, interpret=interpret)
+
+        vd_parts = []
+        for l in range(cps):
             vd_c = jnp.zeros((vd_rows, k4), s1.dtype).at[dense_pat].set(
-                scaled, unique_indices=True)
+                scaled_parts[l], unique_indices=True)
             vd_parts.append(vd_c.T)
         vd = jnp.concatenate(vd_parts, axis=1) if cps > 1 else vd_parts[0]
 
@@ -494,12 +529,13 @@ def _resolve_lg(lg: int, fuse: bool, local_lanes: int,
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
-                                   "moist", "lg", "interpret"))
+                                   "moist", "lg", "overlap", "interpret"))
 def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                        s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
                        plan, rsp_lanes, mesh: Mesh, m: int,
                        eb: int, nlev: int, moist: bool = True,
-                       lg: int = 0, interpret: bool = False):
+                       lg: int = 0, overlap: bool = False,
+                       interpret: bool = False):
     """Band-sharded assembled leapfrog step over ``mesh`` axis "e" with
     N | 6m shards (cps = 6m/N band chunks each; chunk = ne/m element
     rows). Same contract as caar_dss_structured_packed_t4. ``lg=0``
@@ -522,7 +558,8 @@ def caar_dss_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     fuse_ext = fused_admissible(eb, local_lanes, "caar_dss_banded_t4")
     lg = _resolve_lg(lg, fuse_ext, local_lanes, "caar_dss_banded_t4")
     dss_local, dm_g, masks_g, gtiles_shard, cext = _banded_dss_builder(
-        plan, m, N, interpret, compact=fuse_ext, lg=lg)
+        plan, m, N, interpret, compact=fuse_ext, lg=lg,
+        overlap=overlap and fuse_ext)
 
     def body(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
              s0, sm1, qdp, pecnd, vn0u, vn0v, omg, rsp, dm_l, masks_l):

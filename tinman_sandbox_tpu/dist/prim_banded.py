@@ -27,7 +27,7 @@ __all__ = ["ssprk3_banded_t4", "hypervis_banded_t", "tracer_banded_t",
 
 
 def _fused_ext_tables(plan, m, mesh, eb, lanes_global, interpret,
-                      lg: int = 0):
+                      lg: int = 0, overlap: bool = False):
     """(dss_local, dm_g, masks_g, cext, lg) for a producer+DSS fused
     shard_map body; ``cext`` is None when the slot-mapped extraction is
     inadmissible (elem_block != 8 or a non-128-aligned shard lane axis),
@@ -45,17 +45,19 @@ def _fused_ext_tables(plan, m, mesh, eb, lanes_global, interpret,
     fuse = fused_admissible(eb, local_lanes, "prim_banded_t4")
     lg = _resolve_lg(lg, fuse, local_lanes, "prim_banded_t4")
     dss_local, dm_g, masks_g, _, cext = _banded_dss_builder(
-        plan, m, N, interpret, compact=fuse, lg=lg)
+        plan, m, N, interpret, compact=fuse, lg=lg,
+        overlap=overlap and fuse)
     return dss_local, dm_g, masks_g, cext, lg
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
-                                   "moist", "lg", "interpret"))
+                                   "moist", "lg", "overlap", "interpret"))
 def ssprk3_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                      s0, qdp, pecnd, vn0u, vn0v, omg,
                      plan, rsp_lanes, mesh: Mesh, m: int,
                      eb: int, nlev: int, moist: bool = True,
-                     lg: int = 0, interpret: bool = False):
+                     lg: int = 0, overlap: bool = False,
+                     interpret: bool = False):
     """Band-sharded SSPRK3 dynamics (step_pallas.ssprk3_packed_t4 over a
     mesh). Requires a CONTINUOUS s0. Mirrors the single-chip fused RK
     path: single-state RK kernel per stage (no duplicate state fetch),
@@ -69,7 +71,7 @@ def ssprk3_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     B = (1.0 / 6.0, 1.0 / 6.0, 2.0 / 3.0)
     f = s0.dtype
     dss_local, dm_g, masks_g, cext, lg = _fused_ext_tables(
-        plan, m, mesh, eb, s0.shape[1], interpret, lg)
+        plan, m, mesh, eb, s0.shape[1], interpret, lg, overlap)
 
     def kern(sc, dxbt, dybt, ainct, astrt, bstrt, meta, u, qdp, pecnd,
              a1, a2, a3, emit_phi):
@@ -134,10 +136,12 @@ def ssprk3_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
-                                   "subcycle", "lg", "interpret"))
+                                   "subcycle", "lg", "overlap",
+                                   "interpret"))
 def hypervis_banded_t(dxbt, dybt, meta, uvt, plan, rsp_lanes, mesh: Mesh,
                       m: int, nu, dt, eb: int, nlev: int, nu_ratio=1.0,
                       subcycle: int = 1, lg: int = 0,
+                      overlap: bool = False,
                       interpret: bool = False):
     """Band-sharded biharmonic hyperviscosity (apply_hypervis_packed_t
     over a mesh): per subcycle, two (local weak-Laplacian kernel ->
@@ -155,7 +159,7 @@ def hypervis_banded_t(dxbt, dybt, meta, uvt, plan, rsp_lanes, mesh: Mesh,
         (1, 4), jnp.float32)
     step = jnp.asarray(dt, f) / subcycle * jnp.asarray(nu, f)
     dss_local, dm_g, masks_g, cext, lg = _fused_ext_tables(
-        plan, m, mesh, eb, uvt.shape[1], interpret, lg)
+        plan, m, mesh, eb, uvt.shape[1], interpret, lg, overlap)
 
     def lap(sc, dxbt, dybt, meta, x):
         if lg > 1:
@@ -202,10 +206,12 @@ def hypervis_banded_t(dxbt, dybt, meta, uvt, plan, rsp_lanes, mesh: Mesh,
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "m", "eb", "nlev",
-                                   "wind_rows", "lg", "interpret"))
+                                   "wind_rows", "lg", "overlap",
+                                   "interpret"))
 def tracer_banded_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
                     mesh: Mesh, m: int, dt, eb: int, nlev: int,
                     wind_rows: tuple = (0, 0), lg: int = 0,
+                    overlap: bool = False,
                     interpret: bool = False):
     """Band-sharded SSPRK3 tracer transport (ssprk3_tracer_packed_t over
     a mesh, no limiter). Requires a CONTINUOUS qdp. Each stage is one
@@ -236,7 +242,7 @@ def tracer_banded_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
         lg = next((g for g in range(min(lg, cap), 1, -1)
                    if nblocks % g == 0), 1)
     dss_local, dm_g, masks_g, cext, lg = _fused_ext_tables(
-        plan, m, mesh, eb, qdp.shape[1], interpret, lg)
+        plan, m, mesh, eb, qdp.shape[1], interpret, lg, overlap)
 
     def adv(scal, dxbt, dybt, meta, vu, vv, q):
         if lg > 1:
@@ -286,12 +292,13 @@ def tracer_banded_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
 
 @partial(jax.jit, static_argnames=("nu", "plan", "mesh", "m", "eb", "nlev",
                                    "qsplit", "moist", "subcycle", "lg",
-                                   "interpret"))
+                                   "overlap", "interpret"))
 def prim_step_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                         s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
                         mesh: Mesh, m: int, nu, eb: int, nlev: int,
                         qsplit: int = 1, nu_ratio=1.0, moist: bool = True,
                         subcycle: int = 1, lg: int = 0,
+                        overlap: bool = False,
                         interpret: bool = False):
     """FULL prim cadence, band-sharded (the multi-chip analog of
     step_pallas.prim_step_packed_t4). ``lg=0`` auto-picks the per-shard
@@ -305,7 +312,8 @@ def prim_step_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     s1, phi, vn0u1, vn0v1, omg1 = ssprk3_banded_t4(
         scal, dxbt, dybt, ainct, astrt, bstrt, meta, s0,
         qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes, mesh, m,
-        eb=eb, nlev=nlev, moist=moist, lg=lg, interpret=interpret)
+        eb=eb, nlev=nlev, moist=moist, lg=lg, overlap=overlap,
+        interpret=interpret)
 
     if nu:
         # full 4*nlev buffer: the final banded sweep applies the update in
@@ -313,12 +321,13 @@ def prim_step_banded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
         s1 = hypervis_banded_t(
             dxbt, dybt, meta, s1, plan, rsp_lanes, mesh, m, nu, dt,
             eb=eb, nlev=nlev, nu_ratio=nu_ratio, subcycle=subcycle,
-            lg=lg, interpret=interpret)
+            lg=lg, overlap=overlap, interpret=interpret)
 
     # winds read from s1's row blocks 0 (u) and 1 (v) in place
     dt_q = dt / max(qsplit, 1)
     for _ in range(max(qsplit, 1)):
         qdp = tracer_banded_t(dxbt, dybt, meta, s1, s1, qdp, plan,
                               rsp_lanes, mesh, m, dt_q, eb=eb, nlev=nlev,
-                              wind_rows=(0, 1), lg=lg, interpret=interpret)
+                              wind_rows=(0, 1), lg=lg, overlap=overlap,
+                              interpret=interpret)
     return s1, qdp, phi, vn0u1, vn0v1, omg1

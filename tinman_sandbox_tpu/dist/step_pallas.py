@@ -501,13 +501,15 @@ def apply_hypervis_packed_t(dxbt, dybt, meta, uvt, plan, rsp_lanes,
 
 @partial(jax.jit, static_argnames=("eb", "nlev", "plan", "limit",
                                    "fuse_extract", "compact", "wind_rows",
-                                   "lg", "limit_iters", "interpret"))
+                                   "lg", "limit_iters", "limit_strategy",
+                                   "interpret"))
 def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
                            dt, eb: int, nlev: int, limit: bool = False,
                            fuse_extract: bool = True,
                            compact: bool = True,
                            wind_rows: tuple = (0, 0), lg: int = 0,
                            limit_iters: int = 2,
+                           limit_strategy: str = "transpose",
                            interpret: bool = False):
     """SSPRK3 tracer transport on the packed path: each stage is the fused
     Euler kernel (kernels/tracer_pallas_t.py, spheremp folded in) closed by
@@ -538,10 +540,17 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
 
         # the lane-grouped tracer kernel's block is [qk, 128*lg]: at
         # QSIZE_D=35 (qk=2520) its ~4.8 live buffers overflow scoped VMEM
-        # (measured 30.7M vs 21.3M at lg=5) — ROW-CHUNK the tracer axis
-        # (qc tracers per grid step, chunk axis outer) so the tall stack
-        # lane-groups within budget instead of falling back to the dense
-        # 128-lane path (the r4 q35 gap, VERDICT r4 item 2)
+        # (measured 30.7M vs 21.3M at lg=5). MEASURED round 5 (ne30 q35,
+        # BYTES_MODEL.md "q35 lane-grouping ledger"): every lg form of
+        # the tall stage LOSES vs the dense 128-lane path (25.8 ms) —
+        # row-chunked lg5/qc7 32.0 ms (+24%: the 2D grid keeps the step
+        # count, forfeiting the lane-group win, and re-fetches winds per
+        # chunk), unchunked lg5 at a raised 40/64 MB scoped cap
+        # 31.0/29.7 ms (+15-20%: the [2520, 640] working set cuts
+        # Mosaic's DMA/compute double-buffering — the r3 tall-dot
+        # mechanism). So tall stacks that over-budget the plain-lg
+        # estimate run the DENSE fused path; qc stays a kernel-level
+        # option for explicit A/Bs.
         qk = qdp.shape[0]
         nq_ = qk // nlev
         cap_b = 16 * 2 ** 20
@@ -549,13 +558,7 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
                      if e16 % (128 * g) == 0), 0)
         qc = 0
         if lg_t > 1 and 4.5 * qk * 128 * lg_t * 4 > cap_b:
-            # ~5 live [qc*nlev, 128*lg] buffers per step (the measured
-            # 4.8 + headroom); largest tracer-divisor chunk that fits
-            qc = max((d for d in range(1, nq_) if nq_ % d == 0
-                      and 5.0 * d * nlev * 128 * lg_t * 4 <= cap_b),
-                     default=0)
-            if qc == 0:
-                lg_t = 0                    # even qc=1 over-budgets
+            lg_t = 0
         if lg_t > 1:
             lg = lg_t
             from ..fastpath import last_path
@@ -648,6 +651,7 @@ def ssprk3_tracer_packed_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
             e, xd_t = tracer_limit_pallas_packed_t_ext(
                 sc, dxbt, dybt, meta, vu, vv, q, mx, sfj,
                 nt=nt, nlev=nlev, has_mix=mx is not None,
+                strategy=limit_strategy,
                 wind_rows=wind_rows, cq=cqj, cM=cM, iters=limit_iters,
                 interpret=interpret)
             if cM:
@@ -851,7 +855,7 @@ def ssprk3_tracer_ring_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
 @partial(jax.jit, static_argnames=("nu", "eb", "nlev", "plan", "qsplit",
                                    "moist", "subcycle", "limit_tracers",
                                    "hv_fast_dots", "lg", "limit_iters",
-                                   "interpret"))
+                                   "limit_strategy", "interpret"))
 def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                         s0, qdp, pecnd, vn0u, vn0v, omg, plan, rsp_lanes,
                         nu, eb: int, nlev: int, qsplit: int = 1,
@@ -859,6 +863,7 @@ def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                         subcycle: int = 1, limit_tracers: bool = False,
                         hv_fast_dots: bool = False, lg: int = 0,
                         limit_iters: int = 2,
+                        limit_strategy: str = "transpose",
                         interpret: bool = False):
     """FULL prim cadence on the packed transposed Pallas path (the fused
     fast-path analog of timeloop/prim.py::prim_run_step):
@@ -901,6 +906,7 @@ def prim_step_packed_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                                      eb=eb, nlev=nlev, limit=limit_tracers,
                                      wind_rows=(0, 1), lg=lg,
                                      limit_iters=limit_iters,
+                                     limit_strategy=limit_strategy,
                                      interpret=interpret)
     return s1, qdp, phi, vn0u1, vn0v1, omg1
 

@@ -159,6 +159,151 @@ def _sweep_kernel_t(db: int, tiles: tuple, lb: int, vdt: bool, mix: bool,
         out_ref[:, t * 128:t * 128 + wdt] = merged
 
 
+def _sweep_banded_nomerge_kernel(db: int, bl: int, ext: int,
+                                 mix: bool, interpret: bool, *refs):
+    """Banded sweep WITHOUT the edge/corner tile merge: the overlapped
+    multi-chip path (dist/banded_t4.py overlap=True) runs this pass with
+    NO dependence on the cross-chip line gathers — the fixup lands later
+    via `merge_patch_tiles`, so the collectives hide behind this pass."""
+    if mix:
+        x_ref, m_ref, rsp_ref, coef_ref, mx_ref, out_ref = refs
+        ca, cb = coef_ref[0, 0], coef_ref[0, 1]
+    else:
+        x_ref, m_ref, rsp_ref, out_ref = refs
+    if interpret:
+        roll = lambda a, s: jnp.roll(a, s, axis=1)
+    else:
+        roll = lambda a, s: pltpu.roll(a, shift=s % ext, axis=1)
+
+    x = x_ref[:]
+    y = x + m_ref[0:1] * roll(x, -NP) + m_ref[1:2] * roll(x, NP)
+    z = y + m_ref[2:3] * roll(y, -db) + m_ref[3:4] * roll(y, db)
+    w = _rsp_mul(rsp_ref[:], z[:, :bl])
+    if mix:
+        out_ref[:] = ca * mx_ref[:] + cb * w
+    else:
+        out_ref[:] = w
+
+
+@partial(jax.jit, static_argnames=("nchunks", "bl", "rl",
+                                   "interpret", "block_k"))
+def dss_sweeps_banded_nomerge(x_ext, rsp, masks, nchunks: int, bl: int,
+                              rl: int, mix=None,
+                              interpret: bool = False, block_k: int = 16):
+    """`dss_sweeps_banded_t` minus the tile merge (and minus the vals/
+    placement operands): the sweep+rsp(+mix) pass alone, consuming ONLY
+    shard-local data. The cube-edge/corner fix lanes come out wrong and
+    are rewritten in place by `merge_patch_tiles` once the line
+    collectives land — the compute/communication-overlap decomposition
+    of the banded DSS (SCALING_MODEL.md claim 2)."""
+    k, _ = x_ext.shape
+    ext = bl + 2 * rl
+    assert x_ext.shape[1] == nchunks * ext, (x_ext.shape, nchunks, ext)
+    bk = fit_block_k(k, ext, block_k)
+    if mix is not None and mix[0].shape[0] != k and mix[0].shape[0] % bk:
+        cands = [b for b in range(bk, 0, -1)
+                 if k % b == 0 and mix[0].shape[0] % b == 0]
+        bk = next((b for b in cands if b % 8 == 0), cands[0])
+    db = rl - (NP - 1)
+    in_specs = [
+        pl.BlockSpec((bk, ext), lambda j, i: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, ext), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rsp.shape[0], bl), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x_ext, masks, rsp]
+    out_rows = k
+    aliases = {}
+    if mix is not None:
+        mx, ca, cb = mix
+        assert mx.shape[1] == nchunks * bl and mx.shape[0] >= k, \
+            (mx.shape, k, nchunks * bl)
+        coef = jnp.stack([jnp.asarray(ca, jnp.float32),
+                          jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
+        in_specs += [pl.BlockSpec((1, 2), lambda j, i: (0, 0),
+                                  memory_space=pltpu.SMEM),
+                     pl.BlockSpec((bk, bl), lambda j, i: (i, j),
+                                  memory_space=pltpu.VMEM)]
+        operands += [coef, mx]
+        if mx.shape[0] > k:
+            out_rows = mx.shape[0]
+            aliases = {4: 0}
+    return pl.pallas_call(
+        partial(_sweep_banded_nomerge_kernel, db, bl, ext, mix is not None,
+                interpret),
+        grid=(nchunks, k // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bk, bl), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((out_rows, nchunks * bl),
+                                       jnp.float32),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=SWEEP_VMEM_CAP,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+@partial(jax.jit, static_argnames=("gtiles", "ntb", "m_rows", "interpret"))
+def merge_patch_tiles(w, vals3, p_tbl, dm_lanes, gtiles: tuple, ntb: int,
+                      m_rows: int, mix=None, interpret: bool = False):
+    """Rewrite the fix TILES of ``w`` in place from per-tile compact
+    value blocks — the shard-local generalization of `merge_patch_pallas`
+    (explicit tables instead of the plan-global ones): ``gtiles`` are the
+    128-lane tile indices into w's lane axis, ``vals3`` is
+    [len(gtiles), m_rows, k] of (already rsp-scaled) fix values,
+    ``p_tbl`` the per-chunk [ntb*m_rows, 128] placement table (tile n
+    uses rows (n % ntb)*m_rows...), ``dm_lanes`` the [1, len(gtiles)*128]
+    per-tile merge-lane masks (variant-dependent on the banded path).
+    With ``mix=(mx, ca, cb)`` patched lanes get ca*mx + cb*vals (w's
+    non-fix lanes must already carry the mixed value). ``w`` may be
+    TALLER than vals3's k (the in-place hyperviscosity update): only the
+    first k rows of each tile are rewritten."""
+    k = vals3.shape[2]
+    e16 = w.shape[1]
+    nt = len(gtiles)
+    assert vals3.shape == (nt, m_rows, k), (vals3.shape, nt, m_rows, k)
+    assert dm_lanes.shape[1] == nt * 128, dm_lanes.shape
+    gt = jnp.asarray(np.asarray(gtiles, np.int32))
+
+    in_specs = [
+        pl.BlockSpec((k, 128), lambda n, gt: (0, gt[n]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m_rows, k), lambda n, gt: (n, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((m_rows, 128), lambda n, gt, ntb=ntb: (n % ntb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), lambda n, gt: (0, n),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [gt, w, vals3, p_tbl, dm_lanes]
+    if mix is not None:
+        mx, ca, cb = mix
+        coef = jnp.stack([jnp.asarray(ca, jnp.float32),
+                          jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
+        in_specs += [pl.BlockSpec((1, 2), lambda n, gt: (0, 0),
+                                  memory_space=pltpu.SMEM),
+                     pl.BlockSpec((k, 128), lambda n, gt: (0, gt[n]),
+                                  memory_space=pltpu.VMEM)]
+        operands += [coef, mx]
+    return pl.pallas_call(
+        partial(_merge_patch_kernel, mix is not None, not interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((k, 128), lambda n, gt: (0, gt[n]),
+                                  memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(w.shape, jnp.float32),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(*operands)
+
+
 def _sweep_banded_kernel_t(db: int, tiles: tuple, bl: int, ext: int,
                            mix: bool, interpret: bool, *refs):
     # the block is ONE element-row band extended with its neighbor rows in

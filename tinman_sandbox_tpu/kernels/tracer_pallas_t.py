@@ -116,6 +116,18 @@ def _group_minmax(x, strategy: str):
         b = lambda s: jax.lax.broadcast_in_dim(
             s, (8, 16, r), (0, 2)).reshape(128, r).T
         return b(mn3), b(mx3)
+    if strategy == "transpose2":
+        # the VERDICT r4 candidate: pack min AND max into ONE broadcast +
+        # back-transpose ([256, r] -> [r, 256]) instead of two [128, r]
+        # transposes — same element volume, half the transpose ops (each
+        # Mosaic transpose carries fixed per-op relayout cost). Exact.
+        r = x.shape[0]
+        xt = x.T                                   # [128, r]
+        x3 = xt.reshape(8, 16, r)
+        mm = jnp.concatenate([x3.min(axis=1), x3.max(axis=1)], axis=0)
+        bb = jax.lax.broadcast_in_dim(
+            mm, (16, 16, r), (0, 2)).reshape(256, r).T   # [r, 256]
+        return bb[:, :128], bb[:, 128:]
     assert strategy == "roll", strategy
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 16
     mn = mx = x
@@ -490,14 +502,14 @@ def _tracer_kernel_t_lg(split, rrearth, nq, fold_sph, lg, ext, cM,
 
 
 @partial(jax.jit, static_argnames=("nlev", "lg", "qc", "fold_sph",
-                                   "wind_rows", "nslots", "cM",
+                                   "wind_rows", "nslots", "cM", "vmem_mb",
                                    "interpret"))
 def tracer_euler_pallas_packed_t_lg(scal, dxbt, dybt, meta, vu, vv, qdp,
                                     nlev: int, lg: int = 4, qc: int = 0,
                                     fold_sph: bool = True,
                                     wind_rows: tuple = (0, 0),
                                     sf=None, cq=None, nslots: int = 0,
-                                    cM: int = 0,
+                                    cM: int = 0, vmem_mb: int = 0,
                                     interpret: bool = False):
     """Lane-grouped `tracer_euler_pallas_packed_t` (lane width 128*lg,
     grid length e16/(128*lg); e16 % (128*lg) == 0); with ``sf``/``cq``
@@ -625,6 +637,12 @@ def tracer_euler_pallas_packed_t_lg(scal, dxbt, dybt, meta, vu, vv, qdp,
     else:
         grid_kw = dict(grid=grid, in_specs=in_specs,
                        out_specs=out_specs)
+    if vmem_mb:
+        # the unchunked tall-stack variant over-budgets the default
+        # scoped limit; a raised cap (like the fused limiter's 40 MB)
+        # keeps the full lane-group step-count reduction
+        grid_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024)
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape if ext else out_shape[0],
