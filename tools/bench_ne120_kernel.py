@@ -130,7 +130,7 @@ def main():
         lambda t, a, b, c: caar_pallas_packed_t4(
             *t[:7], a, b, t[7], t[8], *c, eb=16, nlev=k),
         args.chunk, com_eb(16) + fixed)
-    for lg in (2, 4, 8):
+    for lg in (2, 3, 4, 5, 6, 8):
         variants[f"lg{lg}"] = (lambda lg: lambda: make_run(
             lambda t, a, b, c: caar_pallas_packed_t4_lg(
                 *t[:7], a, b, t[7], t[8], *c, nlev=k, lg=lg),

@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--steps", type=int, default=5,
                     help="lax.scan length (compile time is scan-length-"
                          "invariant; this matches bench --scan chunks)")
+    ap.add_argument("--lg", type=int, default=0,
+                    help="lane-group width for the cadence (the r4+ "
+                         "bench default path; 0 = dense)")
+    ap.add_argument("--limit", action="store_true",
+                    help="tracer limiter ON (the production path)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -82,7 +87,8 @@ def main():
             s1, q1, phi, a, b, c = prim_step_packed_t4(
                 scal, dxbt, dybt, ainct, astrt, bstrt, meta, s, q, pec,
                 vu, vv, om, plan, rsp, nu=1e15, eb=cfg.elem_block,
-                nlev=args.nlev, interpret=args.cpu)
+                nlev=args.nlev, lg=args.lg, limit_tracers=args.limit,
+                interpret=args.cpu)
             return (s1, q1), phi[0, 0]
 
         (s, q), _ = lax.scan(one, (s0, qdp), None, length=args.steps)
@@ -103,6 +109,7 @@ def main():
     print(json.dumps({
         "gate": "prim_compile",
         "ne": args.ne, "qsize": args.qsize, "steps": args.steps,
+        "lg": args.lg, "limit": bool(args.limit),
         "cache_dir": cache_dir,
         "setup_s": round(setup_s, 1),
         "lower_s": round(lower_s, 1),
