@@ -306,12 +306,14 @@ def main() -> None:
         chunk = max(1, args.chunk)
 
         if cs is not None and transposed and args.lg == 0:
-            # auto-pick the lane-grouped path (measured: q1 8.69 -> 7.22
-            # ms/step at ne30 lg=5; ne120 assembled 24.7 -> 20.4 at lg=8;
-            # bitwise-equal to the eb=8 fused path)
+            # size-aware auto-pick (round-5 sweep, fastpath.auto_lg:
+            # lg8 at <=128 / >=4096 blocks, lg4-5 in between; measured
+            # q1 8.69 -> 7.22 ms/step at ne30 lg=5, ne120 assembled
+            # 24.7 -> 20.4 at lg=8; bitwise-equal to the eb=8 path)
+            from tinman_sandbox_tpu.fastpath import auto_lg
+
             e16_a = p["u0"].shape[1]
-            args.lg = next((g for g in (8, 5, 4, 3, 2)
-                            if e16_a % (128 * g) == 0), 0)
+            args.lg = auto_lg(e16_a // 128)
 
         if cs is not None and transposed and args.prim:
             # FULL prim cadence on the packed path: SSPRK3 dynamics +
@@ -438,9 +440,12 @@ def main() -> None:
             # groups per grid step eliminate the per-grid-step overhead
             # (~0.42 us/block; measured eb8 -> lg8: 208 -> 177 us/step
             # honest-chained at 1024x72, 17.7 -> 12.9 ms at ne120 —
-            # BENCH_LOCAL headline_lg_ab / ne120_kernel_ab_r4_c10)
-            lg_raw = args.lg or (8 if transposed and gchunks == 1
-                                 and e16_all % 1024 == 0 else 0)
+            # BENCH_LOCAL headline_lg_ab / ne120_kernel_ab_r4_c10;
+            # size-aware width from the round-5 sweep, fastpath.auto_lg)
+            from tinman_sandbox_tpu.fastpath import auto_lg as _auto_lg
+
+            lg_raw = args.lg or (_auto_lg(e16_all // 128)
+                                 if transposed and gchunks == 1 else 0)
             args.lg = lg_raw            # surface the auto-pick in config
             raw_acc_sl = (5, 6, 7)
             if transposed and lg_raw > 1:

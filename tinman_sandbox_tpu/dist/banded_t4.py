@@ -268,8 +268,14 @@ def _banded_tables(plan, m: int):
 
 
 def pick_lg(nblocks: int, cap: int = 8) -> int:
-    """Largest lane-group width <= cap dividing the 128-lane block count
-    (0 when none does): the per-shard analog of bench.py's auto-lg."""
+    """Per-shard lane-group width (0 when no width divides): the
+    size-aware preference from the round-5 sweep (fastpath.auto_lg),
+    clamped to ``cap`` (the tall-stack VMEM guard)."""
+    from ..fastpath import auto_lg
+
+    lg = auto_lg(nblocks)
+    if lg and lg <= cap:
+        return lg
     return next((g for g in range(cap, 1, -1) if nblocks % g == 0), 0)
 
 

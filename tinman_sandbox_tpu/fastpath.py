@@ -49,6 +49,23 @@ def fused_admissible(eb: int, lanes: int, site: str) -> bool:
     return ok
 
 
+def auto_lg(nblocks: int) -> int:
+    """Size-aware lane-group width (round-5 sweep, BENCH_LOCAL
+    lg_sweep_*): the best width is NOT monotone in grid size —
+    marginal-slope A/Bs measured lg8 best at 128 blocks (1024x72
+    headline: 89.3 vs lg4 94.4 us) and at >=10,800 blocks (ne120:
+    12.14 ms lg8 vs 12.49 lg5), but lg4-5 best in between (ne16 lg4
+    76 vs lg8 136 us; ne30 lg5 1434 vs eb8 1670; ne60 lg5 3742 vs
+    lg4 3788) — mid-size grids sit where partial VMEM residency and
+    pipeline depth trade off against the per-step overhead. Returns 0
+    when no width in the band divides ``nblocks``."""
+    if nblocks <= 128 or nblocks >= 4096:
+        prefs = (8, 6, 5, 4, 3, 2)
+    else:
+        prefs = (5, 4, 6, 3, 2, 8)
+    return next((g for g in prefs if nblocks % g == 0), 0)
+
+
 def note_compact(site: str, compact: bool) -> None:
     """Refine a 'fused' decision with the slab layout actually used
     (compact fix-lane vs 128-dense — kernels/dss_pallas.py)."""
