@@ -39,14 +39,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nelem", type=int, default=1024)
     ap.add_argument("--nlev", type=int, default=72)
-    ap.add_argument("--nexec", type=int, default=720)
+    ap.add_argument("--nexec", type=int, default=None,
+                    help="steps per timed run (default 8640 raw-kernel, "
+                         "720 assembled/prim — enough to amortize the "
+                         "~30 ms per-run tunnel sync below 2%%)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--eb", type=int, default=8, help="elements per Pallas block")
     ap.add_argument("--pallas", action="store_true", default=None,
                     help="force the fused Pallas CAAR kernel")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
-    ap.add_argument("--chunk", type=int, default=20,
+    ap.add_argument("--chunk", type=int, default=None,
                     help="CAAR steps unrolled per dispatch (amortizes the "
                          "per-dispatch latency, ~200-300 us on this tunnel)")
     ap.add_argument("--ne", type=int, default=None,
@@ -126,6 +129,17 @@ def main() -> None:
                          "(.jax_cache; second processes reuse compiled "
                          "executables)")
     args = ap.parse_args()
+    # mode-aware defaults: the raw-kernel headline amortizes the fixed
+    # ~30 ms tunnel sync and per-dispatch cost (measured: nexec 720 ->
+    # 4320 + chunk 20 -> 80 moves the recorded step time 136 -> 98 us
+    # toward the 89 us marginal-slope steady state); the assembled/prim
+    # modes keep shorter runs (each step is several pallas calls and an
+    # 80-step unroll would inflate compile time)
+    raw_mode = args.ne is None and not args.prim
+    if args.nexec is None:
+        args.nexec = 8640 if raw_mode else 720
+    if args.chunk is None:
+        args.chunk = 80 if raw_mode else 20
     t_setup0 = time.perf_counter()
 
     # the remote-TPU tunnel can die and leave jax.devices() hanging
