@@ -39,6 +39,17 @@ def main():
     ap.add_argument("--checkpoint", default=None,
                     help="write a packed-chain checkpoint here at the end "
                          "and restart from it if it already exists")
+    ap.add_argument("--init", default="random",
+                    choices=("random", "bubble"),
+                    help="initial state: projected random flow (spin-up "
+                         "stress test; physically UNSTABLE past ~4 "
+                         "simulated days at ne8 — the field-layout path "
+                         "blows at the same simulated time with a "
+                         "matching KE trajectory, see "
+                         "ENERGY_DRIFT_TPU_Q35_5DAY.json note) or a "
+                         "resting isothermal atmosphere + warm bubble "
+                         "(the long-horizon drift configuration, "
+                         "tools/energy_drift.py analog)")
     ap.add_argument("--drift-out", default=None,
                     help="record the sampled IE/KE/M diagnostics to this "
                          "JSON (long-run drift artifact for the packed "
@@ -93,12 +104,35 @@ def main():
     proj = lambda x: np.asarray(dss_project(
         jnp.asarray(x), gdof, cs.ndof, g.spheremp, g.rspheremp), np.float32)
     n0, qn0 = cfg.n0, cfg.qn0
-    su, sv, stt = np.array(st.u), np.array(st.v), np.array(st.t)
-    sdp, sq = np.array(st.dp3d), np.abs(np.array(st.qdp)) * 0.01
-    su[n0], sv[n0], stt[n0] = proj(su[n0]), proj(sv[n0]), proj(stt[n0] + 280)
-    sdp[n0] = proj(np.abs(sdp[n0]) + 900.0 / cfg.nlev)
-    sq[qn0] = proj(sq[qn0])
-    st = dataclasses.replace(st, u=su, v=sv, t=stt, dp3d=sdp, qdp=sq)
+    if args.init == "bubble":
+        # resting isothermal atmosphere + warm bubble: balanced, stable
+        # over multi-day horizons (the drift-artifact configuration)
+        from tinman_sandbox_tpu.config import NP
+        from tinman_sandbox_tpu.ops.remap import reference_dp
+
+        ps = jnp.full((cs.nelem, NP, NP), float(hv.ps0))
+        dp_ref = np.asarray(reference_dp(hv, ps), np.float32)
+        bubble = 0.5 * np.exp(
+            -((np.asarray(cs.lat) - 0.0) ** 2
+              + (np.asarray(cs.lon) - 1.0) ** 2) / 0.05
+        ).astype(np.float32)[:, None]
+        su = np.zeros_like(np.array(st.u))
+        sv = np.zeros_like(su)
+        stt = np.array(st.t)
+        stt[n0] = (280.0 + bubble) * np.ones_like(dp_ref)
+        sdp = np.array(st.dp3d)
+        sdp[n0] = dp_ref
+        sq = np.array(st.qdp)
+        sq[qn0] = 1e-3 * dp_ref[:, None]
+        st = dataclasses.replace(st, u=su, v=sv, t=stt, dp3d=sdp, qdp=sq)
+    else:
+        su, sv, stt = np.array(st.u), np.array(st.v), np.array(st.t)
+        sdp, sq = np.array(st.dp3d), np.abs(np.array(st.qdp)) * 0.01
+        su[n0], sv[n0], stt[n0] = (proj(su[n0]), proj(sv[n0]),
+                                   proj(stt[n0] + 280))
+        sdp[n0] = proj(np.abs(sdp[n0]) + 900.0 / cfg.nlev)
+        sq[qn0] = proj(sq[qn0])
+        st = dataclasses.replace(st, u=su, v=sv, t=stt, dp3d=sdp, qdp=sq)
 
     plan = make_structured_plan(cs.gdof, args.ne)
     pt = pack_problem_t(st, cast(zero_derived(cfg)), g, hv, cfg)
@@ -178,7 +212,7 @@ def main():
                 "config": dict(ne=args.ne, nelem=cfg.nelem, nlev=cfg.nlev,
                                dt=args.dt, steps=args.steps, nu=args.nu,
                                qsize=args.qsize, qsplit=args.qsplit,
-                               rsplit=args.rsplit),
+                               rsplit=args.rsplit, init=args.init),
                 "backend": jax.default_backend(),
                 "path": "prim_step_packed_t4 (fused packed Pallas cadence)",
                 "samples": samples,

@@ -400,3 +400,24 @@ def test_prim_banded_overlap_bitwise():
                           got, ref):
         err = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
         assert err == 0.0, f"banded prim overlap {name}: {err}"
+
+
+@pytest.mark.parametrize("nshards", [2, 3])
+def test_sharded_t4_overlap_bitwise(nshards):
+    """The OVERLAPPED face-sharded step (merge-free face sweep +
+    in-place fix-tile patch) is bitwise equal to the fused merged path."""
+    if len(jax.devices()) < nshards:
+        pytest.skip("needs %d devices" % nshards)
+    cs, cfg, plan, pt, scal, rsp, s0, sm1 = _setup(4, nlev=4, eb=8)
+    mesh = make_face_mesh(n=nshards)
+    args = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"], s0, sm1, pt["qdp"], pt["pecnd"],
+            pt["vn0u"], pt["vn0v"], pt["omg"], plan, rsp, mesh)
+    with mesh:
+        ref = caar_dss_sharded_t4(*args, eb=8, nlev=4, interpret=True)
+        got = caar_dss_sharded_t4(*args, eb=8, nlev=4, overlap=True,
+                                  interpret=True)
+    for name, a, b in zip(("assembled", "phi", "vn0u", "vn0v", "omg"),
+                          got, ref):
+        err = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        assert err == 0.0, f"face-sharded overlap {name}: {err}"

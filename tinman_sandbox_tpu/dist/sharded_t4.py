@@ -137,12 +137,13 @@ def _sharded_fixup_arrays(plan, fps: int):
 
 
 @partial(jax.jit, static_argnames=("plan", "mesh", "eb", "nlev", "moist",
-                                   "lg", "interpret"))
+                                   "lg", "overlap", "interpret"))
 def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                         s0, sm1, qdp, pecnd, vn0u, vn0v, omg,
                         plan, rsp_lanes, mesh: Mesh,
                         eb: int, nlev: int, moist: bool = True,
-                        lg: int = 0, interpret: bool = False):
+                        lg: int = 0, overlap: bool = False,
+                        interpret: bool = False):
     """Face-sharded assembled leapfrog step over ``mesh`` (axis "e" with
     6/N whole faces per shard). Same contract as
     step_pallas.caar_dss_structured_packed_t4; the lane axis of every
@@ -156,7 +157,8 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
     )
     from ..kernels.dss_pallas import (
         cext_tables_lg_for_gtiles, dss_sweeps_pallas_ct,
-        dss_sweeps_pallas_t, extract_tiles_t, slot_arrays_for_gtiles,
+        dss_sweeps_pallas_nomerge, dss_sweeps_pallas_t, extract_tiles_t,
+        merge_patch_tiles, slot_arrays_for_gtiles,
     )
     from .banded_t4 import _resolve_lg
 
@@ -282,12 +284,31 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
             cvs = sum(cv * rcor[r] for r in range(nr))
             vals = jnp.concatenate(
                 [vals_lines[:, 1:-1].reshape(-1, k4), cvs], axis=0)
-            vd_b = jnp.zeros((vd_rows, k4), s1.dtype).at[di_j].set(
-                vals, unique_indices=True)
-            vd_parts.append(vd_b.T)                               # [k4, *]
-        vd = jnp.concatenate(vd_parts, axis=1) if fps > 1 else vd_parts[0]
+            if overlap and fuse_ext:
+                # compact [ntb*Mc, k4] per-face value block for the patch
+                vd_parts.append(jnp.zeros(
+                    (len(tiles) * Mc, k4), s1.dtype).at[di_j].set(
+                        vals, unique_indices=True))
+            else:
+                vd_b = jnp.zeros((vd_rows, k4), s1.dtype).at[di_j].set(
+                    vals, unique_indices=True)
+                vd_parts.append(vd_b.T)                           # [k4, *]
 
-        # 5. local sweeps + tile merge (compact re-expansion when fused)
+        # 5. local sweeps + tile merge (compact re-expansion when fused).
+        # With ``overlap`` the sweep runs MERGE-FREE (no dependence on
+        # the all_gather above) and the fix tiles are patched in place —
+        # XLA's async collectives hide the gather behind the sweep.
+        if overlap and fuse_ext:
+            w = dss_sweeps_pallas_nomerge(
+                s1, rsp, ne, nf=1, faces=fps, interpret=interpret)
+            vals3 = jnp.concatenate(vd_parts, axis=0).reshape(
+                fps * len(tiles), Mc, k4)
+            dm_t = jnp.asarray(np.tile(np.asarray(dense_mask), (1, fps)))
+            assembled = merge_patch_tiles(
+                w, vals3, jnp.asarray(qc), dm_t, gtiles_shard,
+                len(tiles), Mc, interpret=interpret)
+            return assembled, phi, a1, b1, c1
+        vd = jnp.concatenate(vd_parts, axis=1) if fps > 1 else vd_parts[0]
         if fuse_ext:
             assembled = dss_sweeps_pallas_ct(
                 s1, rsp, vd, dm_j, jnp.asarray(qc), ne, tiles, nf=1,

@@ -304,6 +304,90 @@ def merge_patch_tiles(w, vals3, p_tbl, dm_lanes, gtiles: tuple, ntb: int,
     )(*operands)
 
 
+def _sweep_face_nomerge_kernel(db: int, lb: int, mix: bool,
+                               interpret: bool, *refs):
+    """Face-block sweep WITHOUT the edge/corner tile merge — the
+    overlapped face-sharded path (dist/sharded_t4.py overlap=True): no
+    dependence on the cross-chip line all_gather; the fixup lands later
+    via `merge_patch_tiles`."""
+    if mix:
+        x_ref, m_ref, rsp_ref, coef_ref, mx_ref, out_ref = refs
+        ca, cb = coef_ref[0, 0], coef_ref[0, 1]
+    else:
+        x_ref, m_ref, rsp_ref, out_ref = refs
+    if interpret:
+        roll = lambda a, s: jnp.roll(a, s, axis=1)
+    else:
+        roll = lambda a, s: pltpu.roll(a, shift=s % lb, axis=1)
+
+    x = x_ref[:]
+    y = x + m_ref[0:1] * roll(x, -NP) + m_ref[1:2] * roll(x, NP)
+    z = y + m_ref[2:3] * roll(y, -db) + m_ref[3:4] * roll(y, db)
+    w = _rsp_mul(rsp_ref[:], z)
+    if mix:
+        out_ref[:] = ca * mx_ref[:] + cb * w
+    else:
+        out_ref[:] = w
+
+
+@partial(jax.jit, static_argnames=("ne", "nf", "faces",
+                                  "interpret", "block_k"))
+def dss_sweeps_pallas_nomerge(x, rsp, ne: int, nf: int, faces: int = 6,
+                              mix=None, interpret: bool = False,
+                              block_k: int = 16):
+    """`dss_sweeps_pallas_t` minus the tile merge (and the vals/mask
+    operands): the in-face sweep+rsp(+mix) pass alone — shard-local, so
+    the face-sharded overlap path can run it in the line-gather's
+    shadow and patch the fix tiles afterward."""
+    k, e16 = x.shape
+    assert e16 == faces * ne * ne * NPSQ, (e16, ne, faces)
+    lb = nf * ne * ne * NPSQ
+    assert nf == faces or lb % 128 == 0, (lb, nf)
+    bk = fit_block_k(k, lb, block_k)
+    if mix is not None and mix[0].shape[0] != k and mix[0].shape[0] % bk:
+        cands = [b for b in range(bk, 0, -1)
+                 if k % b == 0 and mix[0].shape[0] % b == 0]
+        bk = next((b for b in cands if b % 8 == 0), cands[0])
+    masks = jnp.asarray(_sweep_masks_np(ne, nf))
+    db = NPSQ * ne - (NP - 1)
+    blk = lambda: pl.BlockSpec((bk, lb), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM)
+    in_specs = [
+        blk(),
+        pl.BlockSpec((4, lb), lambda j, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rsp.shape[0], lb), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, masks, rsp]
+    out_rows = k
+    aliases = {}
+    if mix is not None:
+        mx, ca, cb = mix
+        assert mx.shape[1] == e16 and mx.shape[0] >= k, (mx.shape, x.shape)
+        coef = jnp.stack([jnp.asarray(ca, jnp.float32),
+                          jnp.asarray(cb, jnp.float32)]).reshape(1, 2)
+        in_specs += [pl.BlockSpec((1, 2), lambda j, i: (0, 0),
+                                  memory_space=pltpu.SMEM), blk()]
+        operands += [coef, mx]
+        if mx.shape[0] > k:
+            out_rows = mx.shape[0]
+            aliases = {4: 0}
+    return pl.pallas_call(
+        partial(_sweep_face_nomerge_kernel, db, lb, mix is not None,
+                interpret),
+        grid=(faces // nf, k // bk),
+        in_specs=in_specs,
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((out_rows, e16), jnp.float32),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=SWEEP_VMEM_CAP,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
 def _sweep_banded_kernel_t(db: int, tiles: tuple, bl: int, ext: int,
                            mix: bool, interpret: bool, *refs):
     # the block is ONE element-row band extended with its neighbor rows in
