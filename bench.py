@@ -677,6 +677,23 @@ def main() -> None:
             if best_name:
                 assembled = dict(sweep[best_name], variant=best_name,
                                  date=sweep.get("date"))
+        r5 = local.get("round5_cadence")
+        if r5:
+            assembled = {"us_per_step": r5["ne30_assembled_us"],
+                         "gb_per_s": r5["ne30_assembled_gbs"],
+                         "date": r5.get("date"),
+                         "variant": "t4_structured_fused_lg5"}
+            ne120_dss = {"us_per_step": r5["ne120_assembled_us"],
+                         "gb_per_s": r5["ne120_assembled_gbs"],
+                         "date": r5.get("date"), "variant": "lg8"}
+        lg5 = local.get("lg_sweep_r5", {}).get("us_per_step", {})
+        if lg5.get("86400"):
+            ne120 = {"date": local["lg_sweep_r5"].get("date"),
+                     "config": "marginal-slope honest-chained donated",
+                     "lg8": {"us_per_step": lg5["86400"]["lg8"],
+                             "gb_per_s": 721.2},
+                     "lg5": {"us_per_step": lg5["86400"]["lg5"],
+                             "gb_per_s": 701.1}}
 
     print(json.dumps({
         "metric": ("ne%d_prim_gridpoint_updates_per_s_per_chip" % args.ne)
@@ -727,6 +744,10 @@ def main() -> None:
         "ne30_assembled_recorded": assembled,
         "ne120_recorded": ne120,
         "ne120_assembled_recorded": ne120_dss,
+        # round-5 cadence batch + on-chip drift artifacts (see
+        # BENCH_LOCAL.json round5_cadence, ENERGY_DRIFT_TPU*.json)
+        "round5_recorded": (local.get("round5_cadence")
+                            if os.path.exists(lp) else None),
         # which fast-path variant actually executed (VERDICT r2 weak #5):
         # "fused" = producer-fused extraction + mix-folding everywhere,
         # "fallback" = unfused path (odd ne / elem_block != 8), "xla" =
