@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--m", type=int, default=5)
     ap.add_argument("--nexec", type=int, default=40)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--prim", action="store_true",
+                    help="also time the FULL banded prim cadence "
+                         "(dynamics + hypervis + tracer) vs the packed "
+                         "single-chip cadence")
+    ap.add_argument("--qsize", type=int, default=1)
     ap.add_argument("--tag", default="banded_n1_r5")
     args = ap.parse_args()
 
@@ -108,6 +113,54 @@ def main():
         best = min(timed(fn, n1, n2) for _ in range(args.reps))
         res[name] = round(best, 1)
         print(f"{name:20s} {best:9.1f} us/step", flush=True)
+
+    if args.prim:
+        from tinman_sandbox_tpu.dist.prim_banded import prim_step_banded_t4
+        from tinman_sandbox_tpu.dist.step_pallas import prim_step_packed_t4
+        from tinman_sandbox_tpu.kernels.layout import pack_field_t
+
+        qdp0 = jnp.concatenate(
+            [pack_field_t(jnp.asarray(st.qdp[cfg.qn0, :, q], jnp.float32))
+             for q in range(args.qsize)], axis=0)
+        scal_p = _scalars(0.02, 1.0, hv)
+        nu = 2.5e-4
+        base = (scal_p, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+                pt["bstrt"], pt["meta"])
+        acc = (pt["vn0u"], pt["vn0v"], pt["omg"])
+
+        def prim_single(n):
+            s, q = s0, qdp0
+            for _ in range(n):
+                s, q, phi, a, b, c = prim_step_packed_t4(
+                    *base, s, q, pt["pecnd"], *acc, plan, rsp, nu,
+                    eb=8, nlev=k, qsplit=1)
+            return rb(s)
+
+        def prim_banded_n1(n):
+            s, q = s0, qdp0
+            with mesh:
+                for _ in range(n):
+                    s, q, phi, a, b, c = prim_step_banded_t4(
+                        *base, s, q, pt["pecnd"], *acc, plan, rsp, mesh,
+                        args.m, nu, eb=8, nlev=k, qsplit=1)
+            return rb(s)
+
+        def prim_banded_ov(n):
+            s, q = s0, qdp0
+            with mesh:
+                for _ in range(n):
+                    s, q, phi, a, b, c = prim_step_banded_t4(
+                        *base, s, q, pt["pecnd"], *acc, plan, rsp, mesh,
+                        args.m, nu, eb=8, nlev=k, qsplit=1, overlap=True)
+            return rb(s)
+
+        np1_, np2_ = max(3, args.nexec // 6), max(9, args.nexec // 2)
+        for name, fn in (("prim_single_chip", prim_single),
+                         ("prim_banded_n1", prim_banded_n1),
+                         ("prim_banded_n1_overlap", prim_banded_ov)):
+            best = min(timed(fn, np1_, np2_) for _ in range(args.reps))
+            res[name] = round(best, 1)
+            print(f"{name:22s} {best:9.1f} us/step", flush=True)
     res["overhead_pct"] = round(
         100.0 * (res["banded_body_n1"] / res["single_chip_fused"] - 1.0), 1)
     from tinman_sandbox_tpu import fastpath
