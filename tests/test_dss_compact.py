@@ -406,3 +406,34 @@ def test_banded_overlap_patch_unit():
     assert r["fits"]
     for st in r["per_stage"].values():
         assert st["lg"] >= 1 and st["lg_vmem_bytes"] <= 16 * 2 ** 20
+
+
+def test_patch_mode_dss_bitwise():
+    """The sweep/patch SPLIT single-chip DSS (dss_structured_t_pallas_
+    patch — measured slower on chip, kept as the overlap-mirror A/B) is
+    bitwise equal to the fused cpre path, with and without mix."""
+    from tinman_sandbox_tpu.kernels.dss_pallas import (
+        _fixup_arrays_t, cext_tables, dss_structured_t_pallas_cpre,
+        dss_structured_t_pallas_patch, extract_tiles_ct,
+    )
+
+    ne, k = 4, 40
+    cs = build_cubed_sphere(ne)
+    plan = make_structured_plan(cs.gdof, ne)
+    e16 = cs.nelem * 16
+    rsp = jnp.asarray(
+        np.asarray(cs.geometry.rspheremp, np.float32).reshape(1, -1))
+    x = jnp.asarray(RNG.standard_normal((k, e16)), jnp.float32)
+    gtiles = _fixup_arrays_t(plan)[0]
+    sf, nt, cM, cq = cext_tables(plan, e16 // 128)
+    xs = extract_tiles_ct(x, gtiles, jnp.asarray(cq), cM, interpret=True)
+    a = dss_structured_t_pallas_cpre(x, xs, plan, rsp, interpret=True)
+    b = dss_structured_t_pallas_patch(x, xs, plan, rsp, interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    mx = jnp.asarray(RNG.standard_normal((k, e16)), jnp.float32)
+    mix = (mx, np.float32(0.75), np.float32(0.25))
+    am = dss_structured_t_pallas_cpre(x, xs, plan, rsp, mix=mix,
+                                      interpret=True)
+    bm = dss_structured_t_pallas_patch(x, xs, plan, rsp, mix=mix,
+                                       interpret=True)
+    assert np.array_equal(np.asarray(am), np.asarray(bm))

@@ -1354,19 +1354,50 @@ def slot_arrays_for_gtiles(gtiles: tuple, nblocks: int):
     return np.stack([slots, flags]), len(gtiles)
 
 
-def fix_vals3(xs, rsp_lanes, plan):
+def fix_vals3(xs, rsp_lanes, plan, lg: int = 0):
     """Per-tile fixup value blocks [nt, M, k] from the compact slab ``xs``
     [nt*M, k]: the cube-edge/corner line math (`_fixup_from_rows`) followed
     by a ROW scatter back into slab-row order — no transposes, so XLA never
-    relayouts anything k-sized. Feeds `merge_patch_pallas`."""
+    relayouts anything k-sized. Feeds `merge_patch_pallas`. ``lg`` > 1
+    reads a lane-grouped producer's super-block slab (only the read row
+    maps change; the output stays in dense gtiles order)."""
     (m_rows, _, row_lines_c, row_corner_c, _, _, _, _,
      rows_uniq) = _compact_arrays(plan)
+    if lg > 1:
+        row_lines_c, row_corner_c = _compact_row_maps_lg(plan, lg)
     vals = _fixup_from_rows(xs, rsp_lanes, plan, row_lines_c, row_corner_c)
     k = xs.shape[1]
-    nt = xs.shape[0] // m_rows
+    nt = len(_fixup_arrays_t(plan)[0])
     v = jnp.zeros((nt * m_rows, k), jnp.float32).at[
         jnp.asarray(rows_uniq)].set(vals, unique_indices=True)
     return v.reshape(nt, m_rows, k)
+
+
+@partial(jax.jit, static_argnames=("plan", "lg", "interpret"))
+def dss_structured_t_pallas_patch(x, xs, plan, rsp_lanes, mix=None,
+                                  lg: int = 0, interpret: bool = False):
+    """`dss_structured_t_pallas_cpre` with the sweep/patch SPLIT: the
+    sweep runs MERGE-FREE (`dss_sweeps_pallas_nomerge`) and the fix
+    tiles are rewritten once each by `merge_patch_pallas`. Bitwise-equal
+    to the cpre path (same placement dots, same fp order on every lane;
+    gated in tests/test_dss_compact.py).
+
+    MEASURED VERDICT (round 5, on chip): LOSES to the fused cpre path —
+    q35 tracer stage 26.5 -> 30.5 ms (+15%). The hypothesis was that
+    the in-sweep merge loop's ntb placement dots per k-block grid step
+    (~80k tiny MXU ops per q35 DSS call) throttle the tall-field sweep
+    to ~300 GB/s; in fact Mosaic pipelines those dots under the block
+    DMA, and the patch's extra read+write of the ~38% affected tiles
+    (~0.66 GB/call at q35) is pure added traffic. Kept as the A/B
+    variant and as the single-chip mirror of the multi-chip overlap
+    decomposition (where the same split buys collective hiding)."""
+    _, _, _, _, nf, _, _ = _fixup_arrays(plan)
+    vals3 = fix_vals3(xs, rsp_lanes, plan, lg=lg)
+    w = dss_sweeps_pallas_nomerge(x, rsp_lanes, plan.ne, nf,
+                                  mix=mix, interpret=interpret)
+    pmix = None if mix is None else (mix[0], mix[1], mix[2])
+    return merge_patch_pallas(w, vals3, plan, mix=pmix,
+                              interpret=interpret)
 
 
 def _merge_patch_kernel(mix, split, *refs):
