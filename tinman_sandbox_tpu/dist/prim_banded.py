@@ -227,20 +227,21 @@ def tracer_banded_t(dxbt, dybt, meta, vu, vv, qdp, plan, rsp_lanes,
 
     scal = jnp.zeros((1, 4), jnp.float32).at[0, 0].set(
         jnp.asarray(dt, jnp.float32))
-    # VMEM guard: ~4.5 live [qk, 128*lg] f32 buffers under the 16 MB
-    # scoped cap (measured on the single-chip lg tracer, commit a0100d1)
+    # tall-stack rule (round-5 measured ledger, BYTES_MODEL "q35
+    # lane-grouping"): stacks whose lg blocks over-budget the ~4.5-live-
+    # buffer scoped-VMEM estimate run DENSE — shrinking lg (or row-
+    # chunking) measured slower than the 128-lane path on chip; mirror
+    # of the single-chip guard in step_pallas.ssprk3_tracer_packed_t
     from .banded_t4 import pick_lg
 
     qk = qdp.shape[0]
-    cap = 8
-    while cap > 1 and 4.5 * qk * 128 * cap * 4 > 16 * 2 ** 20:
-        cap -= 1
     nblocks = qdp.shape[1] // mesh.shape["e"] // 128
     if lg == 0:
-        lg = pick_lg(nblocks, cap) or 1
+        lg = pick_lg(nblocks) or 1
     else:
-        lg = next((g for g in range(min(lg, cap), 1, -1)
-                   if nblocks % g == 0), 1)
+        lg = next((g for g in range(lg, 1, -1) if nblocks % g == 0), 1)
+    if lg > 1 and 4.5 * qk * 128 * lg * 4 > 16 * 2 ** 20:
+        lg = 1
     dss_local, dm_g, masks_g, cext, lg = _fused_ext_tables(
         plan, m, mesh, eb, qdp.shape[1], interpret, lg, overlap)
 
