@@ -46,3 +46,17 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Cap cumulative in-process compile state: the full suite compiles
+    many hundreds of programs in one process and jaxlib's CPU compile
+    crashed (SIGSEGV/SIGABRT inside backend_compile) once the round-5
+    tests pushed the count high enough — clearing jit/pjit caches at
+    module boundaries keeps the executable count bounded at the cost of
+    a few re-traces of shared helpers."""
+    yield
+    import jax
+
+    jax.clear_caches()
