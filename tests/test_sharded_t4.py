@@ -421,3 +421,44 @@ def test_sharded_t4_overlap_bitwise(nshards):
                           got, ref):
         err = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
         assert err == 0.0, f"face-sharded overlap {name}: {err}"
+
+
+def test_prim_banded_chained_soak():
+    """10 CHAINED steps of the band-sharded prim cadence (lane-grouped
+    shard bodies) stay bitwise equal to the single-device packed chain —
+    slab/slot bookkeeping must hold under state reuse, not just one
+    step."""
+    nshards, ne, m, nsteps = 4, 4, 2, 10
+    if len(jax.devices()) < nshards:
+        pytest.skip("needs %d devices" % nshards)
+    from tinman_sandbox_tpu import Config, random_state
+    from tinman_sandbox_tpu.dist.prim_banded import prim_step_banded_t4
+    from tinman_sandbox_tpu.dist.step_pallas import prim_step_packed_t4
+    from tinman_sandbox_tpu.kernels.layout import pack_field_t
+
+    cs, cfg, plan, pt, scal, rsp, s0, sm1 = _setup(ne, nlev=4, eb=8)
+    cfg2 = Config(nelem=cs.nelem, nlev=4, elem_block=8, qsize=2)
+    st = jax.tree.map(lambda x: np.asarray(x, np.float32),
+                      random_state(cfg2, seed=5))
+    qdp0 = jnp.concatenate(
+        [pack_field_t(jnp.asarray(st.qdp[0, :, q], jnp.float32))
+         for q in range(2)], axis=0)
+    mesh = Mesh(np.asarray(jax.devices()[:nshards]), ("e",))
+    base = (scal, pt["dxbt"], pt["dybt"], pt["ainct"], pt["astrt"],
+            pt["bstrt"], pt["meta"])
+    acc = (pt["vn0u"], pt["vn0v"], pt["omg"])
+
+    s_a, q_a, acc_a = s0, qdp0, acc
+    s_b, q_b, acc_b = s0, qdp0, acc
+    with mesh:
+        for _ in range(nsteps):
+            s_a, q_a, _, *acc_a = prim_step_banded_t4(
+                *base, s_a, q_a, pt["pecnd"], *acc_a, plan, rsp, mesh, m,
+                2.5e-4, eb=8, nlev=4, qsplit=1, interpret=True)
+            s_b, q_b, _, *acc_b = prim_step_packed_t4(
+                *base, s_b, q_b, pt["pecnd"], *acc_b, plan, rsp,
+                2.5e-4, eb=8, nlev=4, qsplit=1, interpret=True)
+    for name, a, b in (("s", s_a, s_b), ("qdp", q_a, q_b)):
+        err = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        assert err == 0.0, f"chained banded {name} step-{nsteps}: {err}"
+    assert np.isfinite(np.asarray(s_a)).all()
