@@ -1291,6 +1291,48 @@ def dss_sweeps_pallas_ct(x, rsp, vd_c, dense_mask, p_tbl, ne: int,
     )(*operands)
 
 
+def _vals_tp_kernel(x_ref, o_ref):
+    o_ref[:] = x_ref[:].T
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def vals_to_vd_pallas(vals_di, interpret: bool = False):
+    """[wd_c, k] row-major vals (already permuted into vd-column order)
+    -> [k, wd_c]: a trivial Pallas transpose-place kernel (one [128, k]
+    block in, its [k, 128] transpose out per grid step). Replaces the
+    XLA `vals_t.T` + column-scatter pair, whose relayout cost measured
+    ~60 us per DSS call at ne30 (fixup-chain attribution, BYTES_MODEL
+    round-5 q1 decomposition)."""
+    wd_c, k = vals_di.shape
+    assert wd_c % 128 == 0, wd_c
+    if interpret:
+        return vals_di.T
+    return pl.pallas_call(
+        _vals_tp_kernel,
+        grid=(wd_c // 128,),
+        in_specs=[pl.BlockSpec((128, k), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((k, 128), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, wd_c), jnp.float32),
+    )(vals_di)
+
+
+@lru_cache(maxsize=None)
+def _vd_inverse_perm(plan):
+    """vd-column -> vals-row inverse permutation: position c of the
+    compact vals buffer takes vals row inv[c] (the pattern index whose
+    di_c equals c), or the trailing zero row for the ~5-10% pad holes.
+    With this, vd_c = `vals_to_vd_pallas`(concat(vals, zeros)[inv]) —
+    one row gather + one transpose-place kernel instead of the XLA
+    transpose + column scatter."""
+    di_c, wd_c = _compact_arrays(plan)[4:6]
+    nv = len(di_c)
+    inv = np.full(wd_c, nv, np.int32)          # default: the zero row
+    inv[di_c] = np.arange(nv, dtype=np.int32)
+    return inv, nv
+
+
 @partial(jax.jit, static_argnames=("plan", "lg", "interpret"))
 def dss_structured_t_pallas_cpre(x, xs, plan, rsp_lanes, mix=None,
                                  lg: int = 0,
@@ -1311,8 +1353,14 @@ def dss_structured_t_pallas_cpre(x, xs, plan, rsp_lanes, mix=None,
     vals_t = _fixup_from_rows(xs, rsp_lanes, plan, row_lines_c,
                               row_corner_c)
     k = x.shape[0]
-    vd_c = jnp.zeros((k, wd_c), jnp.float32).at[
-        :, jnp.asarray(di_c)].set(vals_t.T, unique_indices=True)
+    # vd build: row-gather into vd-column order + transpose-place kernel
+    # (replaces vals_t.T + column scatter — measured ~60 us/call of XLA
+    # relayout at ne30; bitwise-equal, holes are the zero row)
+    inv, nv = _vd_inverse_perm(plan)
+    vals_z = jnp.concatenate(
+        [vals_t, jnp.zeros((1, vals_t.shape[1]), jnp.float32)], axis=0)
+    vd_c = vals_to_vd_pallas(vals_z[jnp.asarray(inv)],
+                             interpret=interpret)
     _, _, _, _, _, _, dense_mask = _fixup_arrays(plan)
     return dss_sweeps_pallas_ct(x, rsp_lanes, vd_c, jnp.asarray(dense_mask),
                                 jnp.asarray(p_tbl), plan.ne, tiles, nf,
