@@ -488,12 +488,19 @@ def _banded_dss_builder(plan, m: int, N: int, interpret: bool,
                 jnp.asarray(np.asarray(T["qc"])), dm_l,
                 gtiles_shard, ntb_, Mc, mix=pmix, interpret=interpret)
 
-        vd_parts = []
-        for l in range(cps):
-            vd_c = jnp.zeros((vd_rows, k4), s1.dtype).at[dense_pat].set(
-                scaled_parts[l], unique_indices=True)
-            vd_parts.append(vd_c.T)
-        vd = jnp.concatenate(vd_parts, axis=1) if cps > 1 else vd_parts[0]
+        # row-gather into vd-column order + transpose-place kernel (no
+        # XLA transpose per chunk; kernels.dss_pallas.vals_to_vd_pallas)
+        from ..kernels.dss_pallas import vals_to_vd_pallas
+
+        npat_ = dense_pat.shape[0]
+        inv = np.full(vd_rows, npat_, np.int32)
+        inv[dense_pat] = np.arange(npat_, dtype=np.int32)
+        vals_all = jnp.stack(scaled_parts)               # [cps, npat, k4]
+        vals_z = jnp.concatenate(
+            [vals_all, jnp.zeros((cps, 1, k4), s1.dtype)], axis=1)
+        vd = vals_to_vd_pallas(
+            vals_z[:, jnp.asarray(inv)].reshape(cps * vd_rows, k4),
+            interpret=interpret)                         # [k4, cps*vd_rows]
 
         if compact:
             # placement table: the DENSE per-chunk selection rows (the

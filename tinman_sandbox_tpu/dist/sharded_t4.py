@@ -290,9 +290,8 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                     (len(tiles) * Mc, k4), s1.dtype).at[di_j].set(
                         vals, unique_indices=True))
             else:
-                vd_b = jnp.zeros((vd_rows, k4), s1.dtype).at[di_j].set(
-                    vals, unique_indices=True)
-                vd_parts.append(vd_b.T)                           # [k4, *]
+                # gather into vd-column order; transposed once below
+                vd_parts.append(vals)
 
         # 5. local sweeps + tile merge (compact re-expansion when fused).
         # With ``overlap`` the sweep runs MERGE-FREE (no dependence on
@@ -308,7 +307,20 @@ def caar_dss_sharded_t4(scal, dxbt, dybt, ainct, astrt, bstrt, meta,
                 w, vals3, jnp.asarray(qc), dm_t, gtiles_shard,
                 len(tiles), Mc, interpret=interpret)
             return assembled, phi, a1, b1, c1
-        vd = jnp.concatenate(vd_parts, axis=1) if fps > 1 else vd_parts[0]
+        # row-gather into vd-column order + transpose-place kernel (no
+        # XLA transpose per face; kernels.dss_pallas.vals_to_vd_pallas)
+        from ..kernels.dss_pallas import vals_to_vd_pallas
+
+        di_np = ci_c if fuse_ext else dense_idx
+        nv_ = di_np.shape[0]
+        inv = np.full(vd_rows, nv_, np.int32)
+        inv[di_np] = np.arange(nv_, dtype=np.int32)
+        vals_all = jnp.stack(vd_parts)                   # [fps, nv, k4]
+        vals_z = jnp.concatenate(
+            [vals_all, jnp.zeros((fps, 1, k4), s1.dtype)], axis=1)
+        vd = vals_to_vd_pallas(
+            vals_z[:, jnp.asarray(inv)].reshape(fps * vd_rows, k4),
+            interpret=interpret)                         # [k4, fps*vd_rows]
         if fuse_ext:
             assembled = dss_sweeps_pallas_ct(
                 s1, rsp, vd, dm_j, jnp.asarray(qc), ne, tiles, nf=1,

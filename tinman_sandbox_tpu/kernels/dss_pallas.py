@@ -1005,8 +1005,15 @@ def dss_structured_t_pallas_pre(x, xd_t, plan, rsp_lanes, vdt: bool = False,
         vd = jnp.zeros((wd_tot, k), jnp.float32).at[
             jnp.asarray(dense_idx)].set(vals_t, unique_indices=True)
     else:
-        vd = jnp.zeros((k, wd_tot), jnp.float32).at[
-            :, jnp.asarray(dense_idx)].set(vals_t.T, unique_indices=True)
+        # row-gather into vd-column order + transpose-place kernel (no
+        # XLA relayout; see dss_structured_t_pallas_cpre)
+        nv = dense_idx.shape[0]
+        inv = np.full(wd_tot, nv, np.int32)
+        inv[dense_idx] = np.arange(nv, dtype=np.int32)
+        vals_z = jnp.concatenate(
+            [vals_t, jnp.zeros((1, k), jnp.float32)], axis=0)
+        vd = vals_to_vd_pallas(vals_z[jnp.asarray(inv)],
+                               interpret=interpret)
     return dss_sweeps_pallas_t(x, rsp_lanes, vd, jnp.asarray(dense_mask),
                                plan.ne, tiles, nf, vdt=vdt, mix=mix,
                                interpret=interpret)
