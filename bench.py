@@ -461,6 +461,13 @@ def main() -> None:
             lg_raw = args.lg or (_auto_lg(e16_all // 128)
                                  if transposed and gchunks == 1 else 0)
             args.lg = lg_raw            # surface the auto-pick in config
+            if transposed and kernel == "pallas":
+                # raw mode takes no fastpath decision; record the kernel
+                # variant so the JSON "path" field isn't a stale "xla"
+                from tinman_sandbox_tpu.fastpath import last_path as _lp
+
+                _lp["raw_kernel"] = (f"pallas-lg{lg_raw}" if lg_raw > 1
+                                     else "pallas-eb8")
             raw_acc_sl = (5, 6, 7)
             if transposed and lg_raw > 1:
                 from tinman_sandbox_tpu.kernels.caar_pallas_t import (
