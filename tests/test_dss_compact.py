@@ -437,3 +437,24 @@ def test_patch_mode_dss_bitwise():
     bm = dss_structured_t_pallas_patch(x, xs, plan, rsp, mix=mix,
                                        interpret=True)
     assert np.array_equal(np.asarray(am), np.asarray(bm))
+
+
+def test_vd_inverse_perm_invariants():
+    """The vals->vd inverse permutation (vals_to_vd_pallas feed) is a
+    bijection on the occupied vd columns with every hole pointing at the
+    appended zero row."""
+    from tinman_sandbox_tpu.kernels.dss_pallas import (
+        _compact_arrays, _vd_inverse_perm,
+    )
+
+    for ne in (2, 4, 8):
+        plan = make_structured_plan(build_cubed_sphere(ne).gdof, ne)
+        inv, nv = _vd_inverse_perm(plan)
+        di_c, wd_c = _compact_arrays(plan)[4:6]
+        assert inv.shape == (wd_c,) and nv == len(di_c)
+        # occupied columns map back to exactly the vals rows, bijectively
+        assert np.array_equal(np.sort(inv[di_c]), np.arange(nv))
+        # every other column is the zero row
+        holes = np.setdiff1d(np.arange(wd_c), di_c)
+        assert (inv[holes] == nv).all()
+        assert wd_c % 128 == 0
